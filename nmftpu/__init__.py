@@ -1,0 +1,44 @@
+"""nmftpu — TPU-native non-negative matrix factorization recommender-embedding engine.
+
+A brand-new JAX/XLA/Pallas implementation with the capabilities of the
+``razorx89/nmfgpu`` CUDA library (see SURVEY.md for the reference analysis;
+the reference mount was empty at build time, so component IDs C1..C19 from
+SURVEY.md §2 are cited instead of reference file:line):
+
+* six NMF algorithms — multiplicative updates (Frobenius + KL objectives),
+  ALS, ACLS, AHCLS, GDCLS, nsNMF                       (SURVEY.md C3–C7)
+* six initialization strategies incl. jitted k-means    (SURVEY.md C8)
+* dense and sparse (CSR/CSC/COO) interaction matrices   (SURVEY.md C10–C11)
+* multi-run restarts, threshold convergence without host
+  round-trips (``lax.while_loop`` carry)               (SURVEY.md C2, C9)
+* 2-D (users, items) device-mesh sharding with GSPMD
+  collectives, ring-SpMM over ICI                      (SURVEY.md §2.9, §5.8)
+* retrieval: factors as sharded embedding tables + top-k
+  MIPS, recall@k evaluation                            (BASELINE.json configs)
+"""
+
+from nmftpu.config import (
+    Algorithm,
+    Initialization,
+    MatrixFormat,
+    NmfConfig,
+    Objective,
+    ThresholdType,
+)
+from nmftpu.driver import NmfResult, compute
+from nmftpu.api import nmf
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Algorithm",
+    "Initialization",
+    "MatrixFormat",
+    "NmfConfig",
+    "NmfResult",
+    "Objective",
+    "ThresholdType",
+    "compute",
+    "nmf",
+    "__version__",
+]

@@ -1,0 +1,136 @@
+"""Dispatch an NmfConfig to concrete update-step callables.
+
+`build_dense_update(config)` returns a triple:
+
+  make_aux(V)            -> aux pytree of per-problem constants (confidence
+                            matrix C for weighted MU, smoothing matrix S for
+                            nsNMF, () otherwise) computed once outside the
+                            iteration loop;
+  update(V, aux, W, H)   -> (W, H) one full iteration, pure & jittable;
+  effective_h(aux, H)    -> the H to use in error metrics (S @ H for nsNMF,
+                            identity otherwise), so the reported error is
+                            always ||V - W * effective_h(H)||.
+
+This mirrors the reference dispatcher's {algorithm x precision} dispatch
+(SURVEY.md C2): precision is handled by the arrays' dtype; algorithm by this
+registry.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nmftpu.config import Algorithm, NmfConfig, Objective
+from nmftpu.linalg import dense as D
+
+
+def build_dense_update(config: NmfConfig):
+    eps = config.eps
+    order = config.update_order
+    alg = config.algorithm
+    obj = config.objective
+
+    if alg is Algorithm.MU:
+        if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
+            alpha = config.alpha_confidence
+
+            def make_aux(V):
+                return (jnp.asarray(1.0, V.dtype) + alpha * V,)
+
+            def update(V, aux, W, H):
+                return D.mu_update_frobenius_weighted(
+                    V, aux[0], W, H, eps=eps, order=order
+                )
+
+        elif obj is Objective.FROBENIUS:
+
+            def make_aux(V):
+                return ()
+
+            def update(V, aux, W, H):
+                return D.mu_update_frobenius(V, W, H, eps=eps, order=order)
+
+        else:  # KL
+
+            def make_aux(V):
+                return ()
+
+            def update(V, aux, W, H):
+                return D.mu_update_kl(V, W, H, eps=eps, order=order)
+
+        def effective_h(aux, H):
+            return H
+
+    elif alg is Algorithm.ALS:
+
+        def make_aux(V):
+            return ()
+
+        def update(V, aux, W, H):
+            return D.als_update(V, W, H, eps=eps, order=order)
+
+        def effective_h(aux, H):
+            return H
+
+    elif alg is Algorithm.ACLS:
+        lw, lh = config.lambda_w, config.lambda_h
+
+        def make_aux(V):
+            return ()
+
+        def update(V, aux, W, H):
+            return D.acls_update(
+                V, W, H, lambda_w=lw, lambda_h=lh, eps=eps, order=order
+            )
+
+        def effective_h(aux, H):
+            return H
+
+    elif alg is Algorithm.AHCLS:
+        lw, lh = config.lambda_w, config.lambda_h
+        aw, ah = config.alpha_w, config.alpha_h
+
+        def make_aux(V):
+            return ()
+
+        def update(V, aux, W, H):
+            return D.ahcls_update(
+                V, W, H, lambda_w=lw, lambda_h=lh, alpha_w=aw, alpha_h=ah,
+                eps=eps, order=order,
+            )
+
+        def effective_h(aux, H):
+            return H
+
+    elif alg is Algorithm.GDCLS:
+        lt = config.lambda_tik
+
+        def make_aux(V):
+            return ()
+
+        def update(V, aux, W, H):
+            return D.gdcls_update(V, W, H, lambda_tik=lt, eps=eps, order=order)
+
+        def effective_h(aux, H):
+            return H
+
+    elif alg is Algorithm.NSNMF:
+        theta = config.theta
+        rank = config.rank
+        obj_name = "frobenius" if obj is Objective.FROBENIUS else "kl"
+
+        def make_aux(V):
+            return (D.nsnmf_smoothing_matrix(rank, theta, dtype=V.dtype),)
+
+        def update(V, aux, W, H):
+            return D.nsnmf_update(
+                V, W, H, aux[0], eps=eps, objective=obj_name, order=order
+            )
+
+        def effective_h(aux, H):
+            return aux[0] @ H
+
+    else:
+        raise ValueError(f"unknown algorithm: {alg}")
+
+    return make_aux, update, effective_h

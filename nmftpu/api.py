@@ -1,0 +1,84 @@
+"""High-level convenience API, in the spirit of the reference's R binding
+`nmf(data, r, algorithm=..., ...)` (SURVEY.md C19): accepts strings for all
+enums, dispatches dense vs. sparse inputs, and returns an NmfResult."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from nmftpu.config import (
+    Algorithm,
+    Initialization,
+    NmfConfig,
+    Objective,
+    ThresholdType,
+)
+from nmftpu import driver
+
+_INIT_ALIASES = {
+    "copy": Initialization.COPY_EXISTING,
+    "random": Initialization.ALL_RANDOM_VALUES,
+    "mean_columns": Initialization.MEAN_COLUMNS,
+    "kmeans": Initialization.K_MEANS_AND_RANDOM_VALUES,
+}
+
+
+def _coerce(enum_cls, value, aliases=None):
+    if isinstance(value, enum_cls):
+        return value
+    if aliases and value in aliases:
+        return aliases[value]
+    return enum_cls(value)
+
+
+def nmf(
+    data: Any,
+    rank: int,
+    algorithm: str | Algorithm = Algorithm.MU,
+    objective: str | Objective = Objective.FROBENIUS,
+    init: str | Initialization = Initialization.ALL_RANDOM_VALUES,
+    seed: int = 0,
+    num_iterations: int = 200,
+    num_runs: int = 1,
+    threshold: float = 0.0,
+    threshold_type: str | ThresholdType = ThresholdType.FROBENIUS,
+    W0=None,
+    H0=None,
+    callback=None,
+    **knobs,
+) -> "driver.NmfResult":
+    """Factorize `data` ≈ W H with rank `rank`.
+
+    `data` may be a dense array (numpy/JAX) or any nmftpu sparse container
+    (`SparseCSR`/`SparseCSC`/`SparseCOO` from `nmftpu.sparse`) — sparse
+    inputs route through the sparse update path without densifying.
+    Extra keyword knobs (lambda_w, lambda_h, alpha_w, alpha_h, lambda_tik,
+    theta, alpha_confidence, check_interval, eps, dtype, ...) are forwarded
+    into NmfConfig.
+    """
+    config = NmfConfig(
+        rank=rank,
+        algorithm=_coerce(Algorithm, algorithm),
+        objective=_coerce(Objective, objective),
+        init_method=_coerce(Initialization, init, _INIT_ALIASES),
+        seed=seed,
+        num_iterations=num_iterations,
+        num_runs=num_runs,
+        threshold_value=threshold,
+        threshold_type=_coerce(ThresholdType, threshold_type),
+        **knobs,
+    )
+
+    from nmftpu import sparse as sparse_mod
+
+    if isinstance(data, sparse_mod.SparseMatrix):
+        from nmftpu import sparse_ops
+
+        return sparse_ops.compute_sparse(
+            data, config, W0=W0, H0=H0, callback=callback
+        )
+    return driver.compute(
+        np.asarray(data), config, W0=W0, H0=H0, callback=callback
+    )

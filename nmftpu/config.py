@@ -1,0 +1,165 @@
+"""Configuration for an NMF computation.
+
+``NmfConfig`` mirrors the reference's single config struct ``NmfDescription``
+(SURVEY.md C1/§5.6: dims, rank, algorithm enum, init enum, seed,
+numIterations, numRuns, threshold type+value, matrix format, plus a key/value
+parameter list for the algorithm-specific knobs lambdaW/lambdaH/alphaW/
+alphaH/lambda/theta). Mesh/sharding configuration is deliberately kept
+separate (``nmftpu.parallel``) — it has no counterpart in the single-GPU
+reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Algorithm(str, enum.Enum):
+    """NMF update algorithms (SURVEY.md C3–C7).
+
+    * ``MU``    — Lee–Seung multiplicative updates (Frobenius or KL objective).
+    * ``ALS``   — alternating least squares with negative-clamping.
+    * ``ACLS``  — alternating constrained LS with sparsity penalties
+                  ``lambda_w``/``lambda_h`` (Langville et al.).
+    * ``AHCLS`` — ACLS plus Hoyer-sparseness targets ``alpha_w``/``alpha_h``.
+    * ``GDCLS`` — gradient-descent constrained LS hybrid: MU-style update for
+                  W, Tikhonov-regularized LS for H with scalar ``lambda_tik``.
+    * ``NSNMF`` — non-smooth NMF (Pascual-Montano 2006): smoothing matrix
+                  ``S = (1-theta) I + (theta/r) 11^T`` interposed, V ≈ W S H.
+    """
+
+    MU = "mu"
+    ALS = "als"
+    ACLS = "acls"
+    AHCLS = "ahcls"
+    GDCLS = "gdcls"
+    NSNMF = "nsnmf"
+
+
+class Objective(str, enum.Enum):
+    """Reconstruction objective for MU-family updates.
+
+    The reference's MU is Frobenius-only; KL divergence is additionally
+    required by the north star (BASELINE.json `north_star`). Matches
+    sklearn's ``beta_loss`` ∈ {2 → frobenius, 1 → kullback-leibler}.
+    """
+
+    FROBENIUS = "frobenius"
+    KL = "kullback-leibler"
+
+
+class Initialization(str, enum.Enum):
+    """The six initialization strategies (SURVEY.md C8)."""
+
+    COPY_EXISTING = "copy_existing"
+    ALL_RANDOM_VALUES = "all_random_values"
+    MEAN_COLUMNS = "mean_columns"
+    K_MEANS_AND_RANDOM_VALUES = "kmeans_random"
+    K_MEANS_AND_NON_NEGATIVE_WTV = "kmeans_nonnegative_wtv"
+    K_MEANS_AND_ABSOLUTE_WTV = "kmeans_absolute_wtv"
+
+
+class ThresholdType(str, enum.Enum):
+    """Convergence metric for the early-stop threshold (SURVEY.md C9)."""
+
+    FROBENIUS = "frobenius"  # ||V - WH||_F
+    RMSD = "rmsd"            # sqrt(||V - WH||_F^2 / (n*m))
+
+
+class MatrixFormat(str, enum.Enum):
+    """Input matrix storage formats accepted for V (SURVEY.md C10–C11)."""
+
+    DENSE = "dense"
+    CSR = "csr"
+    CSC = "csc"
+    COO = "coo"
+
+
+@dataclasses.dataclass(frozen=True)
+class NmfConfig:
+    """Full description of one NMF computation (reference: ``NmfDescription``).
+
+    Algorithm-specific knobs (the reference's key/value parameter list):
+
+    * ``lambda_w``, ``lambda_h`` — ACLS sparsity penalties (also the l1
+      diagonal shift reused by AHCLS/GDCLS paths).
+    * ``alpha_w``, ``alpha_h``   — AHCLS Hoyer-sparseness targets in [0, 1].
+    * ``lambda_tik``             — GDCLS Tikhonov regularizer for the H solve.
+    * ``theta``                  — nsNMF smoothing in [0, 1] (0 == plain MU).
+    * ``alpha_confidence``       — implicit-feedback confidence weighting
+      c = 1 + alpha_confidence * v (0 disables; BASELINE.json config #3).
+    """
+
+    rank: int
+    algorithm: Algorithm = Algorithm.MU
+    objective: Objective = Objective.FROBENIUS
+    init_method: Initialization = Initialization.ALL_RANDOM_VALUES
+    seed: int = 0
+    num_iterations: int = 200
+    num_runs: int = 1
+
+    # Convergence (SURVEY.md C9). threshold_value <= 0 disables early stop;
+    # the error is still evaluated every `check_interval` iterations for the
+    # stats stream.
+    threshold_type: ThresholdType = ThresholdType.FROBENIUS
+    threshold_value: float = 0.0
+    check_interval: int = 10
+
+    # Numerics. `eps` guards the multiplicative-update denominators; dtypes
+    # follow the TPU convention of separate storage and accumulation types.
+    eps: float = 1e-9
+    dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    # Update order within one iteration: "WH" (update W first, matches the
+    # sklearn oracle's loop) or "HW" (classic Lee–Seung presentation).
+    update_order: str = "WH"
+
+    # Algorithm-specific knobs.
+    lambda_w: float = 0.0
+    lambda_h: float = 0.0
+    alpha_w: float = 0.5
+    alpha_h: float = 0.5
+    lambda_tik: float = 0.0
+    theta: float = 0.5
+    alpha_confidence: float = 0.0
+
+    # k-means init (SURVEY.md C8, §3.4).
+    kmeans_max_iter: int = 25
+
+    # Kernel selection: None = auto (Pallas on TPU, jnp elsewhere);
+    # True/False force.
+    use_pallas: bool | None = None
+
+    def __post_init__(self) -> None:
+        if self.rank < 1:
+            raise ValueError(f"rank must be >= 1, got {self.rank}")
+        if self.num_iterations < 1:
+            raise ValueError(
+                f"num_iterations must be >= 1, got {self.num_iterations}"
+            )
+        if self.num_runs < 1:
+            raise ValueError(f"num_runs must be >= 1, got {self.num_runs}")
+        if self.check_interval < 1:
+            raise ValueError(
+                f"check_interval must be >= 1, got {self.check_interval}"
+            )
+        if self.update_order not in ("WH", "HW"):
+            raise ValueError(
+                f"update_order must be 'WH' or 'HW', got {self.update_order!r}"
+            )
+        if self.objective is Objective.KL and self.algorithm not in (
+            Algorithm.MU,
+            Algorithm.NSNMF,
+        ):
+            raise ValueError(
+                f"KL objective is only supported for MU/NSNMF, "
+                f"got {self.algorithm}"
+            )
+        if not 0.0 <= self.theta <= 1.0:
+            raise ValueError(f"theta must be in [0, 1], got {self.theta}")
+        for name in ("alpha_w", "alpha_h"):
+            v = getattr(self, name)
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"{name} must be in [0, 1], got {v}")

@@ -1,0 +1,329 @@
+"""Dense update rules and error metrics, pure jnp.
+
+Conventions
+-----------
+V : (n, m)  nonnegative data ("users" x "items")
+W : (n, r)  left factor  (user embeddings)
+H : (r, m)  right factor (item embeddings)
+
+All updates return new arrays (functional; no in-place mutation) and are
+designed so XLA keeps every matmul on the MXU: the dominant products are
+W^T V (r x m), V H^T (n x r) at O(nmr) FLOPs, plus tiny r x r Grams. The
+epsilon guard is *added* to denominators (cheap and branch-free on the VPU;
+the sklearn oracle instead replaces exact zeros — equivalent to tolerance
+for positive factors, covered by the parity tests in
+tests/test_sklearn_parity.py).
+
+Reference behavior being reproduced: SURVEY.md C3 (MU Frobenius/KL),
+C4 (ALS), C5 (ACLS/AHCLS), C6 (GDCLS), C7 (nsNMF), C9 (error metrics),
+C13 (the fused elementwise update / clamp kernels), C14 (r x r solves).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative updates (SURVEY.md C3)
+# ---------------------------------------------------------------------------
+
+
+def mu_update_w_frobenius(V, W, H, eps):
+    """W <- W * (V H^T) / (W (H H^T) + eps).   One Lee–Seung half-step."""
+    numer = V @ H.T                      # (n, r)   O(nmr) — MXU
+    HHt = H @ H.T                        # (r, r)   O(mr^2)
+    denom = W @ HHt + eps                # (n, r)   O(nr^2)
+    return W * (numer / denom)
+
+
+def mu_update_h_frobenius(V, W, H, eps):
+    """H <- H * (W^T V) / ((W^T W) H + eps)."""
+    numer = W.T @ V                      # (r, m)
+    WtW = W.T @ W                        # (r, r)
+    denom = WtW @ H + eps                # (r, m)
+    return H * (numer / denom)
+
+
+def mu_update_frobenius(V, W, H, eps=1e-9, order="WH"):
+    """One full MU iteration under the Frobenius objective.
+
+    order="WH" updates W against the current H first (the sklearn oracle's
+    loop order); "HW" is the classic Lee–Seung presentation.
+    """
+    if order == "WH":
+        W = mu_update_w_frobenius(V, W, H, eps)
+        H = mu_update_h_frobenius(V, W, H, eps)
+    else:
+        H = mu_update_h_frobenius(V, W, H, eps)
+        W = mu_update_w_frobenius(V, W, H, eps)
+    return W, H
+
+
+def mu_update_w_kl(V, W, H, eps):
+    """KL half-step: W <- W * ((V / (WH)) H^T) / (row-broadcast sum_j H)."""
+    WH = W @ H                           # (n, m)
+    ratio = V / (WH + eps)               # (n, m)
+    numer = ratio @ H.T                  # (n, r)
+    h_sum = jnp.sum(H, axis=1)           # (r,)
+    denom = jnp.maximum(h_sum, eps)[None, :]
+    return W * (numer / denom)
+
+
+def mu_update_h_kl(V, W, H, eps):
+    """KL half-step: H <- H * (W^T (V / (WH))) / (col-broadcast sum_i W)."""
+    WH = W @ H
+    ratio = V / (WH + eps)
+    numer = W.T @ ratio                  # (r, m)
+    w_sum = jnp.sum(W, axis=0)           # (r,)
+    denom = jnp.maximum(w_sum, eps)[:, None]
+    return H * (numer / denom)
+
+
+def mu_update_kl(V, W, H, eps=1e-9, order="WH"):
+    """One full MU iteration under the KL (generalized I-divergence) objective."""
+    if order == "WH":
+        W = mu_update_w_kl(V, W, H, eps)
+        H = mu_update_h_kl(V, W, H, eps)
+    else:
+        H = mu_update_h_kl(V, W, H, eps)
+        W = mu_update_w_kl(V, W, H, eps)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# Weighted (implicit-feedback confidence) MU — BASELINE.json config #3
+# ---------------------------------------------------------------------------
+
+
+def mu_update_frobenius_weighted(V, C, W, H, eps=1e-9, order="WH"):
+    """Confidence-weighted MU: minimizes || sqrt(C) * (V - WH) ||_F^2.
+
+    C is an elementwise confidence matrix (e.g. 1 + alpha * clicks). Updates:
+        W <- W * ((C*V) H^T) / ((C*(WH)) H^T + eps)
+        H <- H * (W^T (C*V)) / (W^T (C*(WH)) + eps)
+    """
+    CV = C * V
+
+    def upd_w(W, H):
+        CWH = C * (W @ H)
+        return W * ((CV @ H.T) / (CWH @ H.T + eps))
+
+    def upd_h(W, H):
+        CWH = C * (W @ H)
+        return H * ((W.T @ CV) / (W.T @ CWH + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# ALS family (SURVEY.md C4–C6): tiny r x r normal-equation solves + clamp
+# ---------------------------------------------------------------------------
+
+
+def _solve_h(gram, rhs, eps):
+    """Solve (gram + eps*I) H = rhs for H (r x m), symmetric positive shift."""
+    r = gram.shape[0]
+    A = gram + eps * jnp.eye(r, dtype=gram.dtype)
+    return jax.scipy.linalg.solve(A, rhs, assume_a="pos")
+
+
+def als_update(V, W, H, eps=1e-9, order="WH"):
+    """ALS iteration: exact LS via normal equations, then clamp to >= 0.
+
+    H = max(0, (W^T W)^-1 W^T V);  W likewise from (H H^T). The solve is r x r
+    (SURVEY.md C14) — negligible next to the O(nmr) right-hand-side GEMMs.
+    """
+
+    def upd_w(W, H):
+        Wt = _solve_h(H @ H.T, H @ V.T, eps)     # (r, n)
+        return jnp.maximum(Wt.T, 0.0)
+
+    def upd_h(W, H):
+        Ht = _solve_h(W.T @ W, W.T @ V, eps)     # (r, m)
+        return jnp.maximum(Ht, 0.0)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def acls_update(V, W, H, lambda_w=0.0, lambda_h=0.0, eps=1e-9, order="WH"):
+    """ACLS (Langville et al.): ALS with sparsity penalties on the diagonal.
+
+    Solves (W^T W + lambda_h I) H = W^T V and the dual for W, then clamps.
+    """
+
+    def upd_w(W, H):
+        Wt = _solve_h(H @ H.T, H @ V.T, lambda_w + eps)
+        return jnp.maximum(Wt.T, 0.0)
+
+    def upd_h(W, H):
+        Ht = _solve_h(W.T @ W, W.T @ V, lambda_h + eps)
+        return jnp.maximum(Ht, 0.0)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def _ahcls_shift(lam, alpha, r, dtype):
+    """AHCLS diagonal/off-diagonal shift from a Hoyer-sparseness target.
+
+    Following Langville et al.'s AHCLS: the normal-equation matrix becomes
+    G + lam * beta * I + lam * (1 - beta) * 11^T  with
+    beta = ((1 - alpha) * sqrt(r) + alpha)^2 / r, alpha the desired
+    sparseness in [0, 1].
+    """
+    sr = jnp.sqrt(jnp.asarray(float(r), dtype=dtype))
+    beta = ((1.0 - alpha) * sr + alpha) ** 2 / r
+    diag = lam * beta
+    off = lam * (1.0 - beta)
+    return diag, off
+
+
+def ahcls_update(
+    V, W, H, lambda_w=0.0, lambda_h=0.0, alpha_w=0.5, alpha_h=0.5,
+    eps=1e-9, order="WH",
+):
+    """AHCLS: ACLS plus Hoyer-sparseness targets alpha_w / alpha_h."""
+    r = W.shape[1]
+    dt = V.dtype
+    ones = jnp.ones((r, r), dtype=dt)
+
+    def upd_w(W, H):
+        diag, off = _ahcls_shift(lambda_w, alpha_w, r, dt)
+        A = H @ H.T + (diag + eps) * jnp.eye(r, dtype=dt) + off * ones
+        Wt = jax.scipy.linalg.solve(A, H @ V.T, assume_a="pos")
+        return jnp.maximum(Wt.T, 0.0)
+
+    def upd_h(W, H):
+        diag, off = _ahcls_shift(lambda_h, alpha_h, r, dt)
+        A = W.T @ W + (diag + eps) * jnp.eye(r, dtype=dt) + off * ones
+        Ht = jax.scipy.linalg.solve(A, W.T @ V, assume_a="pos")
+        return jnp.maximum(Ht, 0.0)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def gdcls_update(V, W, H, lambda_tik=0.0, eps=1e-9, order="WH"):
+    """GDCLS hybrid: MU (Frobenius) step for W, Tikhonov-regularized LS for H."""
+
+    def upd_w(W, H):
+        return mu_update_w_frobenius(V, W, H, eps)
+
+    def upd_h(W, H):
+        Ht = _solve_h(W.T @ W, W.T @ V, lambda_tik + eps)
+        return jnp.maximum(Ht, 0.0)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# nsNMF (SURVEY.md C7)
+# ---------------------------------------------------------------------------
+
+
+def nsnmf_smoothing_matrix(rank, theta, dtype=jnp.float32):
+    """S = (1 - theta) I + (theta / r) 11^T  — the nsNMF smoothing matrix."""
+    eye = jnp.eye(rank, dtype=dtype)
+    ones = jnp.ones((rank, rank), dtype=dtype)
+    return (1.0 - theta) * eye + (theta / rank) * ones
+
+
+def nsnmf_update(V, W, H, S, eps=1e-9, objective="frobenius", order="WH"):
+    """One nsNMF iteration: MU updates against the smoothed partners.
+
+    V ~ W S H; W is updated with (S H) standing in for H, and H with (W S)
+    standing in for W (Pascual-Montano 2006).
+    """
+    if objective == "frobenius":
+        upd_w = mu_update_w_frobenius
+        upd_h = mu_update_h_frobenius
+    else:
+        upd_w = mu_update_w_kl
+        upd_h = mu_update_h_kl
+
+    if order == "WH":
+        W = upd_w(V, W, S @ H, eps)
+        H = upd_h(V, W @ S, H, eps)
+    else:
+        H = upd_h(V, W @ S, H, eps)
+        W = upd_w(V, W, S @ H, eps)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# Error metrics (SURVEY.md C9) — no host round-trips, reusable inside
+# lax.while_loop carries.
+# ---------------------------------------------------------------------------
+
+
+def frobenius_error_sq(V, W, H, sum_v_sq=None):
+    """||V - WH||_F^2 via the Gram/trace identity.
+
+    ||V - WH||^2 = ||V||^2 - 2 tr(H^T (W^T V)) + tr((W^T W)(H H^T)).
+    Avoids materializing WH when V is large; the only O(nmr) term is W^T V.
+    `sum_v_sq` (= ||V||_F^2) can be precomputed once outside the loop.
+    """
+    if sum_v_sq is None:
+        sum_v_sq = jnp.sum(V * V)
+    WtV = W.T @ V                        # (r, m)
+    cross = jnp.sum(WtV * H)
+    WtW = W.T @ W
+    HHt = H @ H.T
+    quad = jnp.sum(WtW * HHt)
+    # Clamp: the identity can go slightly negative in floating point near
+    # convergence.
+    return jnp.maximum(sum_v_sq - 2.0 * cross + quad, 0.0)
+
+
+def frobenius_error(V, W, H, sum_v_sq=None):
+    """||V - WH||_F."""
+    return jnp.sqrt(frobenius_error_sq(V, W, H, sum_v_sq))
+
+
+def rmsd(V, W, H, sum_v_sq=None):
+    """Root-mean-square deviation: sqrt(||V - WH||_F^2 / (n m))."""
+    n, m = V.shape[0], H.shape[1]
+    return jnp.sqrt(frobenius_error_sq(V, W, H, sum_v_sq) / (n * m))
+
+
+def kl_error(V, W, H, eps=1e-12):
+    """Generalized KL (I-)divergence D(V || WH) = sum V log(V/WH) - V + WH.
+
+    Zero entries of V contribute only their +WH term (lim x->0 x log x = 0),
+    matching sklearn's beta_divergence(beta=1) up to the eps guard.
+    """
+    WH = W @ H
+    ratio_term = jnp.where(
+        V > 0, V * (jnp.log(jnp.maximum(V, eps) / jnp.maximum(WH, eps))), 0.0
+    )
+    return jnp.sum(ratio_term - V + WH)

@@ -1,0 +1,205 @@
+"""Host-side sparse matrix containers: CSR / CSC / COO (SURVEY.md C11).
+
+The reference accepts V in CSR/CSC/COO in addition to dense (the R binding
+converts Matrix/SparseM objects to indexed triplets). These containers are
+the host-side equivalent: plain numpy storage, format conversions, and the
+entry point into the TPU device layout (`nmftpu.sparse_ops.BlockedRows` —
+a padded row-bucketed ELL layout that Mosaic/XLA can tile).
+
+No scipy dependency is required; `from_scipy` accepts scipy.sparse objects
+opportunistically when scipy is installed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+class SparseMatrix:
+    """Base class for nmftpu host sparse containers."""
+
+    shape: tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        raise NotImplementedError
+
+    def to_coo(self) -> "SparseCOO":
+        raise NotImplementedError
+
+    def to_csr(self) -> "SparseCSR":
+        return self.to_coo().to_csr()
+
+    def to_csc(self) -> "SparseCSC":
+        return self.to_coo().to_csc()
+
+    def todense(self) -> np.ndarray:
+        coo = self.to_coo()
+        out = np.zeros(self.shape, dtype=coo.data.dtype)
+        # += handles duplicate coordinates like scipy (summed)
+        np.add.at(out, (coo.row, coo.col), coo.data)
+        return out
+
+    def transpose(self):
+        coo = self.to_coo()
+        return SparseCOO(
+            row=coo.col, col=coo.row, data=coo.data,
+            shape=(self.shape[1], self.shape[0]),
+        )
+
+    @property
+    def T(self):
+        return self.transpose()
+
+
+@dataclasses.dataclass
+class SparseCOO(SparseMatrix):
+    """Coordinate triplets (row, col, data); duplicates are summed on use."""
+
+    row: np.ndarray
+    col: np.ndarray
+    data: np.ndarray
+    shape: tuple[int, int]
+
+    def __post_init__(self):
+        self.row = np.asarray(self.row, dtype=np.int32)
+        self.col = np.asarray(self.col, dtype=np.int32)
+        self.data = np.asarray(self.data)
+        if not (len(self.row) == len(self.col) == len(self.data)):
+            raise ValueError("row/col/data length mismatch")
+        self.shape = (int(self.shape[0]), int(self.shape[1]))
+
+    @property
+    def nnz(self) -> int:
+        return len(self.data)
+
+    def to_coo(self) -> "SparseCOO":
+        return self
+
+    def to_csr(self) -> "SparseCSR":
+        n = self.shape[0]
+        order = np.lexsort((self.col, self.row))
+        row = self.row[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, row + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return SparseCSR(
+            indptr=indptr,
+            indices=self.col[order],
+            data=self.data[order],
+            shape=self.shape,
+        )
+
+    def to_csc(self) -> "SparseCSC":
+        m = self.shape[1]
+        order = np.lexsort((self.row, self.col))
+        col = self.col[order]
+        indptr = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(indptr, col + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return SparseCSC(
+            indptr=indptr,
+            indices=self.row[order],
+            data=self.data[order],
+            shape=self.shape,
+        )
+
+
+@dataclasses.dataclass
+class SparseCSR(SparseMatrix):
+    """Compressed sparse rows: indptr (n+1), indices (nnz) cols, data (nnz)."""
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+    shape: tuple[int, int]
+
+    def __post_init__(self):
+        self.indptr = np.asarray(self.indptr, dtype=np.int64)
+        self.indices = np.asarray(self.indices, dtype=np.int32)
+        self.data = np.asarray(self.data)
+        self.shape = (int(self.shape[0]), int(self.shape[1]))
+        if len(self.indptr) != self.shape[0] + 1:
+            raise ValueError(
+                f"indptr length {len(self.indptr)} != rows+1 "
+                f"({self.shape[0] + 1})"
+            )
+
+    @property
+    def nnz(self) -> int:
+        return len(self.data)
+
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def to_coo(self) -> SparseCOO:
+        row = np.repeat(
+            np.arange(self.shape[0], dtype=np.int32), self.row_lengths()
+        )
+        return SparseCOO(
+            row=row, col=self.indices, data=self.data, shape=self.shape
+        )
+
+    def to_csr(self) -> "SparseCSR":
+        return self
+
+
+@dataclasses.dataclass
+class SparseCSC(SparseMatrix):
+    """Compressed sparse columns: indptr (m+1), indices (nnz) rows, data."""
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+    shape: tuple[int, int]
+
+    def __post_init__(self):
+        self.indptr = np.asarray(self.indptr, dtype=np.int64)
+        self.indices = np.asarray(self.indices, dtype=np.int32)
+        self.data = np.asarray(self.data)
+        self.shape = (int(self.shape[0]), int(self.shape[1]))
+        if len(self.indptr) != self.shape[1] + 1:
+            raise ValueError(
+                f"indptr length {len(self.indptr)} != cols+1 "
+                f"({self.shape[1] + 1})"
+            )
+
+    @property
+    def nnz(self) -> int:
+        return len(self.data)
+
+    def to_coo(self) -> SparseCOO:
+        col = np.repeat(
+            np.arange(self.shape[1], dtype=np.int32), np.diff(self.indptr)
+        )
+        return SparseCOO(
+            row=self.indices, col=col, data=self.data, shape=self.shape
+        )
+
+    def to_csc(self) -> "SparseCSC":
+        return self
+
+
+def from_dense(dense: np.ndarray, threshold: float = 0.0) -> SparseCOO:
+    """Extract |v| > threshold entries of a dense matrix into COO."""
+    dense = np.asarray(dense)
+    row, col = np.nonzero(np.abs(dense) > threshold)
+    return SparseCOO(
+        row=row.astype(np.int32),
+        col=col.astype(np.int32),
+        data=dense[row, col],
+        shape=dense.shape,
+    )
+
+
+def from_scipy(mat) -> SparseMatrix:
+    """Adapt a scipy.sparse matrix (any format) without copying data arrays."""
+    fmt = getattr(mat, "format", None)
+    if fmt == "csr":
+        return SparseCSR(mat.indptr, mat.indices, mat.data, mat.shape)
+    if fmt == "csc":
+        return SparseCSC(mat.indptr, mat.indices, mat.data, mat.shape)
+    coo = mat.tocoo()
+    return SparseCOO(coo.row, coo.col, coo.data, coo.shape)

@@ -1,0 +1,39 @@
+"""Test harness: force an 8-virtual-device CPU platform BEFORE jax imports
+(SURVEY.md §4.3 — every sharded code path must pass on this mesh)."""
+
+import os
+
+# Force-override: the environment pre-sets JAX_PLATFORMS=axon (remote TPU
+# tunnel) and the axon plugin re-registers itself at interpreter start, so
+# both the env var AND jax.config must be pinned to cpu.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_lowrank(rng, n, m, r, noise=0.01, dtype=np.float32):
+    """Nonnegative matrix with an exact rank-r nonnegative structure + noise."""
+    W = rng.uniform(0.1, 1.0, size=(n, r)).astype(dtype)
+    H = rng.uniform(0.1, 1.0, size=(r, m)).astype(dtype)
+    V = W @ H + noise * rng.uniform(0.0, 1.0, size=(n, m)).astype(dtype)
+    return V.astype(dtype)
+
+
+@pytest.fixture
+def lowrank():
+    return make_lowrank

@@ -1,0 +1,151 @@
+"""Driver-level tests (SURVEY.md C2/C9/C17): end-to-end compute() on dense
+inputs — convergence, early stopping, multi-run best-of, callbacks, every
+algorithm and init strategy."""
+
+import numpy as np
+import pytest
+
+import nmftpu
+from nmftpu import Algorithm, Initialization, NmfConfig, Objective, ThresholdType
+from nmftpu.driver import compute
+
+
+def test_mu_frobenius_converges_on_lowrank(lowrank, rng):
+    V = lowrank(rng, 60, 45, 5, noise=0.0)
+    cfg = NmfConfig(rank=5, num_iterations=300, seed=1)
+    res = compute(V, cfg)
+    rel = res.frobenius_error / np.linalg.norm(V, "fro")
+    assert rel < 0.02, f"relative error {rel}"
+    assert res.W.shape == (60, 5) and res.H.shape == (5, 45)
+    assert np.all(np.asarray(res.W) >= 0) and np.all(np.asarray(res.H) >= 0)
+
+
+def test_threshold_early_stop(lowrank, rng):
+    V = lowrank(rng, 50, 40, 4, noise=0.0)
+    cfg = NmfConfig(
+        rank=4, num_iterations=5000, threshold_value=1e-3,
+        threshold_type=ThresholdType.FROBENIUS, check_interval=5, seed=0,
+    )
+    res = compute(V, cfg)
+    assert res.converged
+    assert res.num_iterations < 5000
+    # deltas at the stopping check must be below threshold
+    assert res.stats.deltas[-1] <= 1e-3
+
+
+def test_rmsd_threshold_metric(lowrank, rng):
+    V = lowrank(rng, 30, 20, 3, noise=0.0)
+    cfg = NmfConfig(
+        rank=3, num_iterations=400, threshold_value=1e-6,
+        threshold_type=ThresholdType.RMSD, check_interval=10,
+    )
+    res = compute(V, cfg)
+    # error reported in the RMSD metric
+    np.testing.assert_allclose(res.error, res.rmsd, rtol=1e-3, atol=1e-6)
+
+
+def test_multi_run_picks_best(lowrank, rng):
+    V = lowrank(rng, 40, 30, 4, noise=0.05)
+    cfg = NmfConfig(rank=4, num_iterations=60, num_runs=4, seed=7)
+    res = compute(V, cfg)
+    assert len(res.run_errors) == 4
+    assert res.run_errors[res.best_run] == min(res.run_errors)
+    np.testing.assert_allclose(
+        res.error, res.run_errors[res.best_run], rtol=1e-5
+    )
+
+
+def test_copy_existing_warm_start(lowrank, rng):
+    V = lowrank(rng, 30, 25, 3, noise=0.0)
+    cfg = NmfConfig(rank=3, num_iterations=100, seed=3)
+    res1 = compute(V, cfg)
+    cfg2 = NmfConfig(
+        rank=3, num_iterations=50,
+        init_method=Initialization.COPY_EXISTING,
+    )
+    res2 = compute(V, cfg2, W0=np.asarray(res1.W), H0=np.asarray(res1.H))
+    assert res2.frobenius_error <= res1.frobenius_error * (1 + 1e-4)
+
+
+def test_callback_invoked(lowrank, rng):
+    V = lowrank(rng, 20, 15, 3)
+    seen = []
+
+    def cb(run_idx, iteration, error, delta):
+        seen.append((int(run_idx), int(iteration), float(error)))
+
+    cfg = NmfConfig(rank=3, num_iterations=30, check_interval=10)
+    res = compute(V, cfg, callback=cb)
+    import jax
+    jax.effects_barrier()
+    assert len(seen) == 3  # checks at 10, 20, 30
+    assert [it for _, it, _ in seen] == [10, 20, 30]
+    # stats mirror the callback stream
+    assert list(res.stats.iterations) == [10, 20, 30]
+
+
+@pytest.mark.parametrize("alg", list(Algorithm))
+def test_all_algorithms_run_and_descend(lowrank, rng, alg):
+    V = lowrank(rng, 40, 30, 4, noise=0.02)
+    cfg = NmfConfig(
+        rank=4, algorithm=alg, num_iterations=40, check_interval=10,
+        lambda_w=0.05, lambda_h=0.05, lambda_tik=0.05, theta=0.3, seed=2,
+    )
+    res = compute(V, cfg)
+    assert np.isfinite(res.frobenius_error)
+    assert res.stats.errors[-1] <= res.stats.errors[0] * (1 + 1e-4)
+    assert np.all(np.asarray(res.W) >= 0) and np.all(np.asarray(res.H) >= 0)
+
+
+@pytest.mark.parametrize("init", [i for i in Initialization
+                                  if i is not Initialization.COPY_EXISTING])
+def test_all_init_strategies(lowrank, rng, init):
+    V = lowrank(rng, 35, 28, 4, noise=0.02)
+    cfg = NmfConfig(rank=4, init_method=init, num_iterations=30, seed=5)
+    res = compute(V, cfg)
+    assert np.isfinite(res.frobenius_error)
+    assert res.frobenius_error < np.linalg.norm(V, "fro")
+
+
+def test_kl_objective_descends(lowrank, rng):
+    V = lowrank(rng, 30, 25, 4, noise=0.02)
+    cfg = NmfConfig(
+        rank=4, objective=Objective.KL, num_iterations=50, check_interval=10
+    )
+    res = compute(V, cfg)
+    assert res.kl_error is not None and np.isfinite(res.kl_error)
+    assert res.stats.errors[-1] <= res.stats.errors[0]
+
+
+def test_weighted_confidence_runs(lowrank, rng):
+    V = lowrank(rng, 25, 20, 3, noise=0.02)
+    cfg = NmfConfig(rank=3, alpha_confidence=5.0, num_iterations=40)
+    res = compute(V, cfg)
+    assert np.isfinite(res.frobenius_error)
+
+
+def test_determinism_same_seed(lowrank, rng):
+    V = lowrank(rng, 25, 20, 3)
+    cfg = NmfConfig(rank=3, num_iterations=25, seed=11)
+    r1 = compute(V, cfg)
+    r2 = compute(V, cfg)
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    np.testing.assert_array_equal(np.asarray(r1.H), np.asarray(r2.H))
+
+
+def test_validation_errors(rng):
+    V = rng.uniform(size=(10, 8)).astype(np.float32)
+    with pytest.raises(ValueError):
+        compute(V, NmfConfig(rank=20))
+    with pytest.raises(ValueError):
+        compute(V.reshape(-1), NmfConfig(rank=2))
+    with pytest.raises(ValueError):
+        NmfConfig(rank=0)
+    with pytest.raises(ValueError):
+        NmfConfig(rank=2, objective=Objective.KL, algorithm=Algorithm.ALS)
+
+
+def test_top_level_nmf_api(lowrank, rng):
+    V = lowrank(rng, 20, 16, 3)
+    res = nmftpu.nmf(V, 3, algorithm="mu", init="random", num_iterations=20)
+    assert res.W.shape == (20, 3)
