@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Double precision is a first-class citizen of the reference (float/double
+# dispatch, SURVEY.md C2); enable x64 so float64 configs are exact in tests.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
