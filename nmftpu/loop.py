@@ -1,0 +1,202 @@
+"""Generic on-device iterate/converge loop shared by the dense and sparse
+drivers (SURVEY.md C2/C9/C17, §3.2).
+
+The data operand V is any pytree (a dense array, or a DeviceCOO); the
+algorithm-specific math is injected as a `LoopOps` bundle. The whole loop —
+update, periodic error check, delta threshold, stats recording — runs inside
+one `lax.while_loop` in one jit with donated factor buffers, so nothing
+crosses the host boundary until a run finishes (the reference's per-check
+D2H error sync was its stall point).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nmftpu.config import NmfConfig, Objective, ThresholdType
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopOps:
+    """Algorithm/data-format specific operations for the generic loop.
+
+    make_aux(V)                      -> aux pytree of loop constants
+    update(V, aux, W, H)             -> (W, H)
+    effective_h(aux, H)              -> H used for error metrics (nsNMF: S@H)
+    frobenius(V, aux, W, He, svsq)   -> ||V - W He||_F
+    kl(V, aux, W, He)                -> D_KL(V || W He)   (may be None)
+    sum_v_sq(V)                      -> ||V||_F^2 (precomputed per problem)
+    numel(V)                         -> total entry count n*m (for RMSD)
+    """
+
+    make_aux: Callable
+    update: Callable
+    effective_h: Callable
+    frobenius: Callable
+    kl: Callable | None
+    sum_v_sq: Callable
+    numel: Callable
+
+
+@dataclasses.dataclass
+class RunStats:
+    """Per-check convergence records for one run (SURVEY.md C17)."""
+
+    iterations: np.ndarray
+    errors: np.ndarray
+    deltas: np.ndarray
+
+
+@dataclasses.dataclass
+class NmfResult:
+    """Result of a factorization: best-of-N factors plus metadata."""
+
+    W: jax.Array
+    H: jax.Array
+    error: float
+    frobenius_error: float
+    rmsd: float
+    kl_error: float | None
+    num_iterations: int
+    converged: bool
+    best_run: int
+    run_errors: list[float]
+    stats: RunStats
+    elapsed_ms: float
+
+
+def build_runner(config: NmfConfig, ops: LoopOps, callback):
+    """Build the jitted single-run loop for (config, ops)."""
+    num_iterations = config.num_iterations
+    check_interval = config.check_interval
+    threshold = (
+        float(config.threshold_value)
+        if config.threshold_value > 0
+        else -float("inf")
+    )
+    max_checks = num_iterations // check_interval + 2
+    kl_objective = config.objective is Objective.KL
+    use_rmsd = config.threshold_type is ThresholdType.RMSD
+
+    def error_metric(V, aux, W, H, sum_v_sq, numel):
+        He = ops.effective_h(aux, H)
+        fro = ops.frobenius(V, aux, W, He, sum_v_sq)
+        if use_rmsd:
+            return fro / jnp.sqrt(jnp.asarray(numel, fro.dtype))
+        return fro
+
+    def run(V, W, H, run_idx):
+        aux = ops.make_aux(V)
+        sum_v_sq = ops.sum_v_sq(V)
+        numel = ops.numel(V)
+        err0 = error_metric(V, aux, W, H, sum_v_sq, numel).astype(jnp.float32)
+        stats = jnp.zeros((max_checks, 3), dtype=jnp.float32)
+        carry = (
+            W,
+            H,
+            jnp.asarray(0, jnp.int32),
+            err0,
+            jnp.asarray(jnp.inf, jnp.float32),
+            stats,
+            jnp.asarray(0, jnp.int32),
+        )
+
+        def cond(c):
+            _, _, it, _, delta, _, _ = c
+            return (it < num_iterations) & (delta > threshold)
+
+        def body(c):
+            W, H, it, prev, delta, stats, nc = c
+            W, H = ops.update(V, aux, W, H)
+            it = it + 1
+            do_check = (it % check_interval == 0) | (it == num_iterations)
+
+            def checked(op):
+                prev, _, stats, nc = op
+                cur = error_metric(V, aux, W, H, sum_v_sq, numel).astype(
+                    jnp.float32
+                )
+                d = jnp.abs(prev - cur)
+                rec = jnp.stack([it.astype(jnp.float32), cur, d])
+                stats = stats.at[nc].set(rec)
+                if callback is not None:
+                    jax.debug.callback(callback, run_idx, it, cur, d)
+                return cur, d, stats, nc + 1
+
+            prev, delta, stats, nc = lax.cond(
+                do_check, checked, lambda op: op, (prev, delta, stats, nc)
+            )
+            return (W, H, it, prev, delta, stats, nc)
+
+        W, H, it, err, delta, stats, nc = lax.while_loop(cond, body, carry)
+        converged = delta <= threshold
+
+        He = ops.effective_h(aux, H)
+        fro = ops.frobenius(V, aux, W, He, sum_v_sq).astype(jnp.float32)
+        if kl_objective:
+            kl = ops.kl(V, aux, W, He).astype(jnp.float32)
+            compare = kl  # best-of-N compares the objective being minimized
+        else:
+            kl = jnp.asarray(0.0, jnp.float32)
+            compare = err
+        return W, H, err, fro, kl, compare, it, converged, stats, nc
+
+    return jax.jit(run, donate_argnums=(1, 2))
+
+
+def execute(
+    V_dev: Any,
+    config: NmfConfig,
+    runner,
+    init_fn: Callable,
+    numel: int,
+) -> NmfResult:
+    """Multi-run restart loop (SURVEY.md §3.5): re-enter the compiled runner
+    per seed; only the final comparison scalar crosses to the host."""
+    root = jax.random.PRNGKey(config.seed)
+    best = None
+    run_errors: list[float] = []
+    t0 = time.perf_counter()
+    for run_idx in range(config.num_runs):
+        key = jax.random.fold_in(root, run_idx)
+        W, H = init_fn(key)
+        out = runner(V_dev, W, H, jnp.asarray(run_idx, jnp.int32))
+        (W, H, err, fro, kl, compare, it, converged, stats, nc) = out
+        compare_host = float(compare)
+        run_errors.append(compare_host)
+        if best is None or compare_host < best[0]:
+            best = (
+                compare_host, run_idx, W, H, err, fro, kl, it, converged,
+                stats, nc,
+            )
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+
+    (_, best_idx, W, H, err, fro, kl, it, converged, stats, nc) = best
+    nc = int(nc)
+    stats_np = np.asarray(stats)[:nc]
+    fro_f = float(fro)
+    return NmfResult(
+        W=W,
+        H=H,
+        error=float(err),
+        frobenius_error=fro_f,
+        rmsd=fro_f / np.sqrt(numel),
+        kl_error=float(kl) if config.objective is Objective.KL else None,
+        num_iterations=int(it),
+        converged=bool(converged),
+        best_run=best_idx,
+        run_errors=run_errors,
+        stats=RunStats(
+            iterations=stats_np[:, 0].astype(np.int64),
+            errors=stats_np[:, 1],
+            deltas=stats_np[:, 2],
+        ),
+        elapsed_ms=elapsed_ms,
+    )

@@ -1,0 +1,636 @@
+"""Device-side sparse NMF (SURVEY.md C11, C13, §7-PR3).
+
+TPU-first design: instead of CSR gather loops (the reference's cuSPARSE
+csrmm path), nonzeros live in a zero-padded, row-sorted COO layout
+(`DeviceCOO`) processed in fixed-size chunks under `lax.scan` — static
+shapes throughout, so XLA can pipeline the gathers/scatter-adds, and the
+identical structure later drops into a Pallas kernel with scalar-prefetched
+indices. Padding entries carry value 0 and indices 0, making them exact
+no-ops in every primitive.
+
+Primitives (all O(nnz * r)):
+  wt_v(coo, W)        -> W^T V   (r, m)     [scatter-add over columns]
+  v_ht(coo, H)        -> V H^T   (n, r)     [scatter-add over rows]
+  sddmm(coo, W, H)    -> (W H) sampled at the nonzero positions  (N,)
+
+Every algorithm of the dense path also runs sparse (the reference
+restricted sparse V to the MU family; here the ALS-family right-hand sides
+are the same two SpMMs, so all six algorithms are supported).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nmftpu.config import (
+    Algorithm,
+    Initialization,
+    NmfConfig,
+    Objective,
+)
+from nmftpu.linalg import dense as D
+from nmftpu.loop import LoopOps, NmfResult, build_runner, execute
+from nmftpu import sparse as host_sparse
+
+# Default nonzero-chunk size for the scan pipeline. 128k nonzeros * r=128
+# floats is a 64 MB gather per step at f32 — large enough to keep the VPU
+# busy, small enough to double-buffer.
+DEFAULT_CHUNK = 131072
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "rows", "cols"],
+    meta_fields=["shape", "nnz", "chunk"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceCOO:
+    """Padded, row-sorted COO on device. Padding: value 0, row/col 0."""
+
+    values: jax.Array  # (N,) padded to a multiple of `chunk`
+    rows: jax.Array    # (N,) int32
+    cols: jax.Array    # (N,) int32
+    shape: tuple[int, int]
+    nnz: int           # true nonzero count (static)
+    chunk: int         # static chunk size
+
+    @property
+    def n_chunks(self) -> int:
+        return self.values.shape[0] // self.chunk
+
+    def with_values(self, values) -> "DeviceCOO":
+        return DeviceCOO(
+            values=values, rows=self.rows, cols=self.cols,
+            shape=self.shape, nnz=self.nnz, chunk=self.chunk,
+        )
+
+
+def device_put_sparse(
+    mat: host_sparse.SparseMatrix,
+    dtype=jnp.float32,
+    chunk: int = DEFAULT_CHUNK,
+) -> DeviceCOO:
+    """Upload a host sparse container as padded row-sorted DeviceCOO."""
+    csr = mat.to_csr()  # row-major ordering gives locality in the row gather
+    coo = csr.to_coo()
+    nnz = coo.nnz
+    chunk = int(min(chunk, max(256, 1 << (nnz - 1).bit_length())))
+    padded = ((nnz + chunk - 1) // chunk) * chunk if nnz else chunk
+    values = np.zeros(padded, dtype=np.dtype(dtype))
+    rows = np.zeros(padded, dtype=np.int32)
+    cols = np.zeros(padded, dtype=np.int32)
+    values[:nnz] = coo.data
+    rows[:nnz] = coo.row
+    cols[:nnz] = coo.col
+    return DeviceCOO(
+        values=jnp.asarray(values),
+        rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols),
+        shape=coo.shape,
+        nnz=nnz,
+        chunk=chunk,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunked primitives
+# ---------------------------------------------------------------------------
+
+
+def _chunked(coo: DeviceCOO):
+    T = coo.n_chunks
+    return (
+        coo.values.reshape(T, coo.chunk),
+        coo.rows.reshape(T, coo.chunk),
+        coo.cols.reshape(T, coo.chunk),
+    )
+
+
+def wt_v(coo: DeviceCOO, W) -> jax.Array:
+    """W^T V -> (r, m): scatter v_k * W[row_k, :] into column col_k."""
+    W = jnp.asarray(W)
+    m = coo.shape[1]
+    r = W.shape[1]
+
+    def body(acc, x):
+        v, rr, cc = x
+        contrib = v[:, None] * W[rr]            # (chunk, r) row gather
+        return acc.at[cc].add(contrib), None
+
+    acc0 = jnp.zeros((m, r), W.dtype)
+    acc, _ = lax.scan(body, acc0, _chunked(coo))
+    return acc.T
+
+
+def v_ht(coo: DeviceCOO, H) -> jax.Array:
+    """V H^T -> (n, r): scatter v_k * H[:, col_k] into row row_k."""
+    H = jnp.asarray(H)
+    n = coo.shape[0]
+    r = H.shape[0]
+
+    def body(acc, x):
+        v, rr, cc = x
+        contrib = v[:, None] * H[:, cc].T       # (chunk, r) col gather
+        return acc.at[rr].add(contrib), None
+
+    acc0 = jnp.zeros((n, r), H.dtype)
+    acc, _ = lax.scan(body, acc0, _chunked(coo))
+    return acc
+
+
+def sddmm(coo: DeviceCOO, W, H) -> jax.Array:
+    """(W H) sampled at the nonzero coordinates -> (N,) padded values."""
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+
+    def body(_, x):
+        _, rr, cc = x
+        s = jnp.sum(W[rr] * H[:, cc].T, axis=1)  # (chunk,)
+        return None, s
+
+    _, out = lax.scan(body, None, _chunked(coo))
+    return out.reshape(-1)
+
+
+def project_columns(coo: DeviceCOO, weights) -> jax.Array:
+    """V @ A for a dense (m, k) column-mixing matrix A -> (n, k).
+
+    Used by MeanColumns init (A = column-sampling averages) and by k-means
+    centroid updates (A = one-hot assignments / counts)."""
+    return v_ht(coo, weights.T)
+
+
+# ---------------------------------------------------------------------------
+# Sparse error metrics (SURVEY.md C9)
+# ---------------------------------------------------------------------------
+
+
+def frobenius_error(coo: DeviceCOO, W, H, sum_v_sq=None) -> jax.Array:
+    """||V - WH||_F over ALL nm entries via the Gram/trace identity.
+
+    sum_v_sq - 2 tr(H^T (W^T V)) + tr((W^T W)(H H^T)); the only
+    nnz-dependent term is the sparse W^T V."""
+    if sum_v_sq is None:
+        sum_v_sq = jnp.sum(coo.values * coo.values)
+    WtV = wt_v(coo, W)
+    cross = jnp.sum(WtV * H)
+    quad = jnp.sum((W.T @ W) * (H @ H.T))
+    return jnp.sqrt(jnp.maximum(sum_v_sq - 2.0 * cross + quad, 0.0))
+
+
+def kl_error(coo: DeviceCOO, W, H, eps=1e-12) -> jax.Array:
+    """D_KL(V || WH) = sum_nz v log(v / WH) - sum v + sum WH.
+
+    sum WH = (column-sums of W) . (row-sums of H) — no dense materialization;
+    only the nonzero positions need the sampled WH (SDDMM)."""
+    wh_nz = sddmm(coo, W, H)
+    v = coo.values
+    log_term = jnp.where(
+        v > 0,
+        v * jnp.log(jnp.maximum(v, eps) / jnp.maximum(wh_nz, eps)),
+        0.0,
+    )
+    sum_wh = jnp.sum(W, axis=0) @ jnp.sum(H, axis=1)
+    return jnp.sum(log_term) - jnp.sum(v) + sum_wh
+
+
+# ---------------------------------------------------------------------------
+# Sparse update rules
+# ---------------------------------------------------------------------------
+
+
+def mu_update_frobenius_sparse(coo, W, H, eps=1e-9, order="WH"):
+    """Sparse MU (Frobenius): numerators are SpMMs, denominators Gram GEMMs."""
+
+    def upd_w(W, H):
+        return W * (v_ht(coo, H) / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        return H * (wt_v(coo, W) / ((W.T @ W) @ H + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def mu_update_kl_sparse(coo, W, H, eps=1e-9, order="WH"):
+    """Sparse MU (KL): the ratio V/(WH) is nonzero only at V's nonzeros, so
+    one SDDMM + one SpMM per half-step; denominators are factor sums."""
+
+    def upd_w(W, H):
+        ratio = coo.with_values(coo.values / (sddmm(coo, W, H) + eps))
+        denom = jnp.maximum(jnp.sum(H, axis=1), eps)[None, :]
+        return W * (v_ht(ratio, H) / denom)
+
+    def upd_h(W, H):
+        ratio = coo.with_values(coo.values / (sddmm(coo, W, H) + eps))
+        denom = jnp.maximum(jnp.sum(W, axis=0), eps)[:, None]
+        return H * (wt_v(ratio, W) / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def mu_update_frobenius_weighted_sparse(coo, W, H, alpha, eps=1e-9,
+                                        order="WH"):
+    """Implicit-feedback confidence weighting c = 1 + alpha*v on observed
+    entries, weight 1 elsewhere (BASELINE.json config #3). The dense-part
+    denominators stay Gram GEMMs; the alpha-part is SDDMM + SpMM.
+
+      H <- H * (W^T(C*V)) / ((W^T W)H + alpha * W^T(V * WH|_nz) + eps)
+    """
+    cv = coo.with_values(coo.values * (1.0 + alpha * coo.values))
+
+    def upd_w(W, H):
+        swh = coo.with_values(coo.values * sddmm(coo, W, H))
+        denom = W @ (H @ H.T) + alpha * v_ht(swh, H) + eps
+        return W * (v_ht(cv, H) / denom)
+
+    def upd_h(W, H):
+        swh = coo.with_values(coo.values * sddmm(coo, W, H))
+        denom = (W.T @ W) @ H + alpha * wt_v(swh, W) + eps
+        return H * (wt_v(cv, W) / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def _solve_clamped(gram, rhs, shift, eps):
+    r = gram.shape[0]
+    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
+    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+
+
+def als_family_update_sparse(
+    coo, W, H, shift_w=0.0, shift_h=0.0, off_w=0.0, off_h=0.0,
+    eps=1e-9, order="WH",
+):
+    """Shared ALS/ACLS/AHCLS sparse iteration: normal equations with the
+    sparse right-hand sides W^T V / V H^T, diagonal (+optional AHCLS
+    off-diagonal) shifts, then clamp."""
+    r = W.shape[1]
+
+    def upd_w(W, H):
+        A = H @ H.T + off_w * jnp.ones((r, r), W.dtype)
+        Wt = _solve_clamped(A, v_ht(coo, H).T, shift_w, eps)
+        return Wt.T
+
+    def upd_h(W, H):
+        A = W.T @ W + off_h * jnp.ones((r, r), W.dtype)
+        return _solve_clamped(A, wt_v(coo, W), shift_h, eps)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def gdcls_update_sparse(coo, W, H, lambda_tik=0.0, eps=1e-9, order="WH"):
+    """GDCLS sparse: MU step for W, Tikhonov LS for H."""
+
+    def upd_w(W, H):
+        return W * (v_ht(coo, H) / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        return _solve_clamped(W.T @ W, wt_v(coo, W), lambda_tik, eps)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def nsnmf_update_sparse(coo, W, H, S, eps=1e-9, objective="frobenius",
+                        order="WH"):
+    """Sparse nsNMF: MU against the smoothed partners (SH for W, WS for H)."""
+    if objective == "frobenius":
+
+        def upd_w(W, H):
+            SH = S @ H
+            return W * (v_ht(coo, SH) / (W @ (SH @ SH.T) + eps))
+
+        def upd_h(W, H):
+            WS = W @ S
+            return H * (wt_v(coo, WS) / ((WS.T @ WS) @ H + eps))
+
+    else:  # KL
+
+        def upd_w(W, H):
+            SH = S @ H
+            ratio = coo.with_values(coo.values / (sddmm(coo, W, SH) + eps))
+            denom = jnp.maximum(jnp.sum(SH, axis=1), eps)[None, :]
+            return W * (v_ht(ratio, SH) / denom)
+
+        def upd_h(W, H):
+            WS = W @ S
+            ratio = coo.with_values(coo.values / (sddmm(coo, WS, H) + eps))
+            denom = jnp.maximum(jnp.sum(WS, axis=0), eps)[:, None]
+            return H * (wt_v(ratio, WS) / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# Sparse algorithm registry (mirrors nmftpu.algorithms.registry)
+# ---------------------------------------------------------------------------
+
+
+def build_sparse_update(config: NmfConfig):
+    """Returns (make_aux, update, effective_h) for the sparse path."""
+    eps = config.eps
+    order = config.update_order
+    alg = config.algorithm
+    obj = config.objective
+
+    def ident_h(aux, H):
+        return H
+
+    if alg is Algorithm.MU:
+        if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
+            alpha = config.alpha_confidence
+            return (
+                lambda coo: (),
+                lambda coo, aux, W, H: mu_update_frobenius_weighted_sparse(
+                    coo, W, H, alpha, eps=eps, order=order
+                ),
+                ident_h,
+            )
+        if obj is Objective.FROBENIUS:
+            return (
+                lambda coo: (),
+                lambda coo, aux, W, H: mu_update_frobenius_sparse(
+                    coo, W, H, eps=eps, order=order
+                ),
+                ident_h,
+            )
+        return (
+            lambda coo: (),
+            lambda coo, aux, W, H: mu_update_kl_sparse(
+                coo, W, H, eps=eps, order=order
+            ),
+            ident_h,
+        )
+
+    if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if alg is Algorithm.ALS:
+            sw = sh = 0.0
+            ow = oh = 0.0
+        elif alg is Algorithm.ACLS:
+            sw, sh = config.lambda_w, config.lambda_h
+            ow = oh = 0.0
+        else:  # AHCLS — Hoyer shifts, same formula as the dense path
+            r = config.rank
+
+            def hoyer(lam, a):
+                sr = float(np.sqrt(r))
+                beta = ((1.0 - a) * sr + a) ** 2 / r
+                return lam * beta, lam * (1.0 - beta)
+
+            sw, ow = hoyer(config.lambda_w, config.alpha_w)
+            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        return (
+            lambda coo: (),
+            lambda coo, aux, W, H: als_family_update_sparse(
+                coo, W, H, shift_w=sw, shift_h=sh, off_w=ow, off_h=oh,
+                eps=eps, order=order,
+            ),
+            ident_h,
+        )
+
+    if alg is Algorithm.GDCLS:
+        lt = config.lambda_tik
+        return (
+            lambda coo: (),
+            lambda coo, aux, W, H: gdcls_update_sparse(
+                coo, W, H, lambda_tik=lt, eps=eps, order=order
+            ),
+            ident_h,
+        )
+
+    if alg is Algorithm.NSNMF:
+        theta = config.theta
+        rank = config.rank
+        obj_name = "frobenius" if obj is Objective.FROBENIUS else "kl"
+        return (
+            lambda coo: (
+                D.nsnmf_smoothing_matrix(rank, theta, dtype=coo.values.dtype),
+            ),
+            lambda coo, aux, W, H: nsnmf_update_sparse(
+                coo, W, H, aux[0], eps=eps, objective=obj_name, order=order
+            ),
+            lambda aux, H: aux[0] @ H,
+        )
+
+    raise ValueError(f"unknown algorithm: {alg}")
+
+
+# ---------------------------------------------------------------------------
+# Sparse initialization (SURVEY.md C8, without densifying V)
+# ---------------------------------------------------------------------------
+
+
+def extract_columns(coo: DeviceCOO, col_idx) -> jax.Array:
+    """Densify k selected columns of V -> (n, k) via a masked scatter."""
+    col_idx = jnp.asarray(col_idx)
+    n = coo.shape[0]
+    k = col_idx.shape[0]
+
+    def body(acc, x):
+        v, rr, cc = x
+        mask = (cc[:, None] == col_idx[None, :]).astype(v.dtype)
+        return acc.at[rr].add(v[:, None] * mask), None
+
+    acc0 = jnp.zeros((n, k), coo.values.dtype)
+    acc, _ = lax.scan(body, acc0, _chunked(coo))
+    return acc
+
+
+def kmeans_columns_sparse(coo: DeviceCOO, rank, key, max_iter=25):
+    """Lloyd's over the columns of sparse V, built from the same SpMM
+    primitives (assignment cross-term = (W^T V)^T with W := centroids;
+    centroid update = V @ onehot)."""
+    m = coo.shape[1]
+    dtype = coo.values.dtype
+    cols = jax.random.choice(key, m, shape=(rank,), replace=False)
+    centroids = extract_columns(coo, cols)                 # (n, r)
+
+    # per-column squared norms of V
+    col_sq = col_sums(coo.with_values(coo.values * coo.values))
+
+    def assign(centroids):
+        cross = wt_v(coo, centroids).T                     # (m, r)
+        cent_sq = jnp.sum(centroids * centroids, axis=0)
+        d2 = col_sq[:, None] - 2.0 * cross + cent_sq[None, :]
+        return jnp.argmin(d2, axis=1)
+
+    def body(_, centroids):
+        labels = assign(centroids)
+        onehot = jax.nn.one_hot(labels, rank, dtype=dtype)  # (m, r)
+        sums = project_columns(coo, onehot)                 # (n, r)
+        counts = jnp.sum(onehot, axis=0)
+        new = sums / jnp.maximum(counts, 1.0)[None, :]
+        return jnp.where(counts[None, :] > 0, new, centroids)
+
+    centroids = lax.fori_loop(0, max_iter, body, centroids)
+    return centroids, assign(centroids)
+
+
+def col_sums(coo: DeviceCOO) -> jax.Array:
+    """Per-column sums of V -> (m,)."""
+    m = coo.shape[1]
+
+    def body(acc, x):
+        v, _, cc = x
+        return acc.at[cc].add(v), None
+
+    acc, _ = lax.scan(body, jnp.zeros((m,), coo.values.dtype), _chunked(coo))
+    return acc
+
+
+def sparse_initialize_factors(
+    coo: DeviceCOO, rank, method: Initialization, key,
+    W0=None, H0=None, kmeans_max_iter=25,
+):
+    """The six init strategies against sparse V — no densification."""
+    n, m = coo.shape
+    dtype = coo.values.dtype
+    mean_v = jnp.sum(coo.values) / (n * m)
+    scale = jnp.sqrt(jnp.maximum(mean_v, 1e-12) / rank).astype(dtype)
+    kw, kh, kk = jax.random.split(key, 3)
+
+    def rand(k, shape):
+        u = jax.random.uniform(k, shape, dtype=dtype)
+        return (u + jnp.asarray(1e-4, dtype)) * scale
+
+    if method is Initialization.COPY_EXISTING:
+        if W0 is None or H0 is None:
+            raise ValueError("COPY_EXISTING requires both W0 and H0")
+        return (
+            jnp.array(W0, dtype=dtype, copy=True),
+            jnp.array(H0, dtype=dtype, copy=True),
+        )
+
+    if method is Initialization.ALL_RANDOM_VALUES:
+        return rand(kw, (n, rank)), rand(kh, (rank, m))
+
+    if method is Initialization.MEAN_COLUMNS:
+        q = int(min(max(5, m // max(rank, 1)), m))
+        cols = jax.random.randint(kk, (rank, q), 0, m)
+        # A[j, k] = (#times column j sampled for centroid k) / q
+        A = jnp.zeros((m, rank), dtype).at[
+            cols.reshape(-1),
+            jnp.repeat(jnp.arange(rank), q),
+        ].add(1.0 / q)
+        W = project_columns(coo, A)
+        return W, rand(kh, (rank, m))
+
+    if method in (
+        Initialization.K_MEANS_AND_RANDOM_VALUES,
+        Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        Initialization.K_MEANS_AND_ABSOLUTE_WTV,
+    ):
+        centroids, _ = kmeans_columns_sparse(
+            coo, rank, kk, max_iter=kmeans_max_iter
+        )
+        W = jnp.maximum(centroids, 0.0) + jnp.asarray(1e-6, dtype)
+        if method is Initialization.K_MEANS_AND_RANDOM_VALUES:
+            H = rand(kh, (rank, m))
+        elif method is Initialization.K_MEANS_AND_NON_NEGATIVE_WTV:
+            H = jnp.maximum(wt_v(coo, W), 0.0) + jnp.asarray(1e-6, dtype)
+        else:
+            H = jnp.abs(wt_v(coo, W)) + jnp.asarray(1e-6, dtype)
+        return W, H
+
+    raise ValueError(f"unknown initialization method: {method}")
+
+
+# ---------------------------------------------------------------------------
+# Sparse driver
+# ---------------------------------------------------------------------------
+
+_RUNNER_CACHE: dict[tuple, Callable] = {}
+
+
+def _sparse_ops_bundle(config: NmfConfig) -> LoopOps:
+    make_aux, update, effective_h = build_sparse_update(config)
+    return LoopOps(
+        make_aux=make_aux,
+        update=update,
+        effective_h=effective_h,
+        frobenius=lambda coo, aux, W, He, svsq: frobenius_error(
+            coo, W, He, svsq
+        ),
+        kl=lambda coo, aux, W, He: kl_error(coo, W, He),
+        sum_v_sq=lambda coo: jnp.sum(coo.values * coo.values),
+        numel=lambda coo: coo.shape[0] * coo.shape[1],
+    )
+
+
+def compute_sparse(
+    V: host_sparse.SparseMatrix | DeviceCOO,
+    config: NmfConfig,
+    W0=None,
+    H0=None,
+    callback: Callable[[Any, Any, Any, Any], None] | None = None,
+) -> NmfResult:
+    """Sparse twin of `nmftpu.driver.compute`: V stays sparse end-to-end."""
+    dtype = jnp.dtype(config.dtype)
+    if isinstance(V, DeviceCOO):
+        coo = V
+    else:
+        coo = device_put_sparse(V, dtype=dtype)
+    n, m = coo.shape
+    if config.rank > min(n, m):
+        raise ValueError(
+            f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
+        )
+
+    cache_key = (config, coo.shape, coo.values.shape[0], str(dtype))
+    if callback is not None:
+        runner = build_runner(config, _sparse_ops_bundle(config), callback)
+    else:
+        runner = _RUNNER_CACHE.get(cache_key)
+        if runner is None:
+            runner = build_runner(config, _sparse_ops_bundle(config), None)
+            _RUNNER_CACHE[cache_key] = runner
+
+    def init_fn(key):
+        return sparse_initialize_factors(
+            coo, config.rank, config.init_method, key,
+            W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
+        )
+
+    return execute(coo, config, runner, init_fn, numel=n * m)
