@@ -1,0 +1,8 @@
+"""Retrieval layer (BASELINE.json config #5): the learned W/H factors serve
+as user/item embedding tables scored by top-k maximum-inner-product search,
+evaluated with recall@k on held-out interactions."""
+
+from nmftpu.retrieval.mips import topk_mips, topk_mips_blocked
+from nmftpu.retrieval.evaluate import recall_at_k
+
+__all__ = ["topk_mips", "topk_mips_blocked", "recall_at_k"]

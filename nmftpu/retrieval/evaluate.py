@@ -1,0 +1,64 @@
+"""recall@k evaluation harness on held-out interactions
+(BASELINE.json config #5; SURVEY.md §4.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nmftpu.retrieval.mips import topk_mips_blocked
+from nmftpu.sparse import SparseMatrix
+
+
+def recall_at_k(
+    W,
+    H,
+    test_pairs: np.ndarray,
+    train: SparseMatrix | None = None,
+    k: int = 100,
+    batch_users: int = 1024,
+    block: int = 4096,
+) -> float:
+    """Fraction of held-out (user, item) pairs whose item appears in the
+    user's top-k recommendations (training items excluded from candidates).
+
+    W: (n, r) user factors; H: (r, m) item factors; test_pairs: (t, 2)
+    [user, item]; train: the training interactions to exclude from
+    candidate lists (standard protocol).
+    """
+    W = np.asarray(W)
+    H_dev = H  # stays on device across batches
+    test_pairs = np.asarray(test_pairs)
+    if test_pairs.size == 0:
+        return float("nan")
+    m = H.shape[1]
+
+    train_csr = train.to_csr() if train is not None else None
+
+    # group test items by user
+    users = np.unique(test_pairs[:, 0])
+    by_user: dict[int, list[int]] = {}
+    for u, i in test_pairs:
+        by_user.setdefault(int(u), []).append(int(i))
+
+    hits = 0
+    total = 0
+    for start in range(0, len(users), batch_users):
+        batch = users[start:start + batch_users]
+        Wq = W[batch]                                       # (b, r)
+        if train_csr is not None:
+            mask = np.zeros((len(batch), m), dtype=bool)
+            for bi, u in enumerate(batch):
+                s, e = train_csr.indptr[u], train_csr.indptr[u + 1]
+                mask[bi, train_csr.indices[s:e]] = True
+        else:
+            mask = None
+        _, idx = topk_mips_blocked(
+            Wq, H_dev, k, block=block, exclude_mask=mask
+        )
+        idx = np.asarray(idx)
+        for bi, u in enumerate(batch):
+            top = set(idx[bi].tolist())
+            for item in by_user[int(u)]:
+                hits += item in top
+                total += 1
+    return hits / total

@@ -1,0 +1,84 @@
+"""Top-k maximum-inner-product search over the item factor table.
+
+The score matrix is W_q @ H — one MXU GEMM — so exact MIPS on TPU is a
+blocked GEMM + running top-k merge, not an index structure (cf. "To Index
+or Not to Index" — exact blocked scan wins at these ranks). The blocked
+variant never materializes more than (batch, block) scores, which is also
+exactly the per-shard kernel the sharded retrieval path runs before its
+cross-shard merge (nmftpu.parallel.retrieval_sharded).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -jnp.inf
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_mips(Wq, H, k, exclude_mask=None):
+    """Exact top-k inner products for a batch of query embeddings.
+
+    Wq: (b, r) query (user) embeddings; H: (r, m) item table.
+    exclude_mask: optional (b, m) bool — True entries (e.g. training
+    interactions) are excluded from the candidates.
+    Returns (scores (b, k), indices (b, k)).
+    """
+    scores = Wq @ H                                  # (b, m) — MXU
+    if exclude_mask is not None:
+        scores = jnp.where(exclude_mask, NEG_INF, scores)
+    return lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None):
+    """Memory-bounded exact top-k: stream item blocks, keep a running top-k.
+
+    Peak memory is (b, block + k) scores instead of (b, m) — required when
+    m is the 10M-item axis. H is scanned in (r, block) tiles (zero-padded
+    tail; padding scores are -inf so they never surface).
+    """
+    b, r = Wq.shape
+    m = H.shape[1]
+    nblocks = (m + block - 1) // block
+    pad = nblocks * block - m
+    Hp = jnp.pad(H, ((0, 0), (0, pad)))
+    Hb = Hp.reshape(r, nblocks, block).transpose(1, 0, 2)  # (nb, r, block)
+    if exclude_mask is not None:
+        mask_p = jnp.pad(exclude_mask, ((0, 0), (0, pad)),
+                         constant_values=True)
+        mask_b = mask_p.reshape(b, nblocks, block).transpose(1, 0, 2)
+    else:
+        mask_b = jnp.zeros((nblocks, 1, 1), bool)  # broadcast no-op
+
+    # padding columns masked off
+    col_ids = jnp.arange(block, dtype=jnp.int32)
+
+    def body(carry, x):
+        best_s, best_i = carry           # (b, k) running top-k
+        blk_idx, Hblk, mblk = x
+        s = Wq @ Hblk                    # (b, block)
+        base = blk_idx * block
+        ids = (base + col_ids).astype(jnp.int32)
+        valid = ids[None, :] < m
+        s = jnp.where(valid & ~mblk, s, NEG_INF)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (b, block))], axis=1
+        )
+        top_s, pos = lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, Wq.dtype),
+        jnp.zeros((b, k), jnp.int32),
+    )
+    (scores, idx), _ = lax.scan(
+        body, init, (jnp.arange(nblocks), Hb, mask_b)
+    )
+    return scores, idx

@@ -1,0 +1,89 @@
+"""Data-layer tests: MovieLens format parsing against tiny synthetic files
+in both on-disk formats, split protocol, synthetic generators."""
+
+import numpy as np
+
+from nmftpu.data import (
+    load_movielens,
+    synthetic_lowrank_dense,
+    synthetic_powerlaw_sparse,
+    train_test_split_by_user,
+)
+
+
+def _write_ml100k(tmp_path):
+    # user item rating timestamp, tab separated (u.data format)
+    rows = [
+        (1, 10, 5.0, 100), (1, 20, 3.0, 200), (1, 30, 4.0, 50),
+        (2, 10, 2.0, 300), (2, 40, 1.0, 400),
+        (5, 20, 4.5, 10),
+    ]
+    p = tmp_path / "u.data"
+    p.write_text("\n".join(f"{u}\t{i}\t{r}\t{t}" for u, i, r, t in rows))
+    return str(p), rows
+
+
+def _write_ml20m(tmp_path):
+    rows = [
+        (3, 7, 4.0, 11), (3, 9, 2.5, 22), (8, 7, 5.0, 33),
+    ]
+    p = tmp_path / "ratings.csv"
+    p.write_text(
+        "userId,movieId,rating,timestamp\n"
+        + "\n".join(f"{u},{i},{r},{t}" for u, i, r, t in rows)
+    )
+    return str(p), rows
+
+
+def test_load_u_data_format(tmp_path):
+    path, rows = _write_ml100k(tmp_path)
+    inter = load_movielens(path)
+    assert inter.n_users == 3 and inter.n_items == 4
+    assert inter.matrix.nnz == 6
+    dense = inter.matrix.todense()
+    # user 1 -> row 0, item 10 -> col 0 (sorted unique ids)
+    assert dense[0, 0] == 5.0
+    assert dense[2, 1] == 4.5  # user 5, item 20
+    np.testing.assert_array_equal(inter.user_ids, [1, 2, 5])
+    np.testing.assert_array_equal(inter.item_ids, [10, 20, 30, 40])
+
+
+def test_load_ratings_csv_format(tmp_path):
+    path, rows = _write_ml20m(tmp_path)
+    inter = load_movielens(path)
+    assert inter.n_users == 2 and inter.n_items == 2
+    dense = inter.matrix.todense()
+    assert dense[0, 0] == 4.0 and dense[0, 1] == 2.5 and dense[1, 0] == 5.0
+
+
+def test_implicit_binarization(tmp_path):
+    path, _ = _write_ml100k(tmp_path)
+    inter = load_movielens(path, implicit=True)
+    assert set(np.unique(inter.matrix.data)) == {1.0}
+
+
+def test_split_by_time_holds_latest(tmp_path):
+    path, _ = _write_ml100k(tmp_path)
+    inter = load_movielens(path)
+    train, test = train_test_split_by_user(inter, holdout_per_user=1)
+    # user 1 (3 interactions): latest is item 20 (ts=200) -> col index 1
+    assert [0, 1] in test.tolist()
+    # user 2 (2 interactions): latest is item 40 (ts=400) -> col index 3
+    assert [1, 3] in test.tolist()
+    # user 5 has a single interaction: kept in train
+    assert not any(u == 2 for u, _ in test.tolist())
+    assert train.nnz + len(test) == inter.matrix.nnz
+
+
+def test_synthetic_generators():
+    V = synthetic_lowrank_dense(20, 15, 4, noise=0.0, seed=1)
+    assert V.shape == (20, 15) and np.all(V >= 0)
+    assert np.linalg.matrix_rank(V) <= 4
+
+    sp = synthetic_powerlaw_sparse(200, 100, nnz=2000, seed=1)
+    assert sp.shape == (200, 100)
+    assert 0 < sp.nnz <= 2000
+    assert np.all(sp.data > 0)
+    # power-law: top-1% of rows should hold a disproportionate share
+    counts = np.bincount(sp.row, minlength=200)
+    assert counts.max() > 3 * counts.mean()
