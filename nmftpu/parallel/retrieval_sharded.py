@@ -1,0 +1,58 @@
+"""Sharded top-k MIPS (SURVEY.md §5.7, BASELINE.json config #5).
+
+Two-stage exact search: every 'items' shard runs the blocked top-k kernel
+over its local slice of the item table (k' = k candidates each), then the
+per-shard candidate lists are all-gathered over the items axis and merged
+with one more top_k — comm volume O(pi * b * k), independent of m.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
+from nmftpu.retrieval.mips import topk_mips_blocked
+
+
+def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None):
+    """Exact top-k over an items-sharded table H (r, m).
+
+    Wq: (b, r) queries (replicated); H sharded P(None, 'items');
+    exclude_mask: optional (b, m) bool, sharded like H on its item axis.
+    Returns (scores (b, k), global item indices (b, k)), replicated.
+    """
+    has_mask = exclude_mask is not None
+
+    def local_topk(Wq, H_loc, *mask):
+        m_loc = H_loc.shape[1]
+        mask_loc = mask[0] if has_mask else None
+        s, idx = topk_mips_blocked(
+            Wq, H_loc, k, block=min(block, m_loc), exclude_mask=mask_loc
+        )
+        shard = lax.axis_index(AXIS_ITEMS)
+        gidx = idx + shard * m_loc
+        # gather candidates from every item shard, then merge
+        all_s = lax.all_gather(s, AXIS_ITEMS)        # (pi, b, k)
+        all_i = lax.all_gather(gidx, AXIS_ITEMS)
+        pi, b, _ = all_s.shape
+        cand_s = all_s.transpose(1, 0, 2).reshape(b, pi * k)
+        cand_i = all_i.transpose(1, 0, 2).reshape(b, pi * k)
+        top_s, pos = lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return top_s, top_i
+
+    in_specs = [P(), P(None, AXIS_ITEMS)]
+    args = [Wq, H]
+    if has_mask:
+        in_specs.append(P(None, AXIS_ITEMS))
+        args.append(exclude_mask)
+
+    f = jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(*args)

@@ -1,0 +1,337 @@
+"""shard_map update rules and error metrics on the 2-D mesh.
+
+Each iteration is ONE shard_map region: every device runs the single-device
+chunked COO primitives (`nmftpu.sparse_ops.wt_v/v_ht/sddmm`) on its local
+tile, and the only cross-device traffic is
+
+    psum over 'items': V H^T partials (block_rows, r), H H^T (r, r),
+                       H row-sums (r,)
+    psum over 'users': W^T V partials (r, block_cols), W^T W (r, r),
+                       W column-sums (r,)
+
+— the MPI-FAUN 2-D communication pattern (comm volume O((n/pu + m/pi) r)
+per iteration), realized as XLA collectives over ICI/DCN. W stays
+replicated along 'items', H along 'users', so the while_loop carry keeps a
+stable sharding across iterations with zero resharding.
+
+Padding rows/cols of W/H are absorbing zeros under every rule (zero
+numerators / zero right-hand sides), so they never influence the error.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from nmftpu.config import Algorithm, NmfConfig, Objective
+from nmftpu.linalg import dense as D
+from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
+from nmftpu.parallel.sharded_coo import ShardedCOO
+from nmftpu.sparse_ops import DeviceCOO, sddmm, v_ht, wt_v
+
+_TILE = P(AXIS_USERS, AXIS_ITEMS, None)
+_W_SPEC = P(AXIS_USERS, None)
+_H_SPEC = P(None, AXIS_ITEMS)
+_REP = P()
+
+
+def _local(scoo_meta, vals, rows, cols) -> DeviceCOO:
+    """Assemble the block-local DeviceCOO inside the shard_map region."""
+    return DeviceCOO(
+        values=vals[0, 0], rows=rows[0, 0], cols=cols[0, 0],
+        shape=(scoo_meta.block_rows, scoo_meta.block_cols),
+        nnz=-1, chunk=scoo_meta.chunk,
+    )
+
+
+def _shmap(mesh, f, in_specs, out_specs):
+    # check_vma=False: the chunked-scan primitives initialize their
+    # accumulators with unvarying zeros, which the VMA checker rejects even
+    # though the psum placement is correct; correctness is covered by the
+    # dense-oracle parity tests (tests/test_parallel.py).
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+# ---------------------------------------------------------------------------
+# Sharded half-step building blocks (run INSIDE shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _upd_w_fro(local, W, H, eps):
+    numer = lax.psum(v_ht(local, H), AXIS_ITEMS)          # (br, r)
+    HHt = lax.psum(H @ H.T, AXIS_ITEMS)                   # (r, r)
+    return W * (numer / (W @ HHt + eps))
+
+
+def _upd_h_fro(local, W, H, eps):
+    numer = lax.psum(wt_v(local, W), AXIS_USERS)          # (r, bc)
+    WtW = lax.psum(W.T @ W, AXIS_USERS)
+    return H * (numer / (WtW @ H + eps))
+
+
+def _upd_w_kl(local, W, H, eps):
+    ratio = local.with_values(local.values / (sddmm(local, W, H) + eps))
+    numer = lax.psum(v_ht(ratio, H), AXIS_ITEMS)
+    h_sum = lax.psum(jnp.sum(H, axis=1), AXIS_ITEMS)      # (r,)
+    return W * (numer / jnp.maximum(h_sum, eps)[None, :])
+
+
+def _upd_h_kl(local, W, H, eps):
+    ratio = local.with_values(local.values / (sddmm(local, W, H) + eps))
+    numer = lax.psum(wt_v(ratio, W), AXIS_USERS)
+    w_sum = lax.psum(jnp.sum(W, axis=0), AXIS_USERS)
+    return H * (numer / jnp.maximum(w_sum, eps)[:, None])
+
+
+def _upd_w_weighted(local, W, H, alpha, eps):
+    cv = local.with_values(local.values * (1.0 + alpha * local.values))
+    swh = local.with_values(local.values * sddmm(local, W, H))
+    numer = lax.psum(v_ht(cv, H), AXIS_ITEMS)
+    HHt = lax.psum(H @ H.T, AXIS_ITEMS)
+    alpha_part = lax.psum(v_ht(swh, H), AXIS_ITEMS)
+    return W * (numer / (W @ HHt + alpha * alpha_part + eps))
+
+
+def _upd_h_weighted(local, W, H, alpha, eps):
+    cv = local.with_values(local.values * (1.0 + alpha * local.values))
+    swh = local.with_values(local.values * sddmm(local, W, H))
+    numer = lax.psum(wt_v(cv, W), AXIS_USERS)
+    WtW = lax.psum(W.T @ W, AXIS_USERS)
+    alpha_part = lax.psum(wt_v(swh, W), AXIS_USERS)
+    return H * (numer / (WtW @ H + alpha * alpha_part + eps))
+
+
+def _solve_clamped(gram, rhs, shift, off, eps):
+    r = gram.shape[0]
+    A = gram + (shift + eps) * jnp.eye(r, gram.shape[1], dtype=gram.dtype)
+    if off:
+        A = A + off * jnp.ones((r, r), gram.dtype)
+    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+
+
+def _upd_w_als(local, W, H, shift, off, eps):
+    rhs = lax.psum(v_ht(local, H), AXIS_ITEMS).T          # (r, br)
+    gram = lax.psum(H @ H.T, AXIS_ITEMS)
+    return _solve_clamped(gram, rhs, shift, off, eps).T
+
+
+def _upd_h_als(local, W, H, shift, off, eps):
+    rhs = lax.psum(wt_v(local, W), AXIS_USERS)            # (r, bc)
+    gram = lax.psum(W.T @ W, AXIS_USERS)
+    return _solve_clamped(gram, rhs, shift, off, eps)
+
+
+# ---------------------------------------------------------------------------
+# Registry: (make_aux, update, effective_h) on the mesh
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
+    """Sharded twin of nmftpu.algorithms/build_sparse_update. The returned
+    update(scoo, aux, W, H) wraps one shard_map region per iteration."""
+    eps = config.eps
+    order = config.update_order
+    alg = config.algorithm
+    obj = config.objective
+
+    def make_step(upd_w, upd_h):
+        def step(vals, rows, cols, W, H):
+            local = _local(scoo_meta, vals, rows, cols)
+            if order == "WH":
+                W = upd_w(local, W, H)
+                H = upd_h(local, W, H)
+            else:
+                H = upd_h(local, W, H)
+                W = upd_w(local, W, H)
+            return W, H
+
+        shmapped = _shmap(
+            mesh, step,
+            in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC),
+            out_specs=(_W_SPEC, _H_SPEC),
+        )
+
+        def update(scoo, aux, W, H):
+            return shmapped(scoo.values, scoo.rows, scoo.cols, W, H)
+
+        return update
+
+    def ident_h(aux, H):
+        return H
+
+    if alg is Algorithm.MU:
+        if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
+            a = config.alpha_confidence
+            update = make_step(
+                lambda l, W, H: _upd_w_weighted(l, W, H, a, eps),
+                lambda l, W, H: _upd_h_weighted(l, W, H, a, eps),
+            )
+        elif obj is Objective.FROBENIUS:
+            update = make_step(
+                lambda l, W, H: _upd_w_fro(l, W, H, eps),
+                lambda l, W, H: _upd_h_fro(l, W, H, eps),
+            )
+        else:
+            update = make_step(
+                lambda l, W, H: _upd_w_kl(l, W, H, eps),
+                lambda l, W, H: _upd_h_kl(l, W, H, eps),
+            )
+        return (lambda scoo: ()), update, ident_h
+
+    if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if alg is Algorithm.ALS:
+            sw = sh = ow = oh = 0.0
+        elif alg is Algorithm.ACLS:
+            sw, sh = config.lambda_w, config.lambda_h
+            ow = oh = 0.0
+        else:
+            r = config.rank
+
+            def hoyer(lam, a):
+                sr = float(np.sqrt(r))
+                beta = ((1.0 - a) * sr + a) ** 2 / r
+                return lam * beta, lam * (1.0 - beta)
+
+            sw, ow = hoyer(config.lambda_w, config.alpha_w)
+            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        update = make_step(
+            lambda l, W, H: _upd_w_als(l, W, H, sw, ow, eps),
+            lambda l, W, H: _upd_h_als(l, W, H, sh, oh, eps),
+        )
+        return (lambda scoo: ()), update, ident_h
+
+    if alg is Algorithm.GDCLS:
+        lt = config.lambda_tik
+        update = make_step(
+            lambda l, W, H: _upd_w_fro(l, W, H, eps),
+            lambda l, W, H: _upd_h_als(l, W, H, lt, 0.0, eps),
+        )
+        return (lambda scoo: ()), update, ident_h
+
+    if alg is Algorithm.NSNMF:
+        theta = config.theta
+        rank = config.rank
+        if obj is Objective.FROBENIUS:
+
+            def upd_w(l, W, H, S):
+                SH = S @ H
+                numer = lax.psum(v_ht(l, SH), AXIS_ITEMS)
+                G = lax.psum(SH @ SH.T, AXIS_ITEMS)
+                return W * (numer / (W @ G + eps))
+
+            def upd_h(l, W, H, S):
+                WS = W @ S
+                numer = lax.psum(wt_v(l, WS), AXIS_USERS)
+                G = lax.psum(WS.T @ WS, AXIS_USERS)
+                return H * (numer / (G @ H + eps))
+
+        else:
+
+            def upd_w(l, W, H, S):
+                SH = S @ H
+                ratio = l.with_values(l.values / (sddmm(l, W, SH) + eps))
+                numer = lax.psum(v_ht(ratio, SH), AXIS_ITEMS)
+                s_sum = lax.psum(jnp.sum(SH, axis=1), AXIS_ITEMS)
+                return W * (numer / jnp.maximum(s_sum, eps)[None, :])
+
+            def upd_h(l, W, H, S):
+                WS = W @ S
+                ratio = l.with_values(l.values / (sddmm(l, WS, H) + eps))
+                numer = lax.psum(wt_v(ratio, WS), AXIS_USERS)
+                s_sum = lax.psum(jnp.sum(WS, axis=0), AXIS_USERS)
+                return H * (numer / jnp.maximum(s_sum, eps)[:, None])
+
+        def step(vals, rows, cols, W, H, S):
+            local = _local(scoo_meta, vals, rows, cols)
+            if order == "WH":
+                W = upd_w(local, W, H, S)
+                H = upd_h(local, W, H, S)
+            else:
+                H = upd_h(local, W, H, S)
+                W = upd_w(local, W, H, S)
+            return W, H
+
+        shmapped = _shmap(
+            mesh, step,
+            in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC, _REP),
+            out_specs=(_W_SPEC, _H_SPEC),
+        )
+
+        def update(scoo, aux, W, H):
+            return shmapped(scoo.values, scoo.rows, scoo.cols, W, H, aux[0])
+
+        def make_aux(scoo):
+            return (
+                D.nsnmf_smoothing_matrix(
+                    rank, theta, dtype=scoo.values.dtype
+                ),
+            )
+
+        def effective_h(aux, H):
+            return aux[0] @ H
+
+        return make_aux, update, effective_h
+
+    raise ValueError(f"unknown algorithm: {alg}")
+
+
+# ---------------------------------------------------------------------------
+# Sharded error metrics (replicated scalars out)
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_errors(mesh, scoo_meta: ShardedCOO):
+    """Returns (frobenius(scoo, W, He, svsq), kl(scoo, W, He)) — each one
+    shard_map region producing a replicated scalar."""
+
+    def fro(vals, rows, cols, W, H, svsq):
+        local = _local(scoo_meta, vals, rows, cols)
+        WtV = lax.psum(wt_v(local, W), AXIS_USERS)        # (r, bc)
+        cross = lax.psum(jnp.sum(WtV * H), AXIS_ITEMS)
+        WtW = lax.psum(W.T @ W, AXIS_USERS)
+        HHt = lax.psum(H @ H.T, AXIS_ITEMS)
+        quad = jnp.sum(WtW * HHt)
+        return jnp.sqrt(jnp.maximum(svsq[0] - 2.0 * cross + quad, 0.0))
+
+    fro_sh = _shmap(
+        mesh, fro,
+        in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC, _REP),
+        out_specs=_REP,
+    )
+
+    def kl(vals, rows, cols, W, H):
+        local = _local(scoo_meta, vals, rows, cols)
+        wh_nz = sddmm(local, W, H)
+        v = local.values
+        log_term = jnp.where(
+            v > 0,
+            v * jnp.log(jnp.maximum(v, 1e-12)
+                        / jnp.maximum(wh_nz, 1e-12)),
+            0.0,
+        )
+        local_sum = jnp.sum(log_term) - jnp.sum(v)
+        total = lax.psum(lax.psum(local_sum, AXIS_USERS), AXIS_ITEMS)
+        w_col = lax.psum(jnp.sum(W, axis=0), AXIS_USERS)
+        h_row = lax.psum(jnp.sum(H, axis=1), AXIS_ITEMS)
+        return total + w_col @ h_row
+
+    kl_sh = _shmap(
+        mesh, kl,
+        in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC),
+        out_specs=_REP,
+    )
+
+    def frobenius(scoo, W, He, svsq):
+        return fro_sh(
+            scoo.values, scoo.rows, scoo.cols, W, He,
+            jnp.reshape(svsq, (1,)),
+        )
+
+    def kl_err(scoo, W, He):
+        return kl_sh(scoo.values, scoo.rows, scoo.cols, W, He)
+
+    return frobenius, kl_err

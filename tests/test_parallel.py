@@ -1,0 +1,179 @@
+"""Sharded-path tests on the 8-virtual-device CPU mesh (SURVEY.md §4.3):
+partitioner round-trip, sharded updates vs. the single-device oracle,
+end-to-end compute_sharded parity, sharded retrieval."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from nmftpu import Algorithm, Initialization, NmfConfig, Objective
+from nmftpu import sparse as hs
+from nmftpu.driver import compute
+from nmftpu.parallel import (
+    compute_sharded,
+    factor_shardings,
+    make_grid_mesh,
+    partition_sparse,
+    topk_mips_sharded,
+)
+from nmftpu.parallel.sharded_coo import balance_report
+from nmftpu.retrieval import topk_mips
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_grid_mesh((2, 4))
+
+
+def _spmat(rng, n=50, m=60, density=0.25):
+    dense = rng.uniform(0.2, 2.0, (n, m))
+    mask = rng.uniform(size=(n, m)) < density
+    mask[:, 0] = True
+    mask[0, :] = True
+    dense = (dense * mask).astype(np.float32)
+    return dense, hs.from_dense(dense)
+
+
+def test_mesh_construction():
+    mesh = make_grid_mesh()  # auto shape over 8 devices
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("users", "items")
+    sh = factor_shardings(mesh)
+    assert sh["W"].spec == P("users", None)
+
+
+@pytest.mark.parametrize("balance", [False, True])
+def test_partition_roundtrip(rng, mesh, balance):
+    dense, sp = _spmat(rng)
+    scoo, row_perm, col_perm = partition_sparse(
+        sp, (2, 4), balance=balance, chunk=256
+    )
+    # reconstruct the dense matrix from the tiles
+    pu, pi = scoo.mesh_shape
+    recon = np.zeros(scoo.padded_shape, np.float32)
+    vals = np.asarray(scoo.values)
+    rows = np.asarray(scoo.rows)
+    cols = np.asarray(scoo.cols)
+    for i in range(pu):
+        for j in range(pi):
+            nz = vals[i, j] != 0
+            recon[
+                rows[i, j][nz] + i * scoo.block_rows,
+                cols[i, j][nz] + j * scoo.block_cols,
+            ] += vals[i, j][nz]
+    # apply inverse permutation: recon[row_perm[i], col_perm[j]] == dense[i,j]
+    got = recon[np.ix_(row_perm, col_perm)]
+    np.testing.assert_allclose(got, dense, rtol=1e-6)
+    rep = balance_report(scoo)
+    assert rep["tile_nnz_max"] <= rep["tile_capacity"]
+
+
+def test_balance_improves_imbalance(rng):
+    """Power-law rows: permutation should equalize tile populations."""
+    from nmftpu.data import synthetic_powerlaw_sparse
+    sp = synthetic_powerlaw_sparse(400, 300, nnz=8000, alpha_user=1.3,
+                                  seed=3)
+    _, _, _ = partition_sparse(sp, (2, 4), balance=False, chunk=256)
+    unbal = balance_report(partition_sparse(sp, (2, 4), balance=False,
+                                            chunk=256)[0])
+    bal = balance_report(partition_sparse(sp, (2, 4), balance=True,
+                                          chunk=256)[0])
+    assert bal["imbalance"] <= unbal["imbalance"] * 1.05
+
+
+@pytest.mark.parametrize("alg,obj", [
+    (Algorithm.MU, Objective.FROBENIUS),
+    (Algorithm.MU, Objective.KL),
+    (Algorithm.ALS, Objective.FROBENIUS),
+    (Algorithm.ACLS, Objective.FROBENIUS),
+    (Algorithm.AHCLS, Objective.FROBENIUS),
+    (Algorithm.GDCLS, Objective.FROBENIUS),
+    (Algorithm.NSNMF, Objective.FROBENIUS),
+    (Algorithm.NSNMF, Objective.KL),
+])
+def test_sharded_matches_dense_oracle(rng, mesh, alg, obj):
+    """compute_sharded on the 2x4 mesh == single-device compute() on the
+    densified matrix, same warm start, to float tolerance."""
+    dense, sp = _spmat(rng, 40, 48)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 48)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=alg, objective=obj,
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=15, check_interval=5,
+        lambda_w=0.05, lambda_h=0.05, lambda_tik=0.05, theta=0.3,
+    )
+    rs = compute_sharded(sp, cfg, mesh=mesh, W0=W0, H0=H0, chunk=256)
+    rd = compute(dense, cfg, W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        rs.frobenius_error, rd.frobenius_error, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.W), np.asarray(rd.W), rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.H), np.asarray(rd.H), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_sharded_weighted_confidence(rng, mesh):
+    dense, sp = _spmat(rng, 30, 36)
+    W0 = rng.uniform(0.1, 1.0, (30, 3)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (3, 36)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=3, alpha_confidence=4.0,
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=10, check_interval=5,
+    )
+    rs = compute_sharded(sp, cfg, mesh=mesh, W0=W0, H0=H0, chunk=256)
+    rd = compute(dense, cfg, W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        np.asarray(rs.W), np.asarray(rd.W), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_sharded_random_init_and_threshold(rng, mesh):
+    dense, sp = _spmat(rng, 60, 64, density=0.4)
+    cfg = NmfConfig(
+        rank=5, num_iterations=400, threshold_value=1e-3,
+        check_interval=10, seed=4,
+    )
+    res = compute_sharded(sp, cfg, mesh=mesh, chunk=256)
+    assert res.converged
+    assert res.W.shape == (60, 5) and res.H.shape == (5, 64)
+    # factors come back in original coordinates: error must be consistent
+    recon_err = np.linalg.norm(dense - np.asarray(res.W) @ np.asarray(res.H))
+    np.testing.assert_allclose(recon_err, res.frobenius_error, rtol=5e-2)
+
+
+def test_sharded_data_dependent_init(rng, mesh):
+    dense, sp = _spmat(rng, 40, 40)
+    cfg = NmfConfig(
+        rank=4, init_method=Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        num_iterations=10, kmeans_max_iter=3,
+    )
+    res = compute_sharded(sp, cfg, mesh=mesh, chunk=256)
+    assert np.isfinite(res.frobenius_error)
+
+
+def test_sharded_determinism(rng, mesh):
+    _, sp = _spmat(rng, 30, 32)
+    cfg = NmfConfig(rank=3, num_iterations=10, seed=9)
+    r1 = compute_sharded(sp, cfg, mesh=mesh, chunk=256)
+    r2 = compute_sharded(sp, cfg, mesh=mesh, chunk=256)
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+
+
+def test_topk_mips_sharded_matches_single(rng, mesh):
+    b, r, m = 6, 8, 96
+    Wq = rng.standard_normal((b, r)).astype(np.float32)
+    H = rng.standard_normal((r, m)).astype(np.float32)
+    sh = factor_shardings(mesh)
+    H_dev = jax.device_put(H, sh["H"])
+    s_ref, i_ref = topk_mips(Wq, H, k=7)
+    s_sh, i_sh = topk_mips_sharded(Wq, H_dev, k=7, mesh=mesh, block=16)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
