@@ -59,16 +59,41 @@ def _parse_file(path: str):
     return raw["u"], raw["i"], raw["r"], raw["t"]
 
 
-def load_movielens(path: str, implicit: bool = False) -> Interactions:
+def load_movielens(
+    path: str, implicit: bool = False, use_native: bool | None = None
+) -> Interactions:
     """Load a MovieLens ratings file into an Interactions bundle.
 
     implicit=True binarizes ratings to 1.0 (click/watch events) for the
-    confidence-weighted configs.
+    confidence-weighted configs. use_native: None = use the C++ parser
+    (native/nmftpu_io.cc) when built, else the python path; True forces
+    native (raises if unavailable); False forces python.
     """
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    users, items, ratings, ts = _parse_file(path)
 
+    if use_native is not False:
+        from nmftpu import native_loader
+
+        if native_loader.available():
+            rows, cols, vals, ts, user_ids, item_ids = (
+                native_loader.parse_movielens(path, implicit=implicit)
+            )
+            mat = SparseCOO(
+                row=rows, col=cols, data=vals,
+                shape=(len(user_ids), len(item_ids)),
+            )
+            return Interactions(
+                matrix=mat, user_ids=user_ids, item_ids=item_ids,
+                timestamps=ts,
+            )
+        if use_native:
+            raise RuntimeError(
+                "native parser requested but libnmftpu_io.so is not built "
+                "(run `make -C native` or nmftpu.native_loader.build())"
+            )
+
+    users, items, ratings, ts = _parse_file(path)
     uniq_u, u_idx = np.unique(users, return_inverse=True)
     uniq_i, i_idx = np.unique(items, return_inverse=True)
     values = np.ones_like(ratings) if implicit else ratings
