@@ -42,6 +42,34 @@ def build_dense_update(config: NmfConfig):
                     V, aux[0], W, H, eps=eps, order=order
                 )
 
+        elif obj is Objective.FROBENIUS and config.v_storage == "int8":
+            # Quantized fused-Pallas path (nmftpu.kernels.quantized): V is
+            # held once as int8 + scale; interpret-mode off-TPU.
+            import jax as _jax
+
+            from nmftpu.kernels import quantized as Q
+
+            interp = _jax.default_backend() != "tpu"
+
+            def make_aux(V):
+                return Q.quantize_v(V)
+
+            def update(V, aux, W, H):
+                return Q.mu_update_frobenius_q(
+                    aux[0], aux[1], W, H, eps=eps, order=order,
+                    interpret=interp,
+                )
+
+        elif obj is Objective.FROBENIUS and config.v_storage == "bfloat16":
+
+            def make_aux(V):
+                return (V.astype(jnp.bfloat16),)
+
+            def update(V, aux, W, H):
+                return D.mu_update_frobenius_bf16v(
+                    aux[0], W, H, eps=eps, order=order
+                )
+
         elif obj is Objective.FROBENIUS:
 
             def make_aux(V):

@@ -108,9 +108,16 @@ class NmfConfig:
 
     # Numerics. `eps` guards the multiplicative-update denominators; dtypes
     # follow the TPU convention of separate storage and accumulation types.
+    # `v_storage` controls how dense V is held in HBM for the update loop:
+    #   float32  — exact storage (default);
+    #   bfloat16 — halves V traffic; MXU-native;
+    #   int8     — quarter traffic via per-matrix-scale quantization
+    #              (nmftpu.kernels.quantized; MU+Frobenius dense only).
+    # Factors W/H always stay in `dtype`; error checks read the original V.
     eps: float = 1e-9
     dtype: str = "float32"
     compute_dtype: str = "float32"
+    v_storage: str = "float32"
 
     # Update order within one iteration: "WH" (update W first, matches the
     # sklearn oracle's loop) or "HW" (classic Lee–Seung presentation).
@@ -148,6 +155,19 @@ class NmfConfig:
         if self.update_order not in ("WH", "HW"):
             raise ValueError(
                 f"update_order must be 'WH' or 'HW', got {self.update_order!r}"
+            )
+        if self.v_storage not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"v_storage must be float32|bfloat16|int8, "
+                f"got {self.v_storage!r}"
+            )
+        if self.v_storage == "int8" and not (
+            self.algorithm is Algorithm.MU
+            and self.objective is Objective.FROBENIUS
+            and self.alpha_confidence == 0.0
+        ):
+            raise ValueError(
+                "v_storage='int8' currently requires plain MU + Frobenius"
             )
         if self.objective is Objective.KL and self.algorithm not in (
             Algorithm.MU,

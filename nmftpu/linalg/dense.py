@@ -92,6 +92,35 @@ def mu_update_kl(V, W, H, eps=1e-9, order="WH"):
     return W, H
 
 
+def mu_update_frobenius_bf16v(Vb, W, H, eps=1e-9, order="WH"):
+    """MU (Frobenius) against a bfloat16-stored V: halves the dominant HBM
+    traffic; the O(nmr) contractions run bf16 x bf16 -> f32 on the MXU and
+    everything else stays in W/H's dtype."""
+
+    def big_dot(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(W.dtype)
+
+    def upd_w(W, H):
+        numer = big_dot(Vb, H, ((1,), (1,)))       # V H^T (n, r)
+        return W * (numer / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        numer = big_dot(W, Vb, ((0,), (0,)))       # W^T V (r, m)
+        return H * (numer / ((W.T @ W) @ H + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
 # ---------------------------------------------------------------------------
 # Weighted (implicit-feedback confidence) MU — BASELINE.json config #3
 # ---------------------------------------------------------------------------

@@ -127,7 +127,12 @@ def partition_sparse(
 
     def put(x):
         if out_shardings is not None:
-            return jax.device_put(x, out_shardings)
+            # make_array_from_callback materializes only the shards owned
+            # by this process's devices — multi-host safe (each host needs
+            # only its own tiles in memory).
+            return jax.make_array_from_callback(
+                x.shape, out_shardings, lambda idx: x[idx]
+            )
         return jnp.asarray(x)
 
     scoo = ShardedCOO(

@@ -1,0 +1,58 @@
+"""v_storage (bfloat16 / int8) driver-path tests."""
+
+import numpy as np
+import pytest
+
+from nmftpu import Algorithm, NmfConfig, Objective, Initialization
+from nmftpu.driver import compute
+
+
+def _problem(rng, n=60, m=48, r=5):
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    return (W @ H).astype(np.float32)
+
+
+@pytest.mark.parametrize("storage", ["bfloat16", "int8"])
+def test_low_precision_storage_converges(rng, storage):
+    V = _problem(rng)
+    cfg = NmfConfig(
+        rank=5, num_iterations=150, v_storage=storage, seed=1,
+        check_interval=25,
+    )
+    res = compute(V, cfg)
+    rel = res.frobenius_error / np.linalg.norm(V)
+    # low-precision numerators floor the attainable relative error at the
+    # few-percent level (int8: ~scale/2 per entry; bf16: 8-bit mantissa)
+    limit = 0.05
+    assert rel < limit, f"relative error {rel} with {storage} storage"
+    assert np.all(np.asarray(res.W) >= 0)
+
+
+def test_int8_storage_validation():
+    with pytest.raises(ValueError):
+        NmfConfig(rank=4, v_storage="int8", objective=Objective.KL)
+    with pytest.raises(ValueError):
+        NmfConfig(rank=4, v_storage="int8", algorithm=Algorithm.ALS)
+    with pytest.raises(ValueError):
+        NmfConfig(rank=4, v_storage="int8", alpha_confidence=1.0)
+    with pytest.raises(ValueError):
+        NmfConfig(rank=4, v_storage="fp4")
+
+
+def test_bf16_matches_f32_loosely(rng):
+    V = _problem(rng)
+    W0 = rng.uniform(0.1, 1.0, (60, 5)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (5, 48)).astype(np.float32)
+    base = NmfConfig(
+        rank=5, num_iterations=20,
+        init_method=Initialization.COPY_EXISTING,
+    )
+    import dataclasses
+    r32 = compute(V, base, W0=W0, H0=H0)
+    rb16 = compute(
+        V, dataclasses.replace(base, v_storage="bfloat16"), W0=W0, H0=H0
+    )
+    np.testing.assert_allclose(
+        rb16.frobenius_error, r32.frobenius_error, rtol=5e-2
+    )
