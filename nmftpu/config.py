@@ -139,6 +139,10 @@ class NmfConfig:
     # True/False force.
     use_pallas: bool | None = None
 
+    # Verbosity (reference C17): 0 silent; 1 per-run summary lines;
+    # 2 additionally per-convergence-check lines.
+    verbosity: int = 0
+
     def __post_init__(self) -> None:
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")

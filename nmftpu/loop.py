@@ -70,10 +70,24 @@ class NmfResult:
     run_errors: list[float]
     stats: RunStats
     elapsed_ms: float
+    # Multi-host sharded runs only: factors are returned still permuted /
+    # padded (gathering to one host is not meaningful there); these record
+    # the original->permuted index maps needed to interpret them.
+    row_perm: object = None
+    col_perm: object = None
+
+
+def _verbose_callback(run_idx, iteration, error, delta):
+    print(
+        f"[nmftpu] run {int(run_idx)} iter {int(iteration):6d}  "
+        f"error {float(error):.6g}  delta {float(delta):.3g}"
+    )
 
 
 def build_runner(config: NmfConfig, ops: LoopOps, callback):
     """Build the jitted single-run loop for (config, ops)."""
+    if callback is None and config.verbosity >= 2:
+        callback = _verbose_callback
     num_iterations = config.num_iterations
     check_interval = config.check_interval
     threshold = (
@@ -171,6 +185,12 @@ def execute(
         (W, H, err, fro, kl, compare, it, converged, stats, nc) = out
         compare_host = float(compare)
         run_errors.append(compare_host)
+        if config.verbosity >= 1:
+            print(
+                f"[nmftpu] run {run_idx}: {int(it)} iterations, "
+                f"final error {compare_host:.6g}"
+                f"{' (converged)' if bool(converged) else ''}"
+            )
         if best is None or compare_host < best[0]:
             best = (
                 compare_host, run_idx, W, H, err, fro, kl, it, converged,

@@ -42,6 +42,15 @@ def _sharded_ops(config: NmfConfig, mesh, scoo: ShardedCOO) -> LoopOps:
     )
 
 
+def _put_global(X, sharding):
+    """Place a host array onto a (possibly multi-host) sharding: each
+    process materializes only the shards its devices own."""
+    X = np.asarray(X)
+    return jax.make_array_from_callback(
+        X.shape, sharding, lambda idx: X[idx]
+    )
+
+
 def _pad_perm_matrix(X, perm, padded, axis):
     """Permute+pad a factor along `axis`: out[perm[i]] = X[i], rest 0."""
     X = np.asarray(X)
@@ -86,8 +95,8 @@ def _sharded_init(
 
         def init_fn(key):
             return (
-                jax.device_put(Wp, shardings["W"]),
-                jax.device_put(Hp, shardings["H"]),
+                _put_global(Wp, shardings["W"]),
+                _put_global(Hp, shardings["H"]),
             )
 
         return init_fn
@@ -100,9 +109,11 @@ def _sharded_init(
             H = (jax.random.uniform(kh, (r, pm), dtype) + 1e-4) * scale
             W = W * row_mask       # zero the padding rows (absorbing)
             H = H * col_mask
+            # same key on every process -> identical host values -> each
+            # process places its own shards
             return (
-                jax.device_put(W, shardings["W"]),
-                jax.device_put(H, shardings["H"]),
+                _put_global(W, shardings["W"]),
+                _put_global(H, shardings["H"]),
             )
 
         return init_fn
@@ -118,11 +129,11 @@ def _sharded_init(
             coo_1d, r, method, key,
             kmeans_max_iter=config.kmeans_max_iter,
         )
-        Wp = jnp.asarray(_pad_perm_matrix(np.asarray(W1), row_perm, pn, 0))
-        Hp = jnp.asarray(_pad_perm_matrix(np.asarray(H1), col_perm, pm, 1))
+        Wp = _pad_perm_matrix(np.asarray(W1), row_perm, pn, 0)
+        Hp = _pad_perm_matrix(np.asarray(H1), col_perm, pm, 1)
         return (
-            jax.device_put(Wp, shardings["W"]),
-            jax.device_put(Hp, shardings["H"]),
+            _put_global(Wp, shardings["W"]),
+            _put_global(Hp, shardings["H"]),
         )
 
     return init_fn
@@ -183,6 +194,13 @@ def compute_sharded(
     )
 
     result = execute(scoo, config, runner, init_fn, numel=n * m)
+
+    if jax.process_count() > 1:
+        # Multi-host: the factors stay distributed (permuted + padded);
+        # callers slice/unpermute with the attached index maps.
+        result.row_perm = row_perm
+        result.col_perm = col_perm
+        return result
 
     # Un-permute and crop the padded factors back to user coordinates.
     W_full = np.asarray(result.W)
