@@ -599,14 +599,71 @@ def _sparse_ops_bundle(config: NmfConfig) -> LoopOps:
     )
 
 
+# HBM budget for the densified-bf16 strategy (see nmftpu.densified):
+# matrices up to this dense-bf16 footprint run on the MXU instead of the
+# gather/scatter path. Override with NMFTPU_DENSIFY_BUDGET_BYTES.
+import os as _os
+
+DENSIFY_BUDGET_BYTES = int(
+    _os.environ.get("NMFTPU_DENSIFY_BUDGET_BYTES", 8 * 1024**3)
+)
+
+
+def _densified_supported(config: NmfConfig) -> bool:
+    return (
+        config.algorithm is Algorithm.MU
+        and config.alpha_confidence == 0.0
+    )
+
+
+def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
+    from nmftpu import densified as DF
+
+    eps = config.eps
+    order = config.update_order
+
+    if config.objective is Objective.FROBENIUS:
+        def update(Vd, aux, W, H):
+            return D.mu_update_frobenius_bf16v(
+                Vd, W, H, eps=eps, order=order
+            )
+    else:
+        def update(Vd, aux, W, H):
+            return DF.mu_update_kl_densified(Vd, W, H, eps=eps, order=order)
+
+    return LoopOps(
+        make_aux=lambda Vd: (),
+        update=update,
+        effective_h=lambda aux, H: H,
+        frobenius=lambda Vd, aux, W, He, svsq: DF.frobenius_error_densified(
+            Vd, W, He, svsq
+        ),
+        kl=lambda Vd, aux, W, He: DF.kl_error_densified(Vd, W, He),
+        # from the bf16-rounded V, consistent with the bf16 cross term in
+        # the Gram-trick error (mixing the exact f32 sum with bf16 products
+        # would break the cancellation near convergence)
+        sum_v_sq=lambda Vd: jnp.sum(jnp.square(Vd.astype(jnp.float32))),
+        numel=lambda Vd: Vd.shape[0] * Vd.shape[1],
+    )
+
+
 def compute_sparse(
     V: host_sparse.SparseMatrix | DeviceCOO,
     config: NmfConfig,
     W0=None,
     H0=None,
+    strategy: str = "auto",
     callback: Callable[[Any, Any, Any, Any], None] | None = None,
 ) -> NmfResult:
-    """Sparse twin of `nmftpu.driver.compute`: V stays sparse end-to-end."""
+    """Sparse twin of `nmftpu.driver.compute`: V stays sparse end-to-end.
+
+    strategy:
+      "scatter"   — chunked COO gather/scatter updates (any size);
+      "densified" — scatter V once into dense bf16 and run MXU updates
+                    (MU only; fastest whenever n*m*2 bytes fit HBM);
+      "auto"      — densified when supported and within
+                    DENSIFY_BUDGET_BYTES, else scatter.
+    """
     dtype = jnp.dtype(config.dtype)
     if isinstance(V, DeviceCOO):
         coo = V
@@ -617,6 +674,45 @@ def compute_sparse(
         raise ValueError(
             f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
         )
+
+    if strategy == "auto":
+        strategy = (
+            "densified"
+            if _densified_supported(config) and 2 * n * m <= DENSIFY_BUDGET_BYTES
+            else "scatter"
+        )
+    if strategy == "densified" and not _densified_supported(config):
+        raise ValueError(
+            "densified strategy supports MU (Frobenius/KL) without "
+            "confidence weighting"
+        )
+
+    if strategy == "densified":
+        from nmftpu import densified as DF
+
+        Vd = DF.densify(coo)
+        cache_key = (
+            config, coo.shape, "densified", str(dtype),
+        )
+        if callback is not None:
+            runner = build_runner(
+                config, _densified_ops_bundle(config, coo), callback
+            )
+        else:
+            runner = _RUNNER_CACHE.get(cache_key)
+            if runner is None:
+                runner = build_runner(
+                    config, _densified_ops_bundle(config, coo), None
+                )
+                _RUNNER_CACHE[cache_key] = runner
+
+        def init_fn(key):
+            return sparse_initialize_factors(
+                coo, config.rank, config.init_method, key,
+                W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
+            )
+
+        return execute(Vd, config, runner, init_fn, numel=n * m)
 
     cache_key = (config, coo.shape, coo.values.shape[0], str(dtype))
     if callback is not None:

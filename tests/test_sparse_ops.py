@@ -171,7 +171,7 @@ def test_compute_sparse_matches_compute_dense(rng):
     cfg = NmfConfig(
         rank=4, init_method=Initialization.COPY_EXISTING, num_iterations=40,
     )
-    rs = compute_sparse(sp, cfg, W0=W0, H0=H0)
+    rs = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
     rd = compute(dense, cfg, W0=W0, H0=H0)
     np.testing.assert_allclose(rs.frobenius_error, rd.frobenius_error,
                                rtol=1e-3)
