@@ -70,6 +70,24 @@ def build_dense_update(config: NmfConfig):
                     aux[0], W, H, eps=eps, order=order
                 )
 
+        elif obj is Objective.FROBENIUS and config.use_pallas:
+            # Explicit opt-in: fused Pallas half-steps (see PERF.md — XLA's
+            # GEMM currently wins at these shapes; kept for r>=512 regimes
+            # and as the base of the quantized path).
+            import jax as _jax
+
+            from nmftpu.kernels import dense_mu as K
+
+            interp = _jax.default_backend() != "tpu"
+
+            def make_aux(V):
+                return ()
+
+            def update(V, aux, W, H):
+                return K.mu_update_frobenius_fused(
+                    V, W, H, eps=eps, order=order, interpret=interp
+                )
+
         elif obj is Objective.FROBENIUS:
 
             def make_aux(V):

@@ -22,6 +22,7 @@ def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    initialization_timeout: int | None = None,
 ) -> None:
     """Initialize JAX's multi-host runtime (idempotent).
 
@@ -42,6 +43,10 @@ def initialize_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if process_id is not None:
         kwargs["process_id"] = process_id
+    if initialization_timeout is None and "NMFTPU_INIT_TIMEOUT" in os.environ:
+        initialization_timeout = int(os.environ["NMFTPU_INIT_TIMEOUT"])
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     jax.distributed.initialize(**kwargs)
 
 

@@ -62,11 +62,27 @@ def main():
             print(f"{label:24s} FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:140]}", flush=True)
 
-    rate(lambda W, H: so.mu_update_frobenius_sparse(coo, W, H),
-         "sparse MU fro", flops_fro)
-    rate(lambda W, H: so.mu_update_kl_sparse(coo, W, H),
-         "sparse MU KL", flops_fro * 1.5)
+    import os as _os
+    if _os.environ.get("SKIP_SCATTER") != "1":
+        rate(lambda W, H: so.mu_update_frobenius_sparse(coo, W, H),
+             "sparse MU fro (scatter)", flops_fro)
+        rate(lambda W, H: so.mu_update_kl_sparse(coo, W, H),
+             "sparse MU KL (scatter)", flops_fro * 1.5)
+
+    # densified-bf16 strategy: dense-equivalent FLOPs on the MXU
+    from nmftpu import densified as DF
+    from nmftpu.linalg import dense as D
+    t0 = time.time()
+    Vd = DF.densify(coo)
+    Vd.block_until_ready()
+    print(f"densify {time.time()-t0:.1f}s -> {Vd.shape} bf16", flush=True)
+    flops_dense = 4 * n * m * r
+    rate(lambda W, H: D.mu_update_frobenius_bf16v(Vd, W, H),
+         "densified MU fro", flops_dense)
+    rate(lambda W, H: DF.mu_update_kl_densified(Vd, W, H),
+         "densified MU KL", 2 * flops_dense)
 
 
 if __name__ == "__main__":
     main()
+
