@@ -128,15 +128,17 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback):
 
         def body(c):
             W, H, it, prev, delta, stats, nc = c
-            W, H = ops.update(V, aux, W, H)
+            with jax.named_scope("nmftpu.update_step"):
+                W, H = ops.update(V, aux, W, H)
             it = it + 1
             do_check = (it % check_interval == 0) | (it == num_iterations)
 
             def checked(op):
                 prev, _, stats, nc = op
-                cur = error_metric(V, aux, W, H, sum_v_sq, numel).astype(
-                    jnp.float32
-                )
+                with jax.named_scope("nmftpu.error_check"):
+                    cur = error_metric(
+                        V, aux, W, H, sum_v_sq, numel
+                    ).astype(jnp.float32)
                 d = jnp.abs(prev - cur)
                 rec = jnp.stack([it.astype(jnp.float32), cur, d])
                 stats = stats.at[nc].set(rec)
