@@ -1,0 +1,299 @@
+"""Gather-based ELL sparse engine (SURVEY.md §7-PR3's padded-row layout).
+
+The chunked-COO path (sparse_ops) is scatter-bound: every nonzero
+scatter-adds an r-vector, O(nnz*r) scattered elements. This layout makes
+the hot loop gather-only:
+
+* Each row of V is split into SEGMENTS of at most `seg_max` nonzeros, and
+  segments are grouped into power-of-two-width BUCKETS (8/32/128/512 wide,
+  zero-padded to the bucket width) — the standard answer to power-law row
+  lengths (padding waste is bounded by 2x within a bucket).
+* A segment's contribution `sum_k v_k * H[:, col_k]` is a pure GATHER plus
+  an einsum. Only the (num_segments, r) segment results are scatter-added
+  into rows — ~nnz/seg_max + n rows instead of nnz, i.e. orders of
+  magnitude less scatter.
+* Row-major ELL computes V H^T; the column-major twin (same container
+  built on V^T) computes (W^T V)^T. SDDMM gathers both factor slices per
+  nonzero, again scatter-free.
+
+All shapes are static per bucket; buckets are a short python loop inside
+jit. Device arrays live in a registered pytree so the whole structure
+passes through jit/scan unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nmftpu import sparse as host_sparse
+
+DEFAULT_BUCKETS = (8, 32, 128, 512)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "cols", "out_row"],
+    meta_fields=["width"],
+)
+@dataclasses.dataclass(frozen=True)
+class EllBucket:
+    """Segments of uniform padded width. vals/cols: (nseg, width);
+    out_row[s] = destination row of segment s."""
+
+    vals: jax.Array
+    cols: jax.Array
+    out_row: jax.Array
+    width: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["buckets"],
+    meta_fields=["shape", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class EllRows:
+    """Row-segmented ELL of a sparse matrix (for V @ H^T style products)."""
+
+    buckets: tuple
+    shape: tuple[int, int]
+    nnz: int
+
+
+def build_ell_rows(
+    mat: host_sparse.SparseMatrix,
+    dtype=jnp.float32,
+    seg_max: int = 512,
+    buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+    chunk_segments: int = 2048,
+) -> EllRows:
+    """Host-side builder: CSR -> bucketed padded segments."""
+    csr = mat.to_csr()
+    n, m = csr.shape
+    assert buckets[-1] >= seg_max
+    lengths = np.diff(csr.indptr)
+
+    per_bucket: dict[int, list] = {w: [] for w in buckets}
+    for row in range(n):
+        s, e = csr.indptr[row], csr.indptr[row + 1]
+        for off in range(s, e, seg_max):
+            seg_len = min(seg_max, e - off)
+            width = next(w for w in buckets if w >= seg_len)
+            per_bucket[width].append((row, off, seg_len))
+
+    out = []
+    for width, segs in per_bucket.items():
+        if not segs:
+            continue
+        nseg = len(segs)
+        # pad segment count so scans can use fixed chunk sizes
+        nseg_p = ((nseg + chunk_segments - 1) // chunk_segments) * (
+            chunk_segments if nseg > chunk_segments else 1
+        )
+        nseg_p = max(nseg_p, nseg)
+        vals = np.zeros((nseg_p, width), dtype=np.dtype(dtype))
+        cols = np.zeros((nseg_p, width), dtype=np.int32)
+        rows = np.zeros((nseg_p,), dtype=np.int32)
+        for i, (row, off, seg_len) in enumerate(segs):
+            vals[i, :seg_len] = csr.data[off:off + seg_len]
+            cols[i, :seg_len] = csr.indices[off:off + seg_len]
+            rows[i] = row
+        out.append(EllBucket(
+            vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+            out_row=jnp.asarray(rows), width=width,
+        ))
+    return EllRows(buckets=tuple(out), shape=(n, m), nnz=csr.nnz)
+
+
+def _bucket_rowsums(bucket: EllBucket, H, chunk: int):
+    """Per-segment sum_k v_k * H[:, col_k] -> (nseg, r), scatter-free."""
+    H = jnp.asarray(H)
+    r = H.shape[0]
+    nseg = bucket.vals.shape[0]
+    if nseg <= chunk:
+        g = jnp.take(H, bucket.cols.reshape(-1), axis=1)   # (r, nseg*w)
+        g = g.T.reshape(nseg, bucket.width, r)
+        return jnp.einsum("sk,skr->sr", bucket.vals, g)
+    T = (nseg + chunk - 1) // chunk
+    pad = T * chunk - nseg
+    vals = jnp.pad(bucket.vals, ((0, pad), (0, 0))).reshape(
+        T, chunk, bucket.width
+    )
+    cols = jnp.pad(bucket.cols, ((0, pad), (0, 0))).reshape(
+        T, chunk, bucket.width
+    )
+
+    def body(_, x):
+        v, c = x
+        g = jnp.take(H, c.reshape(-1), axis=1)
+        g = g.T.reshape(chunk, bucket.width, r)
+        return None, jnp.einsum("sk,skr->sr", v, g)
+
+    _, res = lax.scan(body, None, (vals, cols))
+    return res.reshape(T * chunk, r)[:nseg]
+
+
+def v_ht_ell(ell: EllRows, H, chunk: int = 2048) -> jax.Array:
+    """V @ H^T -> (n, r). Gathers dominate; the only scatter is the
+    per-segment row accumulation (#segments ≈ n + nnz/seg_max)."""
+    H = jnp.asarray(H)
+    n = ell.shape[0]
+    r = H.shape[0]
+    out = jnp.zeros((n, r), H.dtype)
+    for bucket in ell.buckets:
+        seg = _bucket_rowsums(bucket, H, chunk)
+        out = out.at[bucket.out_row].add(seg)
+    return out
+
+
+def sddmm_ell(ell: EllRows, W, H, chunk: int = 2048) -> EllRows:
+    """(W H) sampled at the nonzero positions, returned as an EllRows with
+    the same structure whose vals are the sampled products (padding lanes
+    yield W[row]·H[:,0] garbage but their v=0 partners zero them in use —
+    callers only consume these values multiplied by original vals)."""
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    new_buckets = []
+    for bucket in ell.buckets:
+        nseg, width = bucket.vals.shape
+        w_rows = W[bucket.out_row]                        # (nseg, r)
+
+        def sample(cols_blk, w_blk):
+            g = jnp.take(H, cols_blk.reshape(-1), axis=1)
+            g = g.T.reshape(cols_blk.shape[0], width, H.shape[0])
+            return jnp.einsum("sr,skr->sk", w_blk, g)
+
+        if nseg <= chunk:
+            s = sample(bucket.cols, w_rows)
+        else:
+            T = (nseg + chunk - 1) // chunk
+            pad = T * chunk - nseg
+            cols = jnp.pad(bucket.cols, ((0, pad), (0, 0))).reshape(
+                T, chunk, width
+            )
+            wr = jnp.pad(w_rows, ((0, pad), (0, 0))).reshape(
+                T, chunk, W.shape[1]
+            )
+            _, s = lax.scan(
+                lambda _, x: (None, sample(x[0], x[1])), None, (cols, wr)
+            )
+            s = s.reshape(T * chunk, width)[:nseg]
+        new_buckets.append(EllBucket(
+            vals=s, cols=bucket.cols, out_row=bucket.out_row,
+            width=width,
+        ))
+    return EllRows(buckets=tuple(new_buckets), shape=ell.shape,
+                   nnz=ell.nnz)
+
+
+def map_values(ell: EllRows, fn) -> EllRows:
+    """Elementwise transform of stored values (padding stays harmless as
+    long as fn(0)-lanes are only ever used multiplied by true-value 0)."""
+    return EllRows(
+        buckets=tuple(
+            EllBucket(vals=fn(b.vals), cols=b.cols, out_row=b.out_row,
+                      width=b.width)
+            for b in ell.buckets
+        ),
+        shape=ell.shape, nnz=ell.nnz,
+    )
+
+
+def combine_values(a: EllRows, b: EllRows, fn) -> EllRows:
+    """Elementwise combine of two structurally identical EllRows."""
+    return EllRows(
+        buckets=tuple(
+            EllBucket(vals=fn(x.vals, y.vals), cols=x.cols,
+                      out_row=x.out_row, width=x.width)
+            for x, y in zip(a.buckets, b.buckets)
+        ),
+        shape=a.shape, nnz=a.nnz,
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rows", "cols"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class EllPair:
+    """Row-major ELL of V plus row-major ELL of V^T (= column-major of V):
+    everything the MU family needs, gather-only."""
+
+    rows: EllRows      # for V @ H^T
+    cols: EllRows      # ELL of V^T, for (W^T V)^T = V^T W
+
+    @property
+    def shape(self):
+        return self.rows.shape
+
+
+def build_ell_pair(mat: host_sparse.SparseMatrix, dtype=jnp.float32,
+                   **kw) -> EllPair:
+    return EllPair(
+        rows=build_ell_rows(mat, dtype=dtype, **kw),
+        cols=build_ell_rows(mat.T, dtype=dtype, **kw),
+    )
+
+
+def wt_v_ell(pair: EllPair, W, chunk: int = 2048) -> jax.Array:
+    """W^T V -> (r, m) via the transposed container: (V^T W)^T."""
+    return v_ht_ell(pair.cols, jnp.asarray(W).T, chunk=chunk).T
+
+
+def mu_update_frobenius_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
+    """Sparse MU (Frobenius) on the gather-only layout."""
+
+    def upd_w(W, H):
+        return W * (v_ht_ell(pair.rows, H) / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        return H * (wt_v_ell(pair, W) / ((W.T @ W) @ H + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def mu_update_kl_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
+    """Sparse MU (KL): SDDMM ratio on each container, then gather-SpMM."""
+
+    def ratio_rows(W, H):
+        s = sddmm_ell(pair.rows, W, H)
+        return combine_values(pair.rows, s,
+                              lambda v, wh: v / (wh + eps))
+
+    def ratio_cols(W, H):
+        # container holds V^T; sample (H^T W^T)= (WH)^T at its nonzeros
+        s = sddmm_ell(pair.cols, jnp.asarray(H).T, jnp.asarray(W).T)
+        return combine_values(pair.cols, s,
+                              lambda v, wh: v / (wh + eps))
+
+    def upd_w(W, H):
+        numer = v_ht_ell(ratio_rows(W, H), H)
+        denom = jnp.maximum(jnp.sum(H, axis=1), eps)[None, :]
+        return W * (numer / denom)
+
+    def upd_h(W, H):
+        numer = v_ht_ell(ratio_cols(W, H), jnp.asarray(W).T).T
+        denom = jnp.maximum(jnp.sum(W, axis=0), eps)[:, None]
+        return H * (numer / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H

@@ -34,25 +34,28 @@ def main():
 
     flops_fro = 8 * coo.values.shape[0] * r + 4 * (n + m) * r * r
 
-    def rate(update, label, flops):
-        def run_k(W, H, k):
+    def rate(update, operand, label, flops):
+        # operand is threaded as a jit ARGUMENT — a closure would bake
+        # multi-GB data into the program as a constant (HTTP 413 on the
+        # remote-compile path).
+        def run_k(O, W, H, k):
             def body(_, c):
-                return update(c[0], c[1])
+                return update(O, c[0], c[1])
             W, H = jax.lax.fori_loop(0, k, body, (W, H))
             return jnp.sum(W) + jnp.sum(H)
-        f = jax.jit(run_k, static_argnums=(2,))
+        f = jax.jit(run_k, static_argnums=(3,))
         try:
             t0 = time.time()
-            float(f(W0, H0, 2))
+            float(f(operand, W0, H0, 2))
             print(f"  [{label}] compile+2it {time.time()-t0:.1f}s",
                   flush=True)
-            float(f(W0, H0, 8))
+            float(f(operand, W0, H0, 8))
             ts = {}
             for k in (2, 8):
                 best = 1e9
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    float(f(W0, H0, k))
+                    float(f(operand, W0, H0, k))
                     best = min(best, time.perf_counter() - t0)
                 ts[k] = best
             slope = (ts[8] - ts[2]) / 6
@@ -64,10 +67,10 @@ def main():
 
     import os as _os
     if _os.environ.get("SKIP_SCATTER") != "1":
-        rate(lambda W, H: so.mu_update_frobenius_sparse(coo, W, H),
-             "sparse MU fro (scatter)", flops_fro)
-        rate(lambda W, H: so.mu_update_kl_sparse(coo, W, H),
-             "sparse MU KL (scatter)", flops_fro * 1.5)
+        rate(lambda O, W, H: so.mu_update_frobenius_sparse(O, W, H),
+             coo, "sparse MU fro (scatter)", flops_fro)
+        rate(lambda O, W, H: so.mu_update_kl_sparse(O, W, H),
+             coo, "sparse MU KL (scatter)", flops_fro * 1.5)
 
     # densified-bf16 strategy: dense-equivalent FLOPs on the MXU
     from nmftpu import densified as DF
@@ -77,10 +80,10 @@ def main():
     Vd.block_until_ready()
     print(f"densify {time.time()-t0:.1f}s -> {Vd.shape} bf16", flush=True)
     flops_dense = 4 * n * m * r
-    rate(lambda W, H: D.mu_update_frobenius_bf16v(Vd, W, H),
-         "densified MU fro", flops_dense)
-    rate(lambda W, H: DF.mu_update_kl_densified(Vd, W, H),
-         "densified MU KL", 2 * flops_dense)
+    rate(lambda O, W, H: D.mu_update_frobenius_bf16v(O, W, H),
+         Vd, "densified MU fro", flops_dense)
+    rate(lambda O, W, H: DF.mu_update_kl_densified(O, W, H),
+         Vd, "densified MU KL", 2 * flops_dense)
 
 
 if __name__ == "__main__":
