@@ -266,6 +266,66 @@ def mu_update_frobenius_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
     return W, H
 
 
+def mu_update_frobenius_weighted_ell(pair: EllPair, W, H, alpha,
+                                     eps=1e-9, order="WH"):
+    """Confidence-weighted MU (c = 1 + alpha*v at nonzeros) on ELL."""
+    cv_rows = map_values(pair.rows, lambda v: v * (1.0 + alpha * v))
+    cv_cols = map_values(pair.cols, lambda v: v * (1.0 + alpha * v))
+
+    def upd_w(W, H):
+        s = sddmm_ell(pair.rows, W, H)
+        swh = combine_values(pair.rows, s, lambda v, wh: v * wh)
+        denom = W @ (H @ H.T) + alpha * v_ht_ell(swh, H) + eps
+        return W * (v_ht_ell(cv_rows, H) / denom)
+
+    def upd_h(W, H):
+        Wt = jnp.asarray(W).T
+        Ht = jnp.asarray(H).T
+        s = sddmm_ell(pair.cols, Ht, Wt)
+        swh = combine_values(pair.cols, s, lambda v, wh: v * wh)
+        denom = (W.T @ W) @ H + alpha * v_ht_ell(swh, Wt).T + eps
+        return H * (v_ht_ell(cv_cols, Wt).T / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def sum_v_sq_ell(ell: EllRows) -> jax.Array:
+    """||V||_F^2 from the stored (zero-padded) values."""
+    return sum(jnp.sum(b.vals * b.vals) for b in ell.buckets)
+
+
+def frobenius_error_ell(pair: EllPair, W, H, sum_v_sq=None) -> jax.Array:
+    """Gram-trick ||V - WH||_F using the gather-only W^T V."""
+    if sum_v_sq is None:
+        sum_v_sq = sum_v_sq_ell(pair.rows)
+    WtV = wt_v_ell(pair, W)
+    cross = jnp.sum(WtV * H)
+    quad = jnp.sum((W.T @ W) * (H @ H.T))
+    return jnp.sqrt(jnp.maximum(sum_v_sq - 2.0 * cross + quad, 0.0))
+
+
+def kl_error_ell(pair: EllPair, W, H, eps=1e-12) -> jax.Array:
+    """D_KL(V || WH) with the nonzero log terms sampled via gather-SDDMM."""
+    s = sddmm_ell(pair.rows, W, H)
+    total = jnp.asarray(0.0, jnp.float32)
+    for orig, samp in zip(pair.rows.buckets, s.buckets):
+        v = orig.vals
+        wh = samp.vals
+        term = jnp.where(
+            v > 0,
+            v * jnp.log(jnp.maximum(v, eps) / jnp.maximum(wh, eps)),
+            0.0,
+        )
+        total = total + jnp.sum(term) - jnp.sum(v)
+    return total + jnp.sum(W, axis=0) @ jnp.sum(H, axis=1)
+
+
 def mu_update_kl_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
     """Sparse MU (KL): SDDMM ratio on each container, then gather-SpMM."""
 

@@ -647,6 +647,47 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
     )
 
 
+def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
+    from nmftpu import sparse_ell as SE
+
+    eps = config.eps
+    order = config.update_order
+    obj = config.objective
+    if config.algorithm is not Algorithm.MU:
+        raise ValueError(
+            "ell strategy currently supports the MU family "
+            "(use strategy='scatter' for the ALS family / nsNMF)"
+        )
+    if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
+        a = config.alpha_confidence
+
+        def update(pair, aux, W, H):
+            return SE.mu_update_frobenius_weighted_ell(
+                pair, W, H, a, eps=eps, order=order
+            )
+    elif obj is Objective.FROBENIUS:
+
+        def update(pair, aux, W, H):
+            return SE.mu_update_frobenius_ell(pair, W, H, eps=eps,
+                                              order=order)
+    else:
+
+        def update(pair, aux, W, H):
+            return SE.mu_update_kl_ell(pair, W, H, eps=eps, order=order)
+
+    return LoopOps(
+        make_aux=lambda pair: (),
+        update=update,
+        effective_h=lambda aux, H: H,
+        frobenius=lambda pair, aux, W, He, svsq: SE.frobenius_error_ell(
+            pair, W, He, svsq
+        ),
+        kl=lambda pair, aux, W, He: SE.kl_error_ell(pair, W, He),
+        sum_v_sq=lambda pair: SE.sum_v_sq_ell(pair.rows),
+        numel=lambda pair: pair.shape[0] * pair.shape[1],
+    )
+
+
 def compute_sparse(
     V: host_sparse.SparseMatrix | DeviceCOO,
     config: NmfConfig,
@@ -661,6 +702,8 @@ def compute_sparse(
       "scatter"   — chunked COO gather/scatter updates (any size);
       "densified" — scatter V once into dense bf16 and run MXU updates
                     (MU only; fastest whenever n*m*2 bytes fit HBM);
+      "ell"       — gather-only bucketed padded-segment layout (MU family;
+                    the beyond-HBM alternative to scatter);
       "auto"      — densified when supported and within
                     DENSIFY_BUDGET_BYTES, else scatter.
     """
@@ -686,6 +729,29 @@ def compute_sparse(
             "densified strategy supports MU (Frobenius/KL) without "
             "confidence weighting"
         )
+
+    if strategy == "ell":
+        if isinstance(V, DeviceCOO):
+            raise ValueError("ell strategy needs a host sparse container")
+        from nmftpu import sparse_ell as SE
+
+        pair = SE.build_ell_pair(V, dtype=dtype)
+        cache_key = (config, coo.shape, "ell", str(dtype))
+        if callback is not None:
+            runner = build_runner(config, _ell_ops_bundle(config), callback)
+        else:
+            runner = _RUNNER_CACHE.get(cache_key)
+            if runner is None:
+                runner = build_runner(config, _ell_ops_bundle(config), None)
+                _RUNNER_CACHE[cache_key] = runner
+
+        def init_fn(key):
+            return sparse_initialize_factors(
+                coo, config.rank, config.init_method, key,
+                W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
+            )
+
+        return execute(pair, config, runner, init_fn, numel=n * m)
 
     if strategy == "densified":
         from nmftpu import densified as DF

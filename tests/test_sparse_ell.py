@@ -105,3 +105,30 @@ def test_long_rows_split_into_segments(rng):
     np.testing.assert_allclose(
         np.asarray(se.v_ht_ell(ell, H)), dense @ H.T, rtol=1e-4
     )
+
+
+def test_compute_sparse_ell_strategy(rng):
+    from nmftpu import NmfConfig, Initialization, Objective
+    from nmftpu.sparse_ops import compute_sparse
+
+    dense, sp = _sprandom(rng)
+    n, m = dense.shape
+    W0, H0 = _factors(rng, n, m, 4)
+    cfg = NmfConfig(
+        rank=4, init_method=Initialization.COPY_EXISTING,
+        num_iterations=15, check_interval=5,
+    )
+    re_ = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="ell")
+    rs = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
+    np.testing.assert_allclose(
+        re_.frobenius_error, rs.frobenius_error, rtol=1e-3
+    )
+    # KL too
+    cfg_kl = NmfConfig(
+        rank=4, objective=Objective.KL,
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=10, check_interval=5,
+    )
+    rk = compute_sparse(sp, cfg_kl, W0=W0, H0=H0, strategy="ell")
+    rk2 = compute_sparse(sp, cfg_kl, W0=W0, H0=H0, strategy="scatter")
+    np.testing.assert_allclose(rk.kl_error, rk2.kl_error, rtol=1e-3)
