@@ -719,11 +719,20 @@ def compute_sparse(
         )
 
     if strategy == "auto":
-        strategy = (
-            "densified"
-            if _densified_supported(config) and 2 * n * m <= DENSIFY_BUDGET_BYTES
-            else "scatter"
-        )
+        if (
+            _densified_supported(config)
+            and 2 * n * m <= DENSIFY_BUDGET_BYTES
+        ):
+            strategy = "densified"
+        elif (
+            config.algorithm is Algorithm.MU
+            and not isinstance(V, DeviceCOO)
+        ):
+            # beyond the densify budget: gather-only ELL beats the scatter
+            # path ~3x for the MU family (PERF.md)
+            strategy = "ell"
+        else:
+            strategy = "scatter"
     if strategy == "densified" and not _densified_supported(config):
         raise ValueError(
             "densified strategy supports MU (Frobenius/KL) without "
