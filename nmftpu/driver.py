@@ -35,9 +35,9 @@ def _dense_ops(config: NmfConfig) -> LoopOps:
     )
 
 
-def _get_runner(config: NmfConfig, shape, dtype, callback):
-    if callback is not None:
-        return build_runner(config, _dense_ops(config), callback)
+def _get_runner(config: NmfConfig, shape, dtype, callback, interrupt):
+    if callback is not None or interrupt is not None:
+        return build_runner(config, _dense_ops(config), callback, interrupt)
     key = (config, shape, str(dtype))
     runner = _RUNNER_CACHE.get(key)
     if runner is None:
@@ -52,12 +52,15 @@ def compute(
     W0=None,
     H0=None,
     callback: Callable[[Any, Any, Any, Any], None] | None = None,
+    interrupt: Callable[[], bool] | None = None,
 ) -> NmfResult:
     """Factorize dense V ≈ W H under `config` (reference: nmfgpu_compute).
 
     callback, if given, is invoked (host-side, async) at every convergence
     check with (run_index, iteration, error, delta) — the reference's
-    per-iteration statistics callback (SURVEY.md C17).
+    per-iteration statistics callback (SURVEY.md C17). interrupt, if given,
+    is polled (synchronously) at every check; returning truthy stops the
+    run and yields the current factors (SURVEY.md C9).
     """
     dtype = jnp.dtype(config.dtype)
     V = jnp.asarray(V, dtype)
@@ -69,7 +72,7 @@ def compute(
             f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
         )
 
-    runner = _get_runner(config, V.shape, dtype, callback)
+    runner = _get_runner(config, V.shape, dtype, callback, interrupt)
 
     def init_fn(key):
         return initialize_factors(

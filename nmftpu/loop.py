@@ -84,8 +84,14 @@ def _verbose_callback(run_idx, iteration, error, delta):
     )
 
 
-def build_runner(config: NmfConfig, ops: LoopOps, callback):
-    """Build the jitted single-run loop for (config, ops)."""
+def build_runner(config: NmfConfig, ops: LoopOps, callback,
+                 interrupt=None):
+    """Build the jitted single-run loop for (config, ops).
+
+    interrupt: optional zero-arg host callable polled at every convergence
+    check (reference C9: user-interrupt polling); truthy return stops the
+    run and returns the current factors.
+    """
     if callback is None and config.verbosity >= 2:
         callback = _verbose_callback
     num_iterations = config.num_iterations
@@ -120,21 +126,22 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback):
             jnp.asarray(jnp.inf, jnp.float32),
             stats,
             jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
         )
 
         def cond(c):
-            _, _, it, _, delta, _, _ = c
-            return (it < num_iterations) & (delta > threshold)
+            _, _, it, _, delta, _, _, stop = c
+            return (it < num_iterations) & (delta > threshold) & ~stop
 
         def body(c):
-            W, H, it, prev, delta, stats, nc = c
+            W, H, it, prev, delta, stats, nc, stop = c
             with jax.named_scope("nmftpu.update_step"):
                 W, H = ops.update(V, aux, W, H)
             it = it + 1
             do_check = (it % check_interval == 0) | (it == num_iterations)
 
             def checked(op):
-                prev, _, stats, nc = op
+                prev, _, stats, nc, stop = op
                 with jax.named_scope("nmftpu.error_check"):
                     cur = error_metric(
                         V, aux, W, H, sum_v_sq, numel
@@ -144,15 +151,26 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback):
                 stats = stats.at[nc].set(rec)
                 if callback is not None:
                     jax.debug.callback(callback, run_idx, it, cur, d)
-                return cur, d, stats, nc + 1
+                if interrupt is not None:
+                    from jax.experimental import io_callback
 
-            prev, delta, stats, nc = lax.cond(
-                do_check, checked, lambda op: op, (prev, delta, stats, nc)
+                    stop = io_callback(
+                        lambda: np.bool_(bool(interrupt())),
+                        jax.ShapeDtypeStruct((), jnp.bool_),
+                        ordered=True,
+                    )
+                return cur, d, stats, nc + 1, stop
+
+            prev, delta, stats, nc, stop = lax.cond(
+                do_check, checked, lambda op: op,
+                (prev, delta, stats, nc, stop),
             )
-            return (W, H, it, prev, delta, stats, nc)
+            return (W, H, it, prev, delta, stats, nc, stop)
 
-        W, H, it, err, delta, stats, nc = lax.while_loop(cond, body, carry)
-        converged = delta <= threshold
+        (W, H, it, err, delta, stats, nc, stop) = lax.while_loop(
+            cond, body, carry
+        )
+        converged = (delta <= threshold) & ~stop
 
         He = ops.effective_h(aux, H)
         fro = ops.frobenius(V, aux, W, He, sum_v_sq).astype(jnp.float32)

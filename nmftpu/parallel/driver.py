@@ -149,6 +149,7 @@ def compute_sharded(
     balance: bool = True,
     chunk: int = 8192,
     callback: Callable[[Any, Any, Any, Any], None] | None = None,
+    interrupt: Callable[[], bool] | None = None,
 ) -> NmfResult:
     """Factorize sparse V over a 2-D ('users','items') device mesh.
 
@@ -177,9 +178,9 @@ def compute_sharded(
         config, scoo.shape, scoo.values.shape, str(dtype),
         tuple(mesh.devices.flat), mesh.axis_names,
     )
-    if callback is not None:
+    if callback is not None or interrupt is not None:
         runner = build_runner(
-            config, _sharded_ops(config, mesh, scoo), callback
+            config, _sharded_ops(config, mesh, scoo), callback, interrupt
         )
     else:
         runner = _RUNNER_CACHE.get(cache_key)

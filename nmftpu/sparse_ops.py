@@ -695,6 +695,7 @@ def compute_sparse(
     H0=None,
     strategy: str = "auto",
     callback: Callable[[Any, Any, Any, Any], None] | None = None,
+    interrupt: Callable[[], bool] | None = None,
 ) -> NmfResult:
     """Sparse twin of `nmftpu.driver.compute`: V stays sparse end-to-end.
 
@@ -746,8 +747,9 @@ def compute_sparse(
 
         pair = SE.build_ell_pair(V, dtype=dtype)
         cache_key = (config, coo.shape, "ell", str(dtype))
-        if callback is not None:
-            runner = build_runner(config, _ell_ops_bundle(config), callback)
+        if callback is not None or interrupt is not None:
+            runner = build_runner(config, _ell_ops_bundle(config), callback,
+                                  interrupt)
         else:
             runner = _RUNNER_CACHE.get(cache_key)
             if runner is None:
@@ -769,9 +771,10 @@ def compute_sparse(
         cache_key = (
             config, coo.shape, "densified", str(dtype),
         )
-        if callback is not None:
+        if callback is not None or interrupt is not None:
             runner = build_runner(
-                config, _densified_ops_bundle(config, coo), callback
+                config, _densified_ops_bundle(config, coo), callback,
+                interrupt,
             )
         else:
             runner = _RUNNER_CACHE.get(cache_key)
@@ -790,8 +793,9 @@ def compute_sparse(
         return execute(Vd, config, runner, init_fn, numel=n * m)
 
     cache_key = (config, coo.shape, coo.values.shape[0], str(dtype))
-    if callback is not None:
-        runner = build_runner(config, _sparse_ops_bundle(config), callback)
+    if callback is not None or interrupt is not None:
+        runner = build_runner(config, _sparse_ops_bundle(config), callback,
+                              interrupt)
     else:
         runner = _RUNNER_CACHE.get(cache_key)
         if runner is None:

@@ -149,3 +149,20 @@ def test_top_level_nmf_api(lowrank, rng):
     V = lowrank(rng, 20, 16, 3)
     res = nmftpu.nmf(V, 3, algorithm="mu", init="random", num_iterations=20)
     assert res.W.shape == (20, 3)
+
+
+def test_interrupt_stops_run(lowrank, rng):
+    """Reference C9: the user-interrupt poll stops the loop early and
+    returns the current factors."""
+    V = lowrank(rng, 30, 24, 3)
+    calls = []
+
+    def interrupt():
+        calls.append(1)
+        return len(calls) >= 2  # stop at the second check
+
+    cfg = NmfConfig(rank=3, num_iterations=1000, check_interval=10)
+    res = compute(V, cfg, interrupt=interrupt)
+    assert res.num_iterations == 20  # stopped right after check #2
+    assert not res.converged
+    assert np.isfinite(res.frobenius_error)
