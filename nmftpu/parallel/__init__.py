@@ -19,6 +19,7 @@ from nmftpu.parallel.mesh import (
 from nmftpu.parallel.sharded_coo import ShardedCOO, partition_sparse
 from nmftpu.parallel.driver import compute_sharded
 from nmftpu.parallel.retrieval_sharded import topk_mips_sharded
+from nmftpu.parallel import ring
 
 __all__ = [
     "AXIS_ITEMS",
@@ -28,5 +29,6 @@ __all__ = [
     "factor_shardings",
     "make_grid_mesh",
     "partition_sparse",
+    "ring",
     "topk_mips_sharded",
 ]
