@@ -17,16 +17,21 @@ def recall_at_k(
     k: int = 100,
     batch_users: int = 1024,
     block: int = 4096,
+    mesh=None,
 ) -> float:
     """Fraction of held-out (user, item) pairs whose item appears in the
     user's top-k recommendations (training items excluded from candidates).
 
     W: (n, r) user factors; H: (r, m) item factors; test_pairs: (t, 2)
     [user, item]; train: the training interactions to exclude from
-    candidate lists (standard protocol).
+    candidate lists (standard protocol). With `mesh`, H may be sharded
+    P(None, 'items') and scoring runs through the two-stage sharded top-k
+    (per-shard blocked top-k + all-gather merge).
     """
     W = np.asarray(W)
     H_dev = H  # stays on device across batches
+    if mesh is not None:
+        from nmftpu.parallel.retrieval_sharded import topk_mips_sharded
     test_pairs = np.asarray(test_pairs)
     if test_pairs.size == 0:
         return float("nan")
@@ -52,9 +57,14 @@ def recall_at_k(
                 mask[bi, train_csr.indices[s:e]] = True
         else:
             mask = None
-        _, idx = topk_mips_blocked(
-            Wq, H_dev, k, block=block, exclude_mask=mask
-        )
+        if mesh is not None:
+            _, idx = topk_mips_sharded(
+                Wq, H_dev, k, mesh=mesh, block=block, exclude_mask=mask
+            )
+        else:
+            _, idx = topk_mips_blocked(
+                Wq, H_dev, k, block=block, exclude_mask=mask
+            )
         idx = np.asarray(idx)
         for bi, u in enumerate(batch):
             top = set(idx[bi].tolist())

@@ -177,3 +177,18 @@ def test_topk_mips_sharded_matches_single(rng, mesh):
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+
+def test_recall_at_k_sharded_matches_single(rng, mesh):
+    from nmftpu.retrieval import recall_at_k
+    n, m, r = 40, 96, 6
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    held = np.argmax(W @ H, axis=1)
+    test_pairs = np.stack([np.arange(n), held], axis=1)
+    sh = factor_shardings(mesh)
+    H_dev = jax.device_put(H, sh["H"])
+    r1 = recall_at_k(W, H, test_pairs, k=5, batch_users=16, block=16)
+    r2 = recall_at_k(W, H_dev, test_pairs, k=5, batch_users=16, block=16,
+                     mesh=mesh)
+    assert r1 == r2 == 1.0
