@@ -342,7 +342,7 @@ def frobenius_error(V, W, H, sum_v_sq=None):
 def rmsd(V, W, H, sum_v_sq=None):
     """Root-mean-square deviation: sqrt(||V - WH||_F^2 / (n m))."""
     n, m = V.shape[0], H.shape[1]
-    return jnp.sqrt(frobenius_error_sq(V, W, H, sum_v_sq) / (n * m))
+    return jnp.sqrt(frobenius_error_sq(V, W, H, sum_v_sq) / (float(n) * float(m)))
 
 
 def kl_error(V, W, H, eps=1e-12):

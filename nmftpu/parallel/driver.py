@@ -66,22 +66,22 @@ def _pad_perm_matrix(X, perm, padded, axis):
 
 def _sharded_init(
     mat: host_sparse.SparseMatrix,
-    scoo: ShardedCOO,
     config: NmfConfig,
     shardings,
     row_perm,
     col_perm,
     W0,
     H0,
+    shape,
+    padded_shape,
+    mean_v,
+    dtype,
 ):
     """Build the per-run init closure producing padded, sharded factors."""
-    n, m = scoo.shape
-    pn, pm = scoo.padded_shape
+    n, m = shape
+    pn, pm = padded_shape
     r = config.rank
-    dtype = scoo.values.dtype
     method = config.init_method
-
-    mean_v = float(jnp.sum(scoo.values)) / (n * m)
     scale = float(np.sqrt(max(mean_v, 1e-12) / r))
 
     row_mask = jnp.zeros((pn, 1), dtype).at[jnp.asarray(row_perm), 0].set(1.0)
@@ -148,6 +148,7 @@ def compute_sharded(
     H0=None,
     balance: bool = True,
     chunk: int = 8192,
+    engine: str = "auto",
     callback: Callable[[Any, Any, Any, Any], None] | None = None,
     interrupt: Callable[[], bool] | None = None,
 ) -> NmfResult:
@@ -157,44 +158,87 @@ def compute_sharded(
     region per iteration; see nmftpu.parallel.updates for the collective
     pattern. Returns factors in the ORIGINAL row/column order, cropped to
     the true shape.
+
+    engine: per-tile sparse engine — "ell" (gather-only bucketed segments,
+    MU family, ~3x faster per tile), "scatter" (chunked COO, all
+    algorithms), or "auto" (ell for MU, else scatter).
     """
+    from nmftpu.config import Algorithm
+
     if mesh is None:
         mesh = make_grid_mesh(mesh_shape)
     shardings = factor_shardings(mesh)
     dtype = jnp.dtype(config.dtype)
-
-    scoo, row_perm, col_perm = partition_sparse(
-        V, tuple(mesh.devices.shape), dtype=dtype, chunk=chunk,
-        balance=balance, seed=config.seed,
-        out_shardings=shardings["tile"],
-    )
-    n, m = scoo.shape
+    n, m = V.shape
     if config.rank > min(n, m):
         raise ValueError(
             f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
         )
 
-    cache_key = (
-        config, scoo.shape, scoo.values.shape, str(dtype),
-        tuple(mesh.devices.flat), mesh.axis_names,
-    )
-    if callback is not None or interrupt is not None:
-        runner = build_runner(
-            config, _sharded_ops(config, mesh, scoo), callback, interrupt
+    if engine == "auto":
+        engine = "ell" if config.algorithm is Algorithm.MU else "scatter"
+
+    if engine == "ell":
+        from nmftpu.parallel import sharded_ell as SEL
+
+        sell, row_perm, col_perm = SEL.partition_sparse_ell(
+            V, tuple(mesh.devices.shape), dtype=dtype,
+            balance=balance, seed=config.seed, mesh=mesh,
         )
+        make_aux, update, eff_h = SEL.build_sharded_ell_update(
+            config, mesh, sell
+        )
+        fro, kl = SEL.build_sharded_ell_errors(mesh, sell)
+        ops = LoopOps(
+            make_aux=make_aux,
+            update=update,
+            effective_h=eff_h,
+            frobenius=lambda s, aux, W, He, svsq: fro(s, W, He, svsq),
+            kl=lambda s, aux, W, He: kl(s, W, He),
+            sum_v_sq=lambda s: sum(
+                jnp.sum(v * v) for v in s.r_vals
+            ),
+            numel=lambda s: s.shape[0] * s.shape[1],
+        )
+        operand = sell
+        padded_shape = sell.padded_shape
+        mean_v = float(sum(float(jnp.sum(v)) for v in sell.r_vals)) / (
+            float(n) * float(m)
+        )
+        cache_key = (
+            config, sell.shape, "ell",
+            tuple(a.shape for a in sell.r_vals), str(dtype),
+            tuple(mesh.devices.flat), mesh.axis_names,
+        )
+    else:
+        scoo, row_perm, col_perm = partition_sparse(
+            V, tuple(mesh.devices.shape), dtype=dtype, chunk=chunk,
+            balance=balance, seed=config.seed,
+            out_shardings=shardings["tile"],
+        )
+        ops = _sharded_ops(config, mesh, scoo)
+        operand = scoo
+        padded_shape = scoo.padded_shape
+        mean_v = float(jnp.sum(scoo.values)) / (float(n) * float(m))
+        cache_key = (
+            config, scoo.shape, scoo.values.shape, str(dtype),
+            tuple(mesh.devices.flat), mesh.axis_names,
+        )
+
+    if callback is not None or interrupt is not None:
+        runner = build_runner(config, ops, callback, interrupt)
     else:
         runner = _RUNNER_CACHE.get(cache_key)
         if runner is None:
-            runner = build_runner(
-                config, _sharded_ops(config, mesh, scoo), None
-            )
+            runner = build_runner(config, ops, None)
             _RUNNER_CACHE[cache_key] = runner
 
     init_fn = _sharded_init(
-        V, scoo, config, shardings, row_perm, col_perm, W0, H0
+        V, config, shardings, row_perm, col_perm, W0, H0,
+        (n, m), padded_shape, mean_v, dtype,
     )
 
-    result = execute(scoo, config, runner, init_fn, numel=n * m)
+    result = execute(operand, config, runner, init_fn, numel=n * m)
 
     if jax.process_count() > 1:
         # Multi-host: the factors stay distributed (permuted + padded);

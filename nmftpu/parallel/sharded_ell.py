@@ -1,0 +1,410 @@
+"""Sharded gather-only ELL layout: the 2-D grid engine with ELL tiles.
+
+Same mesh/collective structure as parallel/updates.py (W row-sharded,
+H col-sharded, psum-reduced numerators — MPI-FAUN pattern), but each
+device's tile is stored in the gather-only bucketed-segment layout of
+nmftpu.sparse_ell instead of scatter-COO — measured ~3× faster per tile
+for MU (PERF.md). SPMD requires identical per-device shapes, so every
+bucket's segment count is padded to the maximum over tiles; the balancing
+permutation keeps that padding small.
+
+Both orientations are stored: row-major ELL of each tile (for V·Hᵀ) and
+row-major ELL of each tile's TRANSPOSE (for (WᵀV)ᵀ).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nmftpu import sparse as host_sparse
+from nmftpu import sparse_ell as SE
+from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
+from nmftpu.sparse_ell import EllBucket, EllRows
+
+_TILE_SEG = P(AXIS_USERS, AXIS_ITEMS, None, None)
+_TILE_ROW = P(AXIS_USERS, AXIS_ITEMS, None)
+_W_SPEC = P(AXIS_USERS, None)
+_H_SPEC = P(None, AXIS_ITEMS)
+_REP = P()
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["r_vals", "r_cols", "r_rows", "c_vals", "c_cols",
+                 "c_rows"],
+    meta_fields=["r_widths", "c_widths", "shape", "nnz", "mesh_shape",
+                 "block_rows", "block_cols"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedEll:
+    """Per-bucket stacked tile arrays; leading (pu, pi) axes shard over the
+    mesh. r_* = row-major ELL of the tile; c_* = row-major ELL of the
+    tile's transpose."""
+
+    r_vals: tuple   # each (pu, pi, nseg_b, width_b)
+    r_cols: tuple
+    r_rows: tuple   # each (pu, pi, nseg_b)
+    c_vals: tuple
+    c_cols: tuple
+    c_rows: tuple
+    r_widths: tuple
+    c_widths: tuple
+    shape: tuple[int, int]
+    nnz: int
+    mesh_shape: tuple[int, int]
+    block_rows: int
+    block_cols: int
+
+    @property
+    def padded_shape(self):
+        return (
+            self.mesh_shape[0] * self.block_rows,
+            self.mesh_shape[1] * self.block_cols,
+        )
+
+
+def _tile_ell_arrays(
+    tri_by_tile, pu, pi, n_local, dtype, seg_max, buckets
+):
+    """Build per-tile ELL and pad segment counts to the global max.
+    tri_by_tile[(i, j)] = (rows_local, cols_local, vals) sorted by row."""
+    per_tile_buckets = {}
+    widths_present = set()
+    for key, (rows, cols, vals) in tri_by_tile.items():
+        # group by row (already sorted), split into segments
+        segs: dict[int, list] = {w: [] for w in buckets}
+        if len(rows):
+            starts = np.flatnonzero(np.diff(rows, prepend=-1))
+            ends = np.append(starts[1:], len(rows))
+            for s, e in zip(starts, ends):
+                for off in range(s, e, seg_max):
+                    ln = min(seg_max, e - off)
+                    w = next(b for b in buckets if b >= ln)
+                    segs[w].append((rows[s], off, ln))
+        per_tile_buckets[key] = segs
+        for w, lst in segs.items():
+            if lst:
+                widths_present.add(w)
+
+    widths = tuple(sorted(widths_present)) or (buckets[0],)
+    max_nseg = {
+        w: max(
+            (len(per_tile_buckets.get((i, j), {}).get(w, []))
+             for i in range(pu) for j in range(pi)),
+            default=0,
+        )
+        for w in widths
+    }
+    out_vals, out_cols, out_rows = [], [], []
+    for w in widths:
+        ns = max(max_nseg[w], 1)
+        va = np.zeros((pu, pi, ns, w), dtype=np.dtype(dtype))
+        ca = np.zeros((pu, pi, ns, w), dtype=np.int32)
+        ra = np.zeros((pu, pi, ns), dtype=np.int32)
+        for (i, j), segs in per_tile_buckets.items():
+            rows, cols, vals = tri_by_tile[(i, j)]
+            for si, (row, off, ln) in enumerate(segs.get(w, [])):
+                va[i, j, si, :ln] = vals[off:off + ln]
+                ca[i, j, si, :ln] = cols[off:off + ln]
+                ra[i, j, si] = row
+        out_vals.append(va)
+        out_cols.append(ca)
+        out_rows.append(ra)
+    return widths, out_vals, out_cols, out_rows
+
+
+def partition_sparse_ell(
+    mat: host_sparse.SparseMatrix,
+    mesh_shape: tuple[int, int],
+    dtype=jnp.float32,
+    seg_max: int = 512,
+    buckets: tuple[int, ...] = SE.DEFAULT_BUCKETS,
+    balance: bool = True,
+    seed: int = 0,
+    mesh=None,
+):
+    """Tile + ELL-encode a host sparse matrix for the mesh. Returns
+    (ShardedEll, row_perm, col_perm)."""
+    pu, pi = mesh_shape
+    coo = mat.to_coo()
+    n, m = coo.shape
+    rng = np.random.default_rng(seed)
+    if balance:
+        row_perm = rng.permutation(n).astype(np.int32)
+        col_perm = rng.permutation(m).astype(np.int32)
+        rows = row_perm[coo.row]
+        cols = col_perm[coo.col]
+    else:
+        row_perm = np.arange(n, dtype=np.int32)
+        col_perm = np.arange(m, dtype=np.int32)
+        rows, cols = coo.row, coo.col
+
+    def rup(x, mult=8):
+        return ((x + mult - 1) // mult) * mult
+
+    block_rows = rup((n + pu - 1) // pu)
+    block_cols = rup((m + pi - 1) // pi)
+    ti = rows // block_rows
+    tj = cols // block_cols
+    lr = (rows - ti * block_rows).astype(np.int32)
+    lc = (cols - tj * block_cols).astype(np.int32)
+
+    tri_r, tri_c = {}, {}
+    for i in range(pu):
+        for j in range(pi):
+            sel = np.flatnonzero((ti == i) & (tj == j))
+            rr, cc, vv = lr[sel], lc[sel], coo.data[sel]
+            o = np.lexsort((cc, rr))
+            tri_r[(i, j)] = (rr[o], cc[o], vv[o])
+            o = np.lexsort((rr, cc))
+            tri_c[(i, j)] = (cc[o], rr[o], vv[o])  # transpose orientation
+
+    rw, rv, rc, rr_ = _tile_ell_arrays(
+        tri_r, pu, pi, block_rows, dtype, seg_max, buckets
+    )
+    cw, cv, cc_, cr = _tile_ell_arrays(
+        tri_c, pu, pi, block_cols, dtype, seg_max, buckets
+    )
+
+    def put(arrs, spec):
+        if mesh is None:
+            return tuple(jnp.asarray(a) for a in arrs)
+        sh = NamedSharding(mesh, spec)
+        return tuple(
+            jax.make_array_from_callback(a.shape, sh,
+                                         lambda idx, a=a: a[idx])
+            for a in arrs
+        )
+
+    sell = ShardedEll(
+        r_vals=put(rv, _TILE_SEG), r_cols=put(rc, _TILE_SEG),
+        r_rows=put(rr_, _TILE_ROW),
+        c_vals=put(cv, _TILE_SEG), c_cols=put(cc_, _TILE_SEG),
+        c_rows=put(cr, _TILE_ROW),
+        r_widths=rw, c_widths=cw,
+        shape=(n, m), nnz=coo.nnz, mesh_shape=(pu, pi),
+        block_rows=block_rows, block_cols=block_cols,
+    )
+    return sell, row_perm, col_perm
+
+
+def _local_ell(widths, vals, cols, rows, shape, nnz=-1) -> EllRows:
+    """Assemble the device-local EllRows inside a shard_map region."""
+    return EllRows(
+        buckets=tuple(
+            EllBucket(
+                vals=v[0, 0], cols=c[0, 0], out_row=r[0, 0], width=w
+            )
+            for w, v, c, r in zip(widths, vals, cols, rows)
+        ),
+        shape=shape, nnz=nnz,
+    )
+
+
+def build_sharded_ell_update(config, mesh, sell: ShardedEll):
+    """Sharded MU updates over ELL tiles. Returns (make_aux, update,
+    effective_h) for the generic loop; MU Frobenius/KL/weighted only."""
+    from nmftpu.config import Algorithm, Objective
+
+    if config.algorithm is not Algorithm.MU:
+        raise ValueError("sharded ELL engine supports the MU family")
+    eps = config.eps
+    order = config.update_order
+    obj = config.objective
+    alpha = config.alpha_confidence
+    br, bc = sell.block_rows, sell.block_cols
+    rshape = (br, bc)
+    cshape = (bc, br)
+
+    nr = len(sell.r_widths)
+
+    def step(*args):
+        (r_vals, r_cols, r_rows) = (args[0:nr], args[nr:2 * nr],
+                                    args[2 * nr:3 * nr])
+        rest = args[3 * nr:]
+        nc = len(sell.c_widths)
+        (c_vals, c_cols, c_rows) = (rest[0:nc], rest[nc:2 * nc],
+                                    rest[2 * nc:3 * nc])
+        W, H = rest[3 * nc], rest[3 * nc + 1]
+
+        ell_r = _local_ell(sell.r_widths, r_vals, r_cols, r_rows, rshape)
+        ell_c = _local_ell(sell.c_widths, c_vals, c_cols, c_rows, cshape)
+
+        def numer_w(H):
+            return lax.psum(SE.v_ht_ell(ell_r, H), AXIS_ITEMS)
+
+        def numer_h(W):
+            return lax.psum(
+                SE.v_ht_ell(ell_c, jnp.asarray(W).T).T, AXIS_USERS
+            )
+
+        if obj is Objective.FROBENIUS and alpha > 0.0:
+            cv_r = SE.map_values(ell_r, lambda v: v * (1.0 + alpha * v))
+            cv_c = SE.map_values(ell_c, lambda v: v * (1.0 + alpha * v))
+
+            def upd_w(W, H):
+                s = SE.sddmm_ell(ell_r, W, H)
+                swh = SE.combine_values(ell_r, s, lambda v, wh: v * wh)
+                HHt = lax.psum(H @ H.T, AXIS_ITEMS)
+                den = (
+                    W @ HHt
+                    + alpha * lax.psum(SE.v_ht_ell(swh, H), AXIS_ITEMS)
+                    + eps
+                )
+                return W * (lax.psum(SE.v_ht_ell(cv_r, H), AXIS_ITEMS)
+                            / den)
+
+            def upd_h(W, H):
+                Wt = jnp.asarray(W).T
+                s = SE.sddmm_ell(ell_c, jnp.asarray(H).T, Wt)
+                swh = SE.combine_values(ell_c, s, lambda v, wh: v * wh)
+                WtW = lax.psum(W.T @ W, AXIS_USERS)
+                den = (
+                    WtW @ H
+                    + alpha * lax.psum(SE.v_ht_ell(swh, Wt).T, AXIS_USERS)
+                    + eps
+                )
+                return H * (lax.psum(SE.v_ht_ell(cv_c, Wt).T, AXIS_USERS)
+                            / den)
+
+        elif obj is Objective.FROBENIUS:
+
+            def upd_w(W, H):
+                HHt = lax.psum(H @ H.T, AXIS_ITEMS)
+                return W * (numer_w(H) / (W @ HHt + eps))
+
+            def upd_h(W, H):
+                WtW = lax.psum(W.T @ W, AXIS_USERS)
+                return H * (numer_h(W) / (WtW @ H + eps))
+
+        else:  # KL
+
+            def upd_w(W, H):
+                s = SE.sddmm_ell(ell_r, W, H)
+                ratio = SE.combine_values(
+                    ell_r, s, lambda v, wh: v / (wh + eps)
+                )
+                h_sum = lax.psum(jnp.sum(H, axis=1), AXIS_ITEMS)
+                numer = lax.psum(SE.v_ht_ell(ratio, H), AXIS_ITEMS)
+                return W * (numer / jnp.maximum(h_sum, eps)[None, :])
+
+            def upd_h(W, H):
+                Wt = jnp.asarray(W).T
+                s = SE.sddmm_ell(ell_c, jnp.asarray(H).T, Wt)
+                ratio = SE.combine_values(
+                    ell_c, s, lambda v, wh: v / (wh + eps)
+                )
+                w_sum = lax.psum(jnp.sum(W, axis=0), AXIS_USERS)
+                numer = lax.psum(SE.v_ht_ell(ratio, Wt).T, AXIS_USERS)
+                return H * (numer / jnp.maximum(w_sum, eps)[:, None])
+
+        if order == "WH":
+            W = upd_w(W, H)
+            H = upd_h(W, H)
+        else:
+            H = upd_h(W, H)
+            W = upd_w(W, H)
+        return W, H
+
+    nc = len(sell.c_widths)
+    in_specs = (
+        (_TILE_SEG,) * nr + (_TILE_SEG,) * nr + (_TILE_ROW,) * nr
+        + (_TILE_SEG,) * nc + (_TILE_SEG,) * nc + (_TILE_ROW,) * nc
+        + (_W_SPEC, _H_SPEC)
+    )
+    shmapped = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs,
+        out_specs=(_W_SPEC, _H_SPEC), check_vma=False,
+    )
+
+    def update(sell_op, aux, W, H):
+        return shmapped(
+            *sell_op.r_vals, *sell_op.r_cols, *sell_op.r_rows,
+            *sell_op.c_vals, *sell_op.c_cols, *sell_op.c_rows,
+            W, H,
+        )
+
+    return (lambda s: ()), update, (lambda aux, H: H)
+
+
+def build_sharded_ell_errors(mesh, sell: ShardedEll):
+    """(frobenius, kl) over ELL tiles, replicated scalars out."""
+    nr = len(sell.r_widths)
+    nc = len(sell.c_widths)
+    rshape = (sell.block_rows, sell.block_cols)
+    cshape = (sell.block_cols, sell.block_rows)
+
+    def fro(*args):
+        c_vals = args[0:nc]
+        c_cols = args[nc:2 * nc]
+        c_rows = args[2 * nc:3 * nc]
+        W, H, svsq = args[3 * nc], args[3 * nc + 1], args[3 * nc + 2]
+        ell_c = _local_ell(sell.c_widths, c_vals, c_cols, c_rows, cshape)
+        WtV = lax.psum(SE.v_ht_ell(ell_c, jnp.asarray(W).T).T, AXIS_USERS)
+        cross = lax.psum(jnp.sum(WtV * H), AXIS_ITEMS)
+        WtW = lax.psum(W.T @ W, AXIS_USERS)
+        HHt = lax.psum(H @ H.T, AXIS_ITEMS)
+        return jnp.sqrt(jnp.maximum(
+            svsq[0] - 2.0 * cross + jnp.sum(WtW * HHt), 0.0
+        ))
+
+    fro_sh = jax.shard_map(
+        fro, mesh=mesh,
+        in_specs=(
+            (_TILE_SEG,) * nc + (_TILE_SEG,) * nc + (_TILE_ROW,) * nc
+            + (_W_SPEC, _H_SPEC, _REP)
+        ),
+        out_specs=_REP, check_vma=False,
+    )
+
+    def kl(*args):
+        r_vals = args[0:nr]
+        r_cols = args[nr:2 * nr]
+        r_rows = args[2 * nr:3 * nr]
+        W, H = args[3 * nr], args[3 * nr + 1]
+        ell_r = _local_ell(sell.r_widths, r_vals, r_cols, r_rows, rshape)
+        s = SE.sddmm_ell(ell_r, W, H)
+        local = jnp.asarray(0.0, jnp.float32)
+        for orig, samp in zip(ell_r.buckets, s.buckets):
+            v = orig.vals
+            wh = samp.vals
+            term = jnp.where(
+                v > 0,
+                v * jnp.log(jnp.maximum(v, 1e-12)
+                            / jnp.maximum(wh, 1e-12)),
+                0.0,
+            )
+            local = local + jnp.sum(term) - jnp.sum(v)
+        total = lax.psum(lax.psum(local, AXIS_USERS), AXIS_ITEMS)
+        w_col = lax.psum(jnp.sum(W, axis=0), AXIS_USERS)
+        h_row = lax.psum(jnp.sum(H, axis=1), AXIS_ITEMS)
+        return total + w_col @ h_row
+
+    kl_sh = jax.shard_map(
+        kl, mesh=mesh,
+        in_specs=(
+            (_TILE_SEG,) * nr + (_TILE_SEG,) * nr + (_TILE_ROW,) * nr
+            + (_W_SPEC, _H_SPEC)
+        ),
+        out_specs=_REP, check_vma=False,
+    )
+
+    def frobenius(sell_op, W, He, svsq):
+        return fro_sh(
+            *sell_op.c_vals, *sell_op.c_cols, *sell_op.c_rows,
+            W, He, jnp.reshape(svsq, (1,)),
+        )
+
+    def kl_err(sell_op, W, He):
+        return kl_sh(
+            *sell_op.r_vals, *sell_op.r_cols, *sell_op.r_rows, W, He,
+        )
+
+    return frobenius, kl_err

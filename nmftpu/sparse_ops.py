@@ -527,7 +527,7 @@ def sparse_initialize_factors(
     """The six init strategies against sparse V — no densification."""
     n, m = coo.shape
     dtype = coo.values.dtype
-    mean_v = jnp.sum(coo.values) / (n * m)
+    mean_v = jnp.sum(coo.values) / (float(n) * float(m))
     scale = jnp.sqrt(jnp.maximum(mean_v, 1e-12) / rank).astype(dtype)
     kw, kh, kk = jax.random.split(key, 3)
 
