@@ -113,6 +113,168 @@ def mu_update_kl_densified(
     return W, H
 
 
+def _big_vht(Vd, H):
+    """V·Hᵀ (n, r) with bf16 V on the MXU."""
+    return jax.lax.dot_general(
+        Vd.astype(jnp.bfloat16), jnp.asarray(H).astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _big_wtv(W, Vd):
+    """Wᵀ·V (r, m) with bf16 V on the MXU."""
+    return jax.lax.dot_general(
+        jnp.asarray(W).astype(jnp.bfloat16), Vd.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def _solve_clamped(gram, rhs, shift, off, eps):
+    r = gram.shape[0]
+    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
+    if off:
+        A = A + off * jnp.ones((r, r), gram.dtype)
+    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+
+
+def als_family_update_densified(
+    Vd, W, H, shift_w=0.0, shift_h=0.0, off_w=0.0, off_h=0.0,
+    eps=1e-9, order="WH",
+):
+    """ALS/ACLS/AHCLS against bf16-dense V: the O(nmr) right-hand sides run
+    as bf16 MXU contractions; the r×r solves are exact f32."""
+
+    def upd_w(W, H):
+        rhs = _big_vht(Vd, H).T                       # (r, n)
+        return _solve_clamped(H @ H.T, rhs, shift_w, off_w, eps).T
+
+    def upd_h(W, H):
+        rhs = _big_wtv(W, Vd)                         # (r, m)
+        return _solve_clamped(W.T @ W, rhs, shift_h, off_h, eps)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def gdcls_update_densified(Vd, W, H, lambda_tik=0.0, eps=1e-9, order="WH"):
+    def upd_w(W, H):
+        return W * (_big_vht(Vd, H) / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        return _solve_clamped(W.T @ W, _big_wtv(W, Vd), lambda_tik, 0.0,
+                              eps)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def nsnmf_update_densified(Vd, W, H, S, eps=1e-9, order="WH"):
+    """nsNMF (Frobenius) against bf16-dense V: MU vs the smoothed partners."""
+
+    def upd_w(W, H):
+        SH = S @ H
+        return W * (_big_vht(Vd, SH) / (W @ (SH @ SH.T) + eps))
+
+    def upd_h(W, H):
+        WS = W @ S
+        return H * (_big_wtv(WS, Vd) / ((WS.T @ WS) @ H + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "eps", "order", "block_rows")
+)
+def mu_update_frobenius_weighted_densified(
+    Vd, W, H, alpha, eps=1e-9, order="WH", block_rows=4096
+):
+    """Confidence-weighted MU (c = 1 + alpha*v) against bf16-dense V,
+    blockwise over row panels so C⊙WH never materializes at full size."""
+    n, m = Vd.shape
+    r = W.shape[1]
+    nb = (n + block_rows - 1) // block_rows
+    pad = nb * block_rows - n
+    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
+
+    def pads(X):
+        return jnp.pad(X, ((0, pad), (0, 0))).reshape(nb, block_rows, -1)
+
+    def cwh_terms(W, H):
+        """Per-panel numer_w parts and accumulated H-side products."""
+        Wb = pads(W)
+
+        def blk(acc, x):
+            V_blk, W_blk = x
+            V32 = V_blk.astype(jnp.float32)
+            C = 1.0 + alpha * V32
+            WH = jax.lax.dot_general(
+                W_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            CV = C * V32
+            CWH = C * WH
+            nw = jax.lax.dot_general(
+                CV.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw = jax.lax.dot_general(
+                CWH.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            nh = jax.lax.dot_general(
+                W_blk.astype(jnp.bfloat16), CV.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh = jax.lax.dot_general(
+                W_blk.astype(jnp.bfloat16), CWH.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_nh, acc_dh = acc
+            return (acc_nh + nh, acc_dh + dh), (nw, dw)
+
+        (nh, dh), per_panel = lax.scan(
+            blk, (jnp.zeros((r, m), jnp.float32),
+                  jnp.zeros((r, m), jnp.float32)),
+            (Vb, Wb),
+        )
+        nw = per_panel[0].reshape(nb * block_rows, r)[:n]
+        dw = per_panel[1].reshape(nb * block_rows, r)[:n]
+        return nw, dw, nh, dh
+
+    if order == "WH":
+        nw, dw, _, _ = cwh_terms(W, H)
+        W = W * (nw / (dw + eps))
+        _, _, nh, dh = cwh_terms(W, H)
+        H = H * (nh / (dh + eps))
+    else:
+        _, _, nh, dh = cwh_terms(W, H)
+        H = H * (nh / (dh + eps))
+        nw, dw, _, _ = cwh_terms(W, H)
+        W = W * (nw / (dw + eps))
+    return W, H
+
+
 def frobenius_error_densified(Vd, W, H, sum_v_sq):
     """Gram-trick ||V - WH||_F with bf16 V; `sum_v_sq` must be computed
     from the same bf16-rounded V for consistency with the cross term."""

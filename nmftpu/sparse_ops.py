@@ -610,9 +610,11 @@ DENSIFY_BUDGET_BYTES = int(
 
 
 def _densified_supported(config: NmfConfig) -> bool:
-    return (
-        config.algorithm is Algorithm.MU
-        and config.alpha_confidence == 0.0
+    # every algorithm except KL-objective nsNMF (blocked smoothed-KL is
+    # not implemented; that combination falls back to scatter)
+    return not (
+        config.algorithm is Algorithm.NSNMF
+        and config.objective is Objective.KL
     )
 
 
@@ -621,20 +623,84 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
 
     eps = config.eps
     order = config.update_order
+    alg = config.algorithm
 
-    if config.objective is Objective.FROBENIUS:
+    def ident_h(aux, H):
+        return H
+
+    effective_h = ident_h
+    make_aux = lambda Vd: ()  # noqa: E731
+
+    if alg is Algorithm.MU:
+        if (
+            config.objective is Objective.FROBENIUS
+            and config.alpha_confidence > 0.0
+        ):
+            a = config.alpha_confidence
+
+            def update(Vd, aux, W, H):
+                return DF.mu_update_frobenius_weighted_densified(
+                    Vd, W, H, alpha=a, eps=eps, order=order
+                )
+        elif config.objective is Objective.FROBENIUS:
+            def update(Vd, aux, W, H):
+                return D.mu_update_frobenius_bf16v(
+                    Vd, W, H, eps=eps, order=order
+                )
+        else:
+            def update(Vd, aux, W, H):
+                return DF.mu_update_kl_densified(Vd, W, H, eps=eps,
+                                                 order=order)
+    elif alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if alg is Algorithm.ALS:
+            sw = sh = ow = oh = 0.0
+        elif alg is Algorithm.ACLS:
+            sw, sh = config.lambda_w, config.lambda_h
+            ow = oh = 0.0
+        else:
+            r = config.rank
+
+            def hoyer(lam, a):
+                sr = float(np.sqrt(r))
+                beta = ((1.0 - a) * sr + a) ** 2 / r
+                return lam * beta, lam * (1.0 - beta)
+
+            sw, ow = hoyer(config.lambda_w, config.alpha_w)
+            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+
         def update(Vd, aux, W, H):
-            return D.mu_update_frobenius_bf16v(
-                Vd, W, H, eps=eps, order=order
+            return DF.als_family_update_densified(
+                Vd, W, H, shift_w=sw, shift_h=sh, off_w=ow, off_h=oh,
+                eps=eps, order=order,
             )
-    else:
+    elif alg is Algorithm.GDCLS:
+        lt = config.lambda_tik
+
         def update(Vd, aux, W, H):
-            return DF.mu_update_kl_densified(Vd, W, H, eps=eps, order=order)
+            return DF.gdcls_update_densified(
+                Vd, W, H, lambda_tik=lt, eps=eps, order=order
+            )
+    else:  # NSNMF (Frobenius — KL is excluded by _densified_supported)
+        theta = config.theta
+        rank = config.rank
+
+        def make_aux(Vd):
+            return (
+                D.nsnmf_smoothing_matrix(rank, theta, dtype=jnp.float32),
+            )
+
+        def update(Vd, aux, W, H):
+            return DF.nsnmf_update_densified(
+                Vd, W, H, aux[0], eps=eps, order=order
+            )
+
+        def effective_h(aux, H):
+            return aux[0] @ H
 
     return LoopOps(
-        make_aux=lambda Vd: (),
+        make_aux=make_aux,
         update=update,
-        effective_h=lambda aux, H: H,
+        effective_h=effective_h,
         frobenius=lambda Vd, aux, W, He, svsq: DF.frobenius_error_densified(
             Vd, W, He, svsq
         ),
@@ -736,8 +802,8 @@ def compute_sparse(
             strategy = "scatter"
     if strategy == "densified" and not _densified_supported(config):
         raise ValueError(
-            "densified strategy supports MU (Frobenius/KL) without "
-            "confidence weighting"
+            "densified strategy supports every algorithm except "
+            "KL-objective nsNMF"
         )
 
     if strategy == "ell":

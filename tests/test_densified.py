@@ -81,6 +81,56 @@ def test_strategy_auto_and_validation(rng):
     assert np.isfinite(res.frobenius_error)
     with pytest.raises(ValueError):
         so.compute_sparse(
-            sp, NmfConfig(rank=3, algorithm=Algorithm.ALS),
+            sp,
+            NmfConfig(rank=3, algorithm=Algorithm.NSNMF,
+                      objective=Objective.KL),
+            strategy="densified",
+        )
+
+
+@pytest.mark.parametrize("alg", [
+    Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS, Algorithm.GDCLS,
+    Algorithm.NSNMF,
+])
+def test_densified_all_algorithms_match_scatter(rng, alg):
+    dense, _ = _sprandom(rng)
+    sp = hs.from_dense(dense)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 36)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=alg,
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=10, check_interval=5,
+        lambda_w=0.05, lambda_h=0.05, lambda_tik=0.05, theta=0.3,
+    )
+    rd = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="densified")
+    rs = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
+    np.testing.assert_allclose(
+        rd.frobenius_error, rs.frobenius_error, rtol=3e-2
+    )
+
+
+def test_densified_weighted_matches_dense(rng):
+    dense, _ = _sprandom(rng)
+    sp = hs.from_dense(dense)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 36)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, alpha_confidence=3.0,
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=8, check_interval=4,
+    )
+    rd = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="densified")
+    from nmftpu.driver import compute
+    rf = compute(dense, cfg, W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        rd.frobenius_error, rf.frobenius_error, rtol=3e-2
+    )
+    # KL-nsNMF must be rejected
+    with pytest.raises(ValueError):
+        so.compute_sparse(
+            sp,
+            NmfConfig(rank=4, algorithm=Algorithm.NSNMF,
+                      objective=Objective.KL),
             strategy="densified",
         )
