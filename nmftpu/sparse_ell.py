@@ -77,7 +77,6 @@ def build_ell_rows(
     csr = mat.to_csr()
     n, m = csr.shape
     assert buckets[-1] >= seg_max
-    lengths = np.diff(csr.indptr)
 
     per_bucket: dict[int, list] = {w: [] for w in buckets}
     for row in range(n):
@@ -285,6 +284,76 @@ def mu_update_frobenius_weighted_ell(pair: EllPair, W, H, alpha,
         swh = combine_values(pair.cols, s, lambda v, wh: v * wh)
         denom = (W.T @ W) @ H + alpha * v_ht_ell(swh, Wt).T + eps
         return H * (v_ht_ell(cv_cols, Wt).T / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def _solve_clamped(gram, rhs, shift, off, eps):
+    r = gram.shape[0]
+    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
+    if off:
+        A = A + off * jnp.ones((r, r), gram.dtype)
+    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+
+
+def als_family_update_ell(
+    pair: EllPair, W, H, shift_w=0.0, shift_h=0.0, off_w=0.0, off_h=0.0,
+    eps=1e-9, order="WH",
+):
+    """ALS/ACLS/AHCLS on the gather-only layout: the right-hand sides are
+    the two ELL SpMMs, the r×r solves are exact."""
+
+    def upd_w(W, H):
+        rhs = v_ht_ell(pair.rows, H).T                    # (r, n)
+        return _solve_clamped(H @ H.T, rhs, shift_w, off_w, eps).T
+
+    def upd_h(W, H):
+        return _solve_clamped(W.T @ W, wt_v_ell(pair, W), shift_h, off_h,
+                              eps)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def gdcls_update_ell(pair: EllPair, W, H, lambda_tik=0.0, eps=1e-9,
+                     order="WH"):
+    def upd_w(W, H):
+        return W * (v_ht_ell(pair.rows, H) / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        return _solve_clamped(W.T @ W, wt_v_ell(pair, W), lambda_tik, 0.0,
+                              eps)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def nsnmf_update_ell(pair: EllPair, W, H, S, eps=1e-9, order="WH"):
+    """nsNMF (Frobenius) on ELL: MU against the smoothed partners."""
+
+    def upd_w(W, H):
+        SH = S @ H
+        return W * (v_ht_ell(pair.rows, SH) / (W @ (SH @ SH.T) + eps))
+
+    def upd_h(W, H):
+        WS = W @ S
+        return H * (wt_v_ell(pair, WS) / ((WS.T @ WS) @ H + eps))
 
     if order == "WH":
         W = upd_w(W, H)

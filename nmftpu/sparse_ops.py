@@ -719,12 +719,59 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
     eps = config.eps
     order = config.update_order
     obj = config.objective
-    if config.algorithm is not Algorithm.MU:
-        raise ValueError(
-            "ell strategy currently supports the MU family "
-            "(use strategy='scatter' for the ALS family / nsNMF)"
-        )
-    if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
+    alg = config.algorithm
+    effective_h = lambda aux, H: H  # noqa: E731
+    make_aux = lambda pair: ()  # noqa: E731
+
+    if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if alg is Algorithm.ALS:
+            sw = sh = ow = oh = 0.0
+        elif alg is Algorithm.ACLS:
+            sw, sh = config.lambda_w, config.lambda_h
+            ow = oh = 0.0
+        else:
+            r = config.rank
+
+            def hoyer(lam, a):
+                sr = float(np.sqrt(r))
+                beta = ((1.0 - a) * sr + a) ** 2 / r
+                return lam * beta, lam * (1.0 - beta)
+
+            sw, ow = hoyer(config.lambda_w, config.alpha_w)
+            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+
+        def update(pair, aux, W, H):
+            return SE.als_family_update_ell(
+                pair, W, H, shift_w=sw, shift_h=sh, off_w=ow, off_h=oh,
+                eps=eps, order=order,
+            )
+    elif alg is Algorithm.GDCLS:
+        lt = config.lambda_tik
+
+        def update(pair, aux, W, H):
+            return SE.gdcls_update_ell(pair, W, H, lambda_tik=lt, eps=eps,
+                                       order=order)
+    elif alg is Algorithm.NSNMF:
+        if obj is not Objective.FROBENIUS:
+            raise ValueError(
+                "ell strategy supports nsNMF with the Frobenius objective "
+                "(use strategy='scatter' for nsNMF-KL)"
+            )
+        theta = config.theta
+        rank = config.rank
+
+        def make_aux(pair):
+            return (
+                D.nsnmf_smoothing_matrix(rank, theta, dtype=jnp.float32),
+            )
+
+        def update(pair, aux, W, H):
+            return SE.nsnmf_update_ell(pair, W, H, aux[0], eps=eps,
+                                       order=order)
+
+        def effective_h(aux, H):
+            return aux[0] @ H
+    elif obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
         a = config.alpha_confidence
 
         def update(pair, aux, W, H):
@@ -742,9 +789,9 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
             return SE.mu_update_kl_ell(pair, W, H, eps=eps, order=order)
 
     return LoopOps(
-        make_aux=lambda pair: (),
+        make_aux=make_aux,
         update=update,
-        effective_h=lambda aux, H: H,
+        effective_h=effective_h,
         frobenius=lambda pair, aux, W, He, svsq: SE.frobenius_error_ell(
             pair, W, He, svsq
         ),
@@ -791,12 +838,12 @@ def compute_sparse(
             and 2 * n * m <= DENSIFY_BUDGET_BYTES
         ):
             strategy = "densified"
-        elif (
-            config.algorithm is Algorithm.MU
-            and not isinstance(V, DeviceCOO)
+        elif not isinstance(V, DeviceCOO) and not (
+            config.algorithm is Algorithm.NSNMF
+            and config.objective is Objective.KL
         ):
             # beyond the densify budget: gather-only ELL beats the scatter
-            # path ~3x for the MU family (PERF.md)
+            # path ~3x (PERF.md)
             strategy = "ell"
         else:
             strategy = "scatter"

@@ -132,3 +132,25 @@ def test_compute_sparse_ell_strategy(rng):
     rk = compute_sparse(sp, cfg_kl, W0=W0, H0=H0, strategy="ell")
     rk2 = compute_sparse(sp, cfg_kl, W0=W0, H0=H0, strategy="scatter")
     np.testing.assert_allclose(rk.kl_error, rk2.kl_error, rtol=1e-3)
+
+
+@pytest.mark.parametrize("alg_name", ["als", "acls", "ahcls", "gdcls",
+                                      "nsnmf"])
+def test_ell_strategy_other_algorithms(rng, alg_name):
+    from nmftpu import Algorithm, NmfConfig, Initialization
+    from nmftpu.sparse_ops import compute_sparse
+
+    dense, sp = _sprandom(rng)
+    n, m = dense.shape
+    W0, H0 = _factors(rng, n, m, 4)
+    cfg = NmfConfig(
+        rank=4, algorithm=Algorithm(alg_name),
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=10, check_interval=5,
+        lambda_w=0.05, lambda_h=0.05, lambda_tik=0.05, theta=0.3,
+    )
+    re_ = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="ell")
+    rs = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
+    np.testing.assert_allclose(
+        re_.frobenius_error, rs.frobenius_error, rtol=1e-3
+    )
