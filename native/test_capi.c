@@ -1,0 +1,88 @@
+/* Smoke test for the nmftpu C ABI: factorize a small dense matrix from
+ * pure C. Exit code 0 on success. Usage: test_capi <repo_path> */
+
+#include <math.h>
+#include <stdio.h>
+#include <stdlib.h>
+
+#include "nmftpu_capi.h"
+
+int main(int argc, char** argv) {
+  if (argc > 1) nmftpu_set_module_path(argv[1]);
+
+  if (nmftpu_initialize() != NMFTPU_SUCCESS) {
+    fprintf(stderr, "initialize failed: %s\n", nmftpu_last_error());
+    return 1;
+  }
+  printf("version: %s, devices: %d\n", nmftpu_version(),
+         nmftpu_device_count());
+  if (nmftpu_choose_device(0) != NMFTPU_SUCCESS) {
+    fprintf(stderr, "choose_device failed: %s\n", nmftpu_last_error());
+    return 2;
+  }
+
+  const int n = 24, m = 18, r = 3;
+  float* V = malloc(sizeof(float) * n * m);
+  float* W = malloc(sizeof(float) * n * r);
+  float* H = malloc(sizeof(float) * r * m);
+  /* deterministic low-rank-ish nonnegative data */
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < m; ++j)
+      V[i * m + j] =
+          0.5f + 0.3f * (float)((i * 7 + j * 3) % 5) +
+          0.1f * (float)((i + j) % 3);
+
+  NmftpuDescription d = {0};
+  d.n_rows = n;
+  d.n_cols = m;
+  d.rank = r;
+  d.algorithm = "mu";
+  d.num_iterations = 80;
+  d.threshold_value = 1e-4;
+  d.seed = 7;
+  d.dense_values = V;
+  d.out_w = W;
+  d.out_h = H;
+
+  int rc = nmftpu_compute(&d);
+  if (rc != NMFTPU_SUCCESS) {
+    fprintf(stderr, "compute failed (%d): %s\n", rc, nmftpu_last_error());
+    return 3;
+  }
+  printf("error=%.4f rmsd=%.5f iters=%d converged=%d\n",
+         d.frobenius_error, d.rmsd, d.iterations, d.converged);
+
+  /* factors must be nonnegative and the error must be reasonable */
+  double norm = 0.0;
+  for (int i = 0; i < n * m; ++i) norm += (double)V[i] * V[i];
+  norm = sqrt(norm);
+  if (!(d.frobenius_error > 0.0) || d.frobenius_error > norm) {
+    fprintf(stderr, "implausible error\n");
+    return 4;
+  }
+  for (int i = 0; i < n * r; ++i)
+    if (W[i] < 0.0f) return 5;
+  for (int i = 0; i < r * m; ++i)
+    if (H[i] < 0.0f) return 6;
+
+  /* warm start must not regress */
+  NmftpuDescription d2 = d;
+  d2.init_method = "copy_existing";
+  d2.initial_w = W;
+  d2.initial_h = H;
+  float* W2 = malloc(sizeof(float) * n * r);
+  float* H2 = malloc(sizeof(float) * r * m);
+  d2.out_w = W2;
+  d2.out_h = H2;
+  d2.num_iterations = 20;
+  if (nmftpu_compute(&d2) != NMFTPU_SUCCESS) {
+    fprintf(stderr, "warm compute failed: %s\n", nmftpu_last_error());
+    return 7;
+  }
+  if (d2.frobenius_error > d.frobenius_error * 1.001) return 8;
+  printf("warm error=%.4f\n", d2.frobenius_error);
+
+  nmftpu_finalize();
+  printf("C ABI OK\n");
+  return 0;
+}
