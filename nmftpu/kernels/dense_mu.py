@@ -44,6 +44,115 @@ def _pad2(x, rows, cols):
 
 
 # ---------------------------------------------------------------------------
+# Whole-contraction schedule (PERF.md): the entire reduction dimension sits
+# in VMEM, so each grid step is one large MXU dot + the fused epilogue.
+# Matches XLA's GEMM efficiency (the split-K grid below loses ~2x); chosen
+# automatically whenever the strips fit VMEM.
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _h_whole_kernel(wt_ref, v_ref, h_ref, g_ref, out_ref, *, eps, mxu):
+    # mxu=False (interpret mode on CPU): stay in f32 — the CPU backend has
+    # no bf16 GEMM; numerics are a superset of the bf16 path.
+    ct = jnp.bfloat16 if mxu else jnp.float32
+    v = v_ref[:].astype(ct)
+    num = jnp.dot(wt_ref[:].astype(ct), v,
+                  preferred_element_type=jnp.float32)
+    h = h_ref[:].astype(jnp.float32)
+    den = jnp.dot(g_ref[:].astype(ct), h.astype(ct),
+                  preferred_element_type=jnp.float32)
+    out_ref[:] = (h * num / (den + eps)).astype(out_ref.dtype)
+
+
+def _h_whole_fits(n, m, r, tile_m, v_bytes) -> bool:
+    need = (
+        r * n * 2                      # Wt strip (bf16)
+        + 2 * n * tile_m * v_bytes     # V strip, double-buffered
+        + 2 * r * tile_m * 4 * 2       # H block + out block
+        + r * r * 2
+    )
+    return need <= _VMEM_BUDGET
+
+
+def _h_update_whole(Vp, Wp, Hp, Gp, eps, tile_m, interpret):
+    rp, mp = Hp.shape
+    np_ = Vp.shape[0]
+    Wt = (Wp.T if interpret else Wp.astype(jnp.bfloat16).T)
+    return pl.pallas_call(
+        functools.partial(_h_whole_kernel, eps=eps, mxu=not interpret),
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((rp, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, tile_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, tile_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, rp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rp, tile_m), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, mp), Hp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(Wt, Vp, Hp, Gp if interpret else Gp.astype(jnp.bfloat16))
+
+
+def _w_whole_kernel(v_ref, ht_ref, w_ref, g_ref, out_ref, *, eps, mxu):
+    ct = jnp.bfloat16 if mxu else jnp.float32
+    v = v_ref[:].astype(ct)
+    num = jnp.dot(v, ht_ref[:].astype(ct),
+                  preferred_element_type=jnp.float32)
+    w = w_ref[:].astype(jnp.float32)
+    den = jnp.dot(w.astype(ct), g_ref[:].astype(ct),
+                  preferred_element_type=jnp.float32)
+    out_ref[:] = (w * num / (den + eps)).astype(out_ref.dtype)
+
+
+def _w_whole_fits(n, m, r, tile_n, v_bytes) -> bool:
+    need = (
+        m * r * 2
+        + 2 * tile_n * m * v_bytes
+        + 2 * tile_n * r * 4 * 2
+        + r * r * 2
+    )
+    return need <= _VMEM_BUDGET
+
+
+def _w_update_whole(Vp, Wp, Hp, Gp, eps, tile_n, interpret):
+    np_, rp = Wp.shape
+    mp = Vp.shape[1]
+    Ht = (Hp.T if interpret else Hp.astype(jnp.bfloat16).T)
+    return pl.pallas_call(
+        functools.partial(_w_whole_kernel, eps=eps, mxu=not interpret),
+        grid=(np_ // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, mp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, rp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, rp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, rp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, rp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, rp), Wp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(Vp, Ht, Wp, Gp if interpret else Gp.astype(jnp.bfloat16))
+
+
+# ---------------------------------------------------------------------------
+# Split-K schedule (fallback for contraction strips beyond VMEM):
 # Fused H half-step: H' = H * (W^T V) / (G H + eps), G = W^T W
 # ---------------------------------------------------------------------------
 
@@ -93,6 +202,13 @@ def h_update_fused(
     Wp = _pad2(W, np_, rp)
     Hp = _pad2(H, rp, mp)
     Gp = _pad2(G, rp, rp)
+
+    wk_tile = min(256, _round_up(m, 128))
+    if mp % wk_tile == 0 and _h_whole_fits(
+        np_, mp, rp, wk_tile, Vp.dtype.itemsize
+    ):
+        out = _h_update_whole(Vp, Wp, Hp, Gp, eps, wk_tile, interpret)
+        return out[:r, :m]
 
     grid = (mp // tile_m, np_ // tile_n)
     out = pl.pallas_call(
@@ -174,6 +290,13 @@ def w_update_fused(
     Wp = _pad2(W, np_, rp)
     Hp = _pad2(H, rp, mp)
     Gp = _pad2(G, rp, rp)
+
+    wk_tile = min(256, _round_up(n, 128))
+    if np_ % wk_tile == 0 and _w_whole_fits(
+        np_, mp, rp, wk_tile, Vp.dtype.itemsize
+    ):
+        out = _w_update_whole(Vp, Wp, Hp, Gp, eps, wk_tile, interpret)
+        return out[:n, :r]
 
     grid = (np_ // tile_n, mp // tile_m)
     out = pl.pallas_call(
