@@ -1,0 +1,92 @@
+"""Serving layer + CLI tests."""
+
+import json
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from nmftpu import NmfConfig
+from nmftpu.driver import compute
+from nmftpu.serving import Recommender
+from nmftpu.sparse import from_dense
+
+
+def _fit(rng, n=40, m=50, r=4):
+    Wt = rng.uniform(0.0, 1.0, (n, r)) ** 2
+    Ht = rng.uniform(0.0, 1.0, (r, m)) ** 2
+    V = (Wt @ Ht).astype(np.float32)
+    res = compute(V, NmfConfig(rank=r, num_iterations=150, seed=0))
+    return V, res
+
+
+def test_recommend_and_score(rng):
+    V, res = _fit(rng)
+    rec = Recommender(res.W, res.H)
+    scores, items = rec.recommend([0, 3, 7], k=5, exclude_seen=False)
+    assert scores.shape == (3, 5) and items.shape == (3, 5)
+    # top-1 must match brute force on the factor product
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    np.testing.assert_array_equal(items[:, 0],
+                                  np.argmax(full[[0, 3, 7]], axis=1))
+    s = rec.score(0, [1, 2, 3])
+    np.testing.assert_allclose(s, full[0, [1, 2, 3]], rtol=1e-5)
+
+
+def test_exclude_seen(rng):
+    V, res = _fit(rng)
+    train = from_dense(V)  # every item "seen"
+    rec = Recommender(res.W, res.H, train=train)
+    scores, _ = rec.recommend([1], k=5, exclude_seen=True)
+    assert np.all(np.isneginf(scores))  # everything excluded
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    V, res = _fit(rng)
+    rec = Recommender(res.W, res.H, train=from_dense(V))
+    rec.save(str(tmp_path / "bundle"))
+    rec2 = Recommender.load(str(tmp_path / "bundle"))
+    s1, i1 = rec.recommend([2], k=4, exclude_seen=False)
+    s2, i2 = rec2.recommend([2], k=4, exclude_seen=False)
+    np.testing.assert_array_equal(i1, i2)
+    assert rec2._train_csr is not None
+
+
+def test_mesh_serving(rng):
+    from nmftpu.parallel import make_grid_mesh
+
+    V, res = _fit(rng, m=48)
+    mesh = make_grid_mesh((2, 4))
+    rec = Recommender(res.W, res.H, mesh=mesh, block=16)
+    rec0 = Recommender(res.W, res.H)
+    s1, i1 = rec.recommend([5], k=3, exclude_seen=False)
+    s2, i2 = rec0.recommend([5], k=3, exclude_seen=False)
+    np.testing.assert_array_equal(i1, i2)
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, rng):
+    # tiny MovieLens-format file
+    lines = []
+    for u in range(1, 13):
+        for i in range(1, 10):
+            if (u * i) % 3:
+                lines.append(f"{u}\t{i}\t{(u*i) % 5 + 1}.0\t{u*100+i}")
+    data = tmp_path / "u.data"
+    data.write_text("\n".join(lines))
+
+    env = dict(os.environ, NMFTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out_dir = tmp_path / "bundle"
+    r = subprocess.run(
+        [sys.executable, "-m", "nmftpu", str(data),
+         "--rank", "3", "--iters", "30", "--eval-recall", "3",
+         "--save", str(out_dir), "--verbosity", "0"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "frobenius_error" in summary and "recall@3" in summary
+    assert (out_dir / "W.npy").exists()
