@@ -51,6 +51,7 @@ def compute(
     config: NmfConfig,
     W0=None,
     H0=None,
+    mesh=None,
     callback: Callable[[Any, Any, Any, Any], None] | None = None,
     interrupt: Callable[[], bool] | None = None,
 ) -> NmfResult:
@@ -61,6 +62,11 @@ def compute(
     per-iteration statistics callback (SURVEY.md C17). interrupt, if given,
     is polled (synchronously) at every check; returning truthy stops the
     run and yields the current factors (SURVEY.md C9).
+
+    mesh: optional 2-D ('users','items') device mesh — V is placed
+    P('users','items'), W/H row-/column-sharded, and GSPMD partitions the
+    dense update GEMMs (inserting the psum pattern automatically); the
+    update code is unchanged.
     """
     dtype = jnp.dtype(config.dtype)
     V = jnp.asarray(V, dtype)
@@ -72,17 +78,49 @@ def compute(
             f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
         )
 
-    runner = _get_runner(config, V.shape, dtype, callback, interrupt)
+    shardings = None
+    if mesh is not None:
+        from nmftpu.parallel.mesh import factor_shardings
+
+        pu, pi = mesh.devices.shape
+        if n % pu or m % pi:
+            # GSPMD wants dims divisible by the mesh; pad with zero
+            # rows/cols (absorbing under every update) and crop on return.
+            n_pad = (-n) % pu
+            m_pad = (-m) % pi
+            V = jnp.pad(V, ((0, n_pad), (0, m_pad)))
+        shardings = factor_shardings(mesh)
+        V = jax.device_put(V, shardings["V"])
+
+    runner = _get_runner(
+        config, V.shape, dtype, callback, interrupt
+    )
 
     def init_fn(key):
-        return initialize_factors(
+        W, H = initialize_factors(
             V,
             config.rank,
             config.init_method,
             key,
-            W0=W0,
-            H0=H0,
+            W0=(
+                jnp.pad(jnp.asarray(W0, dtype),
+                        ((0, V.shape[0] - n), (0, 0)))
+                if (W0 is not None and mesh is not None) else W0
+            ),
+            H0=(
+                jnp.pad(jnp.asarray(H0, dtype),
+                        ((0, 0), (0, V.shape[1] - m)))
+                if (H0 is not None and mesh is not None) else H0
+            ),
             kmeans_max_iter=config.kmeans_max_iter,
         )
+        if shardings is not None:
+            W = jax.device_put(W, shardings["W"])
+            H = jax.device_put(H, shardings["H"])
+        return W, H
 
-    return execute(V, config, runner, init_fn, numel=n * m)
+    result = execute(V, config, runner, init_fn, numel=n * m)
+    if mesh is not None and (V.shape[0] != n or V.shape[1] != m):
+        result.W = result.W[:n]
+        result.H = result.H[:, :m]
+    return result

@@ -192,3 +192,22 @@ def test_recall_at_k_sharded_matches_single(rng, mesh):
     r2 = recall_at_k(W, H_dev, test_pairs, k=5, batch_users=16, block=16,
                      mesh=mesh)
     assert r1 == r2 == 1.0
+
+
+def test_dense_gspmd_sharded_matches_unsharded(rng, mesh):
+    """Dense driver with mesh=: GSPMD-partitioned GEMMs must reproduce the
+    single-device result (shapes deliberately NOT divisible by the mesh)."""
+    V = rng.uniform(0.1, 2.0, (42, 51)).astype(np.float32)  # 42%2=0, 51%4=3
+    W0 = rng.uniform(0.1, 1.0, (42, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 51)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, init_method=Initialization.COPY_EXISTING,
+        num_iterations=15, check_interval=5,
+    )
+    rs = compute(V, cfg, W0=W0, H0=H0, mesh=mesh)
+    rd = compute(V, cfg, W0=W0, H0=H0)
+    assert rs.W.shape == (42, 4) and rs.H.shape == (4, 51)
+    np.testing.assert_allclose(rs.frobenius_error, rd.frobenius_error,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rs.W), np.asarray(rd.W),
+                               rtol=1e-3, atol=1e-5)
