@@ -143,6 +143,12 @@ class NmfConfig:
     # 2 additionally per-convergence-check lines.
     verbosity: int = 0
 
+    # Multi-run restarts as ONE vmapped program (all restarts advance in
+    # lockstep on-device; best-of picked by on-device argmin). Trades
+    # memory (num_runs x factors) for wall-clock; the reference runs
+    # restarts sequentially, which remains the default.
+    vectorize_runs: bool = False
+
     def __post_init__(self) -> None:
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")

@@ -185,6 +185,49 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback,
     return jax.jit(run, donate_argnums=(1, 2))
 
 
+def _execute_vectorized(V_dev, config, runner, init_fn, numel):
+    """All restarts as one vmapped program: stacked factors, lockstep
+    iteration, on-device best-of argmin. One compile, one dispatch."""
+    root = jax.random.PRNGKey(config.seed)
+    t0 = time.perf_counter()
+    inits = [
+        init_fn(jax.random.fold_in(root, i))
+        for i in range(config.num_runs)
+    ]
+    Ws = jnp.stack([w for w, _ in inits])
+    Hs = jnp.stack([h for _, h in inits])
+    run_ids = jnp.arange(config.num_runs, dtype=jnp.int32)
+    out = jax.vmap(runner, in_axes=(None, 0, 0, 0))(V_dev, Ws, Hs, run_ids)
+    (W, H, err, fro, kl, compare, it, converged, stats, nc) = out
+    best = int(jnp.argmin(compare))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+
+    ncb = int(nc[best])
+    stats_np = np.asarray(stats[best])[:ncb]
+    fro_f = float(fro[best])
+    return NmfResult(
+        W=W[best],
+        H=H[best],
+        error=float(err[best]),
+        frobenius_error=fro_f,
+        rmsd=fro_f / np.sqrt(numel),
+        kl_error=(
+            float(kl[best])
+            if config.objective is Objective.KL else None
+        ),
+        num_iterations=int(it[best]),
+        converged=bool(converged[best]),
+        best_run=best,
+        run_errors=[float(x) for x in np.asarray(compare)],
+        stats=RunStats(
+            iterations=stats_np[:, 0].astype(np.int64),
+            errors=stats_np[:, 1],
+            deltas=stats_np[:, 2],
+        ),
+        elapsed_ms=elapsed_ms,
+    )
+
+
 def execute(
     V_dev: Any,
     config: NmfConfig,
@@ -194,6 +237,8 @@ def execute(
 ) -> NmfResult:
     """Multi-run restart loop (SURVEY.md §3.5): re-enter the compiled runner
     per seed; only the final comparison scalar crosses to the host."""
+    if config.vectorize_runs and config.num_runs > 1:
+        return _execute_vectorized(V_dev, config, runner, init_fn, numel)
     root = jax.random.PRNGKey(config.seed)
     best = None
     run_errors: list[float] = []

@@ -166,3 +166,21 @@ def test_interrupt_stops_run(lowrank, rng):
     assert res.num_iterations == 20  # stopped right after check #2
     assert not res.converged
     assert np.isfinite(res.frobenius_error)
+
+
+def test_vectorized_runs_match_sequential(lowrank, rng):
+    """vectorize_runs=True: one vmapped program; same best-of result as
+    the sequential restart loop."""
+    import dataclasses
+    V = lowrank(rng, 30, 24, 3, noise=0.05)
+    base = NmfConfig(rank=3, num_iterations=40, num_runs=4, seed=7)
+    seq = compute(V, base)
+    vec = compute(V, dataclasses.replace(base, vectorize_runs=True))
+    assert len(vec.run_errors) == 4
+    np.testing.assert_allclose(
+        sorted(vec.run_errors), sorted(seq.run_errors), rtol=1e-4
+    )
+    assert vec.best_run == seq.best_run
+    np.testing.assert_allclose(
+        vec.frobenius_error, seq.frobenius_error, rtol=1e-5
+    )
