@@ -47,16 +47,24 @@ def nmf(
     W0=None,
     H0=None,
     callback=None,
+    interrupt=None,
+    mesh=None,
+    strategy: str = "auto",
     **knobs,
 ) -> "driver.NmfResult":
     """Factorize `data` ≈ W H with rank `rank`.
 
     `data` may be a dense array (numpy/JAX) or any nmftpu sparse container
     (`SparseCSR`/`SparseCSC`/`SparseCOO` from `nmftpu.sparse`) — sparse
-    inputs route through the sparse update path without densifying.
-    Extra keyword knobs (lambda_w, lambda_h, alpha_w, alpha_h, lambda_tik,
-    theta, alpha_confidence, check_interval, eps, dtype, ...) are forwarded
-    into NmfConfig.
+    inputs route through the sparse update path. Extra keyword knobs
+    (lambda_w, lambda_h, alpha_w, alpha_h, lambda_tik, theta,
+    alpha_confidence, check_interval, eps, dtype, v_storage,
+    vectorize_runs, ...) forward into NmfConfig.
+
+    mesh: a 2-D ('users','items') device mesh routes dense inputs through
+    GSPMD partitioning and sparse inputs through the sharded driver.
+    strategy: sparse engine selection (auto | densified | ell | scatter;
+    single-device sparse only).
     """
     config = NmfConfig(
         rank=rank,
@@ -74,11 +82,20 @@ def nmf(
     from nmftpu import sparse as sparse_mod
 
     if isinstance(data, sparse_mod.SparseMatrix):
+        if mesh is not None:
+            from nmftpu.parallel import compute_sharded
+
+            return compute_sharded(
+                data, config, mesh=mesh, W0=W0, H0=H0,
+                callback=callback, interrupt=interrupt,
+            )
         from nmftpu import sparse_ops
 
         return sparse_ops.compute_sparse(
-            data, config, W0=W0, H0=H0, callback=callback
+            data, config, W0=W0, H0=H0, strategy=strategy,
+            callback=callback, interrupt=interrupt,
         )
     return driver.compute(
-        np.asarray(data), config, W0=W0, H0=H0, callback=callback
+        np.asarray(data), config, W0=W0, H0=H0, mesh=mesh,
+        callback=callback, interrupt=interrupt,
     )

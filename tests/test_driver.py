@@ -184,3 +184,18 @@ def test_vectorized_runs_match_sequential(lowrank, rng):
     np.testing.assert_allclose(
         vec.frobenius_error, seq.frobenius_error, rtol=1e-5
     )
+
+
+def test_nmf_api_mesh_and_strategy(lowrank, rng):
+    from nmftpu.parallel import make_grid_mesh
+    from nmftpu.sparse import from_dense
+
+    mesh = make_grid_mesh((2, 4))
+    V = lowrank(rng, 24, 32, 3)
+    r1 = nmftpu.nmf(V, 3, num_iterations=10, mesh=mesh)
+    assert r1.W.shape == (24, 3)
+    sp = from_dense(np.where(V > np.median(V), V, 0.0))
+    r2 = nmftpu.nmf(sp, 3, num_iterations=10, mesh=mesh)
+    assert r2.W.shape == (24, 3)
+    r3 = nmftpu.nmf(sp, 3, num_iterations=10, strategy="scatter")
+    assert np.isfinite(r3.frobenius_error)

@@ -36,3 +36,16 @@ def test_flops_model_sane():
     assert dense > sparse > 0
     cfg = NmfConfig(rank=32, algorithm=Algorithm.ALS)
     assert flops_per_iteration(1000, 800, 32, config=cfg) > dense
+
+
+def test_trace_session_writes_profile(tmp_path, rng):
+    import os
+    from nmftpu.utils import trace_session
+
+    V = rng.uniform(0.1, 1.0, (16, 12)).astype(np.float32)
+    with trace_session(str(tmp_path)):
+        compute(V, NmfConfig(rank=2, num_iterations=5))
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += files
+    assert found, "profiler produced no output files"
