@@ -40,6 +40,67 @@ def densify(coo: DeviceCOO, dtype=jnp.bfloat16) -> jax.Array:
     return acc
 
 
+def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows):
+    """Blockwise numerator (V / (Q P)) @ P^T -> (n, r) for the left-factor
+    KL half-step. Q (n, r) is the left operand forming the reconstruction
+    (W, or W for nsNMF), P (r, m) the right partner (H, or S@H)."""
+    n, m = Vd.shape
+    r = Q.shape[1]
+    nb = (n + block_rows - 1) // block_rows
+    pad = nb * block_rows - n
+    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
+    Qb = jnp.pad(Q, ((0, pad), (0, 0))).reshape(nb, block_rows, r)
+
+    def blk(carry, x):
+        Q_blk, V_blk = x
+        WH = jax.lax.dot_general(
+            Q_blk.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ratio = V_blk.astype(jnp.float32) / (WH + eps)
+        numer = jax.lax.dot_general(
+            ratio.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return carry, numer
+
+    _, numers = lax.scan(blk, None, (Qb, Vb))
+    return numers.reshape(nb * block_rows, r)[:n]
+
+
+def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows):
+    """Blockwise numerator Q^T (V / (Q H)) -> (r, m) for the right-factor
+    KL half-step; Q (n, r) is the effective left factor (W, or W@S)."""
+    n, m = Vd.shape
+    r = Q.shape[1]
+    nb = (n + block_rows - 1) // block_rows
+    pad = nb * block_rows - n
+    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
+    Qb = jnp.pad(Q, ((0, pad), (0, 0))).reshape(nb, block_rows, r)
+
+    def blk(acc, x):
+        Q_blk, V_blk = x
+        WH = jax.lax.dot_general(
+            Q_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ratio = V_blk.astype(jnp.float32) / (WH + eps)
+        acc = acc + jax.lax.dot_general(
+            Q_blk.astype(jnp.bfloat16), ratio.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    numer, _ = lax.scan(
+        blk, jnp.zeros((r, m), jnp.float32), (Qb, Vb)
+    )
+    return numer
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))
 def mu_update_kl_densified(
     Vd, W, H, eps=1e-9, order="WH", block_rows=4096
@@ -51,58 +112,44 @@ def mu_update_kl_densified(
     (n, r) / (r, m). FLOPs 2×O(nmr) per half-step — MXU-bound, versus the
     gather-bound scatter path.
     """
-    n, m = Vd.shape
-    r = W.shape[1]
-    nb = (n + block_rows - 1) // block_rows
-    pad = nb * block_rows - n
-
-    Vp = jnp.pad(Vd, ((0, pad), (0, 0)))
-    Vb = Vp.reshape(nb, block_rows, m)
-
-    def ratio_blk(W_blk, V_blk):
-        WH = jax.lax.dot_general(
-            W_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return V_blk.astype(jnp.float32) / (WH + eps)
 
     def upd_w(W, H):
-        Wp_ = jnp.pad(W, ((0, pad), (0, 0)))
-        Wb = Wp_.reshape(nb, block_rows, r)
-
-        def blk(carry, x):
-            W_blk, V_blk = x
-            ratio = ratio_blk(W_blk, V_blk)          # (br, m)
-            numer = jax.lax.dot_general(
-                ratio.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # (br, r)
-            return carry, numer
-
-        _, numers = lax.scan(blk, None, (Wb, Vb))
-        numer = numers.reshape(nb * block_rows, r)[:n]
+        numer = _kl_numer_w_blocked(Vd, W, H, eps, block_rows)
         h_sum = jnp.maximum(jnp.sum(H, axis=1), eps)[None, :]
         return W * (numer / h_sum)
 
     def upd_h(W, H):
-        Wp_ = jnp.pad(W, ((0, pad), (0, 0)))
-        Wb = Wp_.reshape(nb, block_rows, r)
-
-        def blk(acc, x):
-            W_blk, V_blk = x
-            ratio = ratio_blk(W_blk, V_blk)          # (br, m)
-            acc = acc + jax.lax.dot_general(
-                W_blk.astype(jnp.bfloat16), ratio.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # (r, m)
-            return acc, None
-
-        numer, _ = lax.scan(blk, jnp.zeros((r, m), jnp.float32), (Wb, Vb))
+        numer = _kl_numer_h_blocked(Vd, W, H, eps, block_rows)
         w_sum = jnp.maximum(jnp.sum(W, axis=0), eps)[:, None]
         return H * (numer / w_sum)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))
+def nsnmf_update_kl_densified(
+    Vd, W, H, S, eps=1e-9, order="WH", block_rows=4096
+):
+    """nsNMF under KL against dense low-precision V: MU-KL half-steps with
+    the smoothed partners (S@H stands in for H, W@S for W)."""
+
+    def upd_w(W, H):
+        SH = S @ H
+        numer = _kl_numer_w_blocked(Vd, W, SH, eps, block_rows)
+        s_sum = jnp.maximum(jnp.sum(SH, axis=1), eps)[None, :]
+        return W * (numer / s_sum)
+
+    def upd_h(W, H):
+        WS = W @ S
+        numer = _kl_numer_h_blocked(Vd, WS, H, eps, block_rows)
+        s_sum = jnp.maximum(jnp.sum(WS, axis=0), eps)[:, None]
+        return H * (numer / s_sum)
 
     if order == "WH":
         W = upd_w(W, H)

@@ -344,6 +344,34 @@ def gdcls_update_ell(pair: EllPair, W, H, lambda_tik=0.0, eps=1e-9,
     return W, H
 
 
+def nsnmf_update_kl_ell(pair: EllPair, W, H, S, eps=1e-9, order="WH"):
+    """nsNMF under KL on ELL: SDDMM/gather half-steps with the smoothed
+    partners (S@H stands in for H, W@S for W)."""
+
+    def upd_w(W, H):
+        SH = S @ H
+        s = sddmm_ell(pair.rows, W, SH)
+        ratio = combine_values(pair.rows, s, lambda v, wh: v / (wh + eps))
+        denom = jnp.maximum(jnp.sum(SH, axis=1), eps)[None, :]
+        return W * (v_ht_ell(ratio, SH) / denom)
+
+    def upd_h(W, H):
+        WS = W @ S
+        WSt = jnp.asarray(WS).T
+        s = sddmm_ell(pair.cols, jnp.asarray(H).T, WSt)
+        ratio = combine_values(pair.cols, s, lambda v, wh: v / (wh + eps))
+        denom = jnp.maximum(jnp.sum(WS, axis=0), eps)[:, None]
+        return H * (v_ht_ell(ratio, WSt).T / denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
 def nsnmf_update_ell(pair: EllPair, W, H, S, eps=1e-9, order="WH"):
     """nsNMF (Frobenius) on ELL: MU against the smoothed partners."""
 

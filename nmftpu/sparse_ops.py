@@ -610,12 +610,7 @@ DENSIFY_BUDGET_BYTES = int(
 
 
 def _densified_supported(config: NmfConfig) -> bool:
-    # every algorithm except KL-objective nsNMF (blocked smoothed-KL is
-    # not implemented; that combination falls back to scatter)
-    return not (
-        config.algorithm is Algorithm.NSNMF
-        and config.objective is Objective.KL
-    )
+    return True  # every algorithm/objective combination
 
 
 def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
@@ -680,9 +675,10 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
             return DF.gdcls_update_densified(
                 Vd, W, H, lambda_tik=lt, eps=eps, order=order
             )
-    else:  # NSNMF (Frobenius — KL is excluded by _densified_supported)
+    else:  # NSNMF
         theta = config.theta
         rank = config.rank
+        kl = config.objective is Objective.KL
 
         def make_aux(Vd):
             return (
@@ -690,6 +686,10 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
             )
 
         def update(Vd, aux, W, H):
+            if kl:
+                return DF.nsnmf_update_kl_densified(
+                    Vd, W, H, aux[0], eps=eps, order=order
+                )
             return DF.nsnmf_update_densified(
                 Vd, W, H, aux[0], eps=eps, order=order
             )
@@ -752,13 +752,9 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
             return SE.gdcls_update_ell(pair, W, H, lambda_tik=lt, eps=eps,
                                        order=order)
     elif alg is Algorithm.NSNMF:
-        if obj is not Objective.FROBENIUS:
-            raise ValueError(
-                "ell strategy supports nsNMF with the Frobenius objective "
-                "(use strategy='scatter' for nsNMF-KL)"
-            )
         theta = config.theta
         rank = config.rank
+        kl_obj = obj is Objective.KL
 
         def make_aux(pair):
             return (
@@ -766,6 +762,9 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
             )
 
         def update(pair, aux, W, H):
+            if kl_obj:
+                return SE.nsnmf_update_kl_ell(pair, W, H, aux[0], eps=eps,
+                                              order=order)
             return SE.nsnmf_update_ell(pair, W, H, aux[0], eps=eps,
                                        order=order)
 
@@ -838,20 +837,13 @@ def compute_sparse(
             and 2 * n * m <= DENSIFY_BUDGET_BYTES
         ):
             strategy = "densified"
-        elif not isinstance(V, DeviceCOO) and not (
-            config.algorithm is Algorithm.NSNMF
-            and config.objective is Objective.KL
-        ):
+        elif not isinstance(V, DeviceCOO):
             # beyond the densify budget: gather-only ELL beats the scatter
             # path ~3x (PERF.md)
             strategy = "ell"
         else:
             strategy = "scatter"
-    if strategy == "densified" and not _densified_supported(config):
-        raise ValueError(
-            "densified strategy supports every algorithm except "
-            "KL-objective nsNMF"
-        )
+
 
     if strategy == "ell":
         if isinstance(V, DeviceCOO):

@@ -79,13 +79,6 @@ def test_strategy_auto_and_validation(rng):
         sp, NmfConfig(rank=3, num_iterations=5), strategy="auto"
     )
     assert np.isfinite(res.frobenius_error)
-    with pytest.raises(ValueError):
-        so.compute_sparse(
-            sp,
-            NmfConfig(rank=3, algorithm=Algorithm.NSNMF,
-                      objective=Objective.KL),
-            strategy="densified",
-        )
 
 
 @pytest.mark.parametrize("alg", [
@@ -126,11 +119,19 @@ def test_densified_weighted_matches_dense(rng):
     np.testing.assert_allclose(
         rd.frobenius_error, rf.frobenius_error, rtol=3e-2
     )
-    # KL-nsNMF must be rejected
-    with pytest.raises(ValueError):
-        so.compute_sparse(
-            sp,
-            NmfConfig(rank=4, algorithm=Algorithm.NSNMF,
-                      objective=Objective.KL),
-            strategy="densified",
-        )
+
+
+@pytest.mark.parametrize("strategy", ["densified", "ell"])
+def test_nsnmf_kl_all_engines_match_scatter(rng, strategy):
+    dense, _ = _sprandom(rng)
+    sp = hs.from_dense(dense)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 36)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=Algorithm.NSNMF, objective=Objective.KL,
+        theta=0.3, init_method=Initialization.COPY_EXISTING,
+        num_iterations=8, check_interval=4,
+    )
+    ra = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy=strategy)
+    rs = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
+    np.testing.assert_allclose(ra.kl_error, rs.kl_error, rtol=3e-2)
