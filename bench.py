@@ -103,6 +103,12 @@ def main():
     ap.add_argument("--k-small", type=int, default=100)
     ap.add_argument("--k-large", type=int, default=500)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument(
+        "--assert-floor", type=float, default=None, metavar="GFLOPS",
+        help="exit nonzero if the measured rate falls below this floor "
+             "(the perf-regression gate for TPU CI, SURVEY.md §4.5); "
+             "e.g. --assert-floor 120000 on v5e",
+    )
     args = ap.parse_args()
 
     import jax
@@ -138,6 +144,13 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(value / baseline, 4),
     }))
+    if args.assert_floor is not None and value < args.assert_floor:
+        print(
+            f"PERF REGRESSION: {value:.0f} GFLOP/s below floor "
+            f"{args.assert_floor:.0f}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
