@@ -55,6 +55,32 @@ def main():
             print(f"{label}: FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:160]}", flush=True)
 
+    # A2: row-gather from transposed table (axis=0 — sublane orientation)
+    Ht = jnp.asarray(np.asarray(H).T)  # (mloc, r)
+
+    def kern_take0(ht_ref, cols_ref, vals_ref, out_ref):
+        g = jnp.take(ht_ref[:], cols_ref[:].reshape(-1), axis=0)
+        g = g.reshape(nseg, width, r)
+        out_ref[:] = jnp.einsum(
+            "sk,skr->sr", vals_ref[:], g,
+            preferred_element_type=jnp.float32,
+        )
+
+    try:
+        t0 = time.time()
+        out = pl.pallas_call(
+            kern_take0,
+            out_shape=jax.ShapeDtypeStruct((nseg, r), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(Ht, cols, vals)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2,
+                                   atol=1e-2)
+        print(f"take-axis0 rows: OK ({time.time()-t0:.1f}s)", flush=True)
+    except Exception as e:
+        print(f"take-axis0 rows: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:160]}", flush=True)
+
     # B: dynamic-slice row loop (per-segment DMA style, fori over width)
     def kern_ds(h_ref, cols_ref, vals_ref, out_ref):
         def seg_body(s, _):
