@@ -81,6 +81,34 @@ def main():
         print(f"take-axis0 rows: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[0][:160]}", flush=True)
 
+    # A3: take_along_axis (indices shaped like the output)
+    def kern_tala(ht_ref, cols_ref, vals_ref, out_ref):
+        # gather rows of Ht (mloc, r): idx (nseg*width, r) broadcast
+        idx = cols_ref[:].reshape(-1, 1)
+        idx = jnp.broadcast_to(idx, (nseg * width, r))
+        g = jnp.take_along_axis(ht_ref[:], idx, axis=0)
+        g = g.reshape(nseg, width, r)
+        out_ref[:] = jnp.einsum(
+            "sk,skr->sr", vals_ref[:], g,
+            preferred_element_type=jnp.float32,
+        )
+
+    try:
+        t0 = time.time()
+        out = pl.pallas_call(
+            kern_tala,
+            out_shape=jax.ShapeDtypeStruct((nseg, r), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(Ht, cols, vals)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2,
+                                   atol=1e-2)
+        print(f"take_along_axis rows: OK ({time.time()-t0:.1f}s)",
+              flush=True)
+    except Exception as e:
+        print(f"take_along_axis rows: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:160]}", flush=True)
+
     # B: dynamic-slice row loop (per-segment DMA style, fori over width)
     def kern_ds(h_ref, cols_ref, vals_ref, out_ref):
         def seg_body(s, _):
