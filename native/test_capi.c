@@ -82,6 +82,62 @@ int main(int argc, char** argv) {
   if (d2.frobenius_error > d.frobenius_error * 1.001) return 8;
   printf("warm error=%.4f\n", d2.frobenius_error);
 
+  /* CSR input path: the same matrix as explicit sparse triplets */
+  {
+    int64_t nnz = 0;
+    for (int i = 0; i < n * m; ++i)
+      if (V[i] > 0.0f) ++nnz;
+    int64_t* indptr = malloc(sizeof(int64_t) * (n + 1));
+    int32_t* indices = malloc(sizeof(int32_t) * nnz);
+    float* values = malloc(sizeof(float) * nnz);
+    int64_t k = 0;
+    indptr[0] = 0;
+    for (int i = 0; i < n; ++i) {
+      for (int j = 0; j < m; ++j) {
+        if (V[i * m + j] > 0.0f) {
+          indices[k] = j;
+          values[k] = V[i * m + j];
+          ++k;
+        }
+      }
+      indptr[i + 1] = k;
+    }
+    NmftpuDescription ds = {0};
+    ds.n_rows = n;
+    ds.n_cols = m;
+    ds.rank = r;
+    ds.num_iterations = 40;
+    ds.seed = 7;
+    ds.csr_indptr = indptr;
+    ds.csr_indices = indices;
+    ds.csr_values = values;
+    ds.nnz = nnz;
+    float* Ws = malloc(sizeof(float) * n * r);
+    float* Hs = malloc(sizeof(float) * r * m);
+    ds.out_w = Ws;
+    ds.out_h = Hs;
+    if (nmftpu_compute(&ds) != NMFTPU_SUCCESS) {
+      fprintf(stderr, "CSR compute failed: %s\n", nmftpu_last_error());
+      return 9;
+    }
+    printf("csr error=%.4f iters=%d\n", ds.frobenius_error,
+           ds.iterations);
+    if (!(ds.frobenius_error > 0.0) || ds.frobenius_error > norm)
+      return 10;
+  }
+
+  /* both-or-neither input validation */
+  {
+    NmftpuDescription bad = {0};
+    bad.n_rows = 2;
+    bad.n_cols = 2;
+    bad.rank = 1;
+    float w[2], h[2];
+    bad.out_w = w;
+    bad.out_h = h;
+    if (nmftpu_compute(&bad) != NMFTPU_ERROR_INVALID_ARGUMENT) return 11;
+  }
+
   nmftpu_finalize();
   printf("C ABI OK\n");
   return 0;
