@@ -18,6 +18,7 @@ def recall_at_k(
     batch_users: int = 1024,
     block: int = 4096,
     mesh=None,
+    method: str = "exact",
 ) -> float:
     """Fraction of held-out (user, item) pairs whose item appears in the
     user's top-k recommendations (training items excluded from candidates).
@@ -63,7 +64,8 @@ def recall_at_k(
             )
         else:
             _, idx = topk_mips_blocked(
-                Wq, H_dev, k, block=block, exclude_mask=mask
+                Wq, H_dev, k, block=block, exclude_mask=mask,
+                method=method,
             )
         idx = np.asarray(idx)
         for bi, u in enumerate(batch):

@@ -34,13 +34,20 @@ def topk_mips(Wq, H, k, exclude_mask=None):
     return lax.top_k(scores, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
-def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None):
-    """Memory-bounded exact top-k: stream item blocks, keep a running top-k.
+@functools.partial(jax.jit, static_argnames=("k", "block", "method"))
+def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
+                      method="exact"):
+    """Memory-bounded top-k: stream item blocks, keep a running top-k.
 
     Peak memory is (b, block + k) scores instead of (b, m) — required when
     m is the 10M-item axis. H is scanned in (r, block) tiles (zero-padded
     tail; padding scores are -inf so they never surface).
+
+    method="exact" uses `lax.top_k` per block (exact but sort-bound — the
+    top-k, not the scoring GEMM, dominates at large m). method="approx"
+    uses the TPU's hardware-accelerated `lax.approx_max_k` per block
+    (recall target 0.95 per block; the cross-block merge stays exact) —
+    an order of magnitude faster serving at marginal recall loss.
     """
     b, r = Wq.shape
     m = H.shape[1]
@@ -66,11 +73,20 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None):
         ids = (base + col_ids).astype(jnp.int32)
         valid = ids[None, :] < m
         s = jnp.where(valid & ~mblk, s, NEG_INF)
-        cand_s = jnp.concatenate([best_s, s], axis=1)
-        cand_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(ids, (b, block))], axis=1
-        )
-        top_s, pos = lax.top_k(cand_s, k)
+        if method == "approx":
+            blk_s, blk_pos = lax.approx_max_k(s, k)
+            blk_i = jnp.take_along_axis(
+                jnp.broadcast_to(ids, (b, block)), blk_pos, axis=1
+            )
+            cand_s = jnp.concatenate([best_s, blk_s], axis=1)
+            cand_i = jnp.concatenate([best_i, blk_i], axis=1)
+            top_s, pos = lax.top_k(cand_s, k)  # exact merge over 2k
+        else:
+            cand_s = jnp.concatenate([best_s, s], axis=1)
+            cand_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(ids, (b, block))], axis=1
+            )
+            top_s, pos = lax.top_k(cand_s, k)
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return (top_s, top_i), None
 

@@ -22,12 +22,13 @@ class Recommender:
     """Top-k recommendation serving over factor embedding tables."""
 
     def __init__(self, W, H, train: SparseMatrix | None = None,
-                 mesh=None, block: int = 8192):
+                 mesh=None, block: int = 8192, method: str = "approx"):
         import jax
 
         self.W = np.asarray(W)
         self.mesh = mesh
         self.block = block
+        self.method = method  # "approx": TPU approx_max_k serving path
         if mesh is not None:
             from nmftpu.parallel import factor_shardings
 
@@ -74,7 +75,8 @@ class Recommender:
             )
         else:
             s, i = topk_mips_blocked(
-                Wq, self.H, k, block=self.block, exclude_mask=mask
+                Wq, self.H, k, block=self.block, exclude_mask=mask,
+                method=self.method,
             )
         return np.asarray(s), np.asarray(i)
 

@@ -29,21 +29,23 @@ def main():
     H = jnp.asarray(rng.standard_normal((r, m)), jnp.float32)
     Wq = jnp.asarray(rng.standard_normal((b, r)), jnp.float32)
 
-    def run(Wq, H):
-        s, i = topk_mips_blocked(Wq, H, k=k, block=32768)
-        return jnp.sum(s) + jnp.sum(i)
+    for method in ("exact", "approx"):
+        def run(Wq, H, method=method):
+            s, i = topk_mips_blocked(Wq, H, k=k, block=32768,
+                                     method=method)
+            return jnp.sum(s) + jnp.sum(i)
 
-    f = jax.jit(run)
-    float(f(Wq, H))  # compile
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(f(Wq, H))
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
-    print(f"items={m} rank={r} batch={b} k={k}")
-    print(f"batch latency {dt*1e3:.1f} ms  ->  {b/dt:,.0f} queries/s  "
-          f"({2*b*m*r/dt/1e12:.1f} TFLOP/s scoring)")
+        f = jax.jit(run)
+        float(f(Wq, H))  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(Wq, H))
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        print(f"[{method:6s}] items={m} rank={r} batch={b} k={k}: "
+              f"{dt*1e3:.1f} ms/batch -> {b/dt:,.0f} q/s "
+              f"({2*b*m*r/dt/1e12:.1f} TFLOP/s scoring)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,128 @@
+"""Run all five graded configurations (BASELINE.json) at real scale on the
+available hardware and write BENCH_graded.json. Config #4's multi-host run
+degrades to the largest single-chip sharded mesh here (the code path is
+identical; host count changes only the device list)."""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nmftpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import nmftpu
+    from nmftpu import NmfConfig
+    from nmftpu.data import synthetic_powerlaw_sparse
+    from nmftpu.data.movielens import Interactions, train_test_split_by_user
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+    from nmftpu.retrieval import recall_at_k
+
+    results = {}
+    rng = np.random.default_rng(0)
+
+    def timed(label, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        print(f"[{label}] {dt:.1f}s", flush=True)
+        return out, dt
+
+    # 1: ML-100K dense, rank 32, Frobenius
+    n1, m1 = 943, 1682
+    sp1 = synthetic_powerlaw_sparse(n1, m1, nnz=100_000, seed=1)
+    V1 = sp1.todense()
+    res, dt = timed("cfg1 dense ml100k", lambda: nmftpu.nmf(
+        V1, 32, num_iterations=200, threshold=1e-3, seed=0))
+    results["cfg1_ml100k_dense_rank32"] = {
+        "frobenius_error": res.frobenius_error, "rmsd": res.rmsd,
+        "iterations": res.num_iterations, "wall_s": round(dt, 1),
+        "in_loop_ms": round(res.elapsed_ms, 1),
+    }
+
+    # 2: ML-20M sparse, rank 64, KL
+    sp2 = synthetic_powerlaw_sparse(
+        138_000, 27_000, nnz=40_000_000, alpha_user=0.9, alpha_item=0.9,
+        seed=0,
+    )
+    res, dt = timed("cfg2 sparse kl", lambda: nmftpu.nmf(
+        sp2.to_csr(), 64, objective="kullback-leibler",
+        num_iterations=60, check_interval=20, seed=0))
+    results["cfg2_ml20m_sparse_kl_rank64"] = {
+        "kl_error": res.kl_error, "frobenius_error": res.frobenius_error,
+        "iterations": res.num_iterations, "wall_s": round(dt, 1),
+        "in_loop_ms": round(res.elapsed_ms, 1), "nnz": int(sp2.nnz),
+    }
+
+    # 3: implicit confidence-weighted, rank 128
+    sp3 = synthetic_powerlaw_sparse(
+        138_000, 27_000, nnz=40_000_000, alpha_user=0.9, alpha_item=0.9,
+        seed=2,
+    )
+    sp3.data[:] = 1.0
+    res, dt = timed("cfg3 implicit r128", lambda: nmftpu.nmf(
+        sp3, 128, alpha_confidence=40.0, num_iterations=40,
+        check_interval=20, seed=0))
+    results["cfg3_implicit_weighted_rank128"] = {
+        "frobenius_error": res.frobenius_error,
+        "iterations": res.num_iterations, "wall_s": round(dt, 1),
+        "in_loop_ms": round(res.elapsed_ms, 1),
+    }
+
+    # 4: sharded rank-256 on the largest mesh available here
+    mesh = make_grid_mesh()
+    sp4 = synthetic_powerlaw_sparse(200_000, 100_000, nnz=10_000_000,
+                                    seed=3)
+    res, dt = timed("cfg4 sharded r256", lambda: compute_sharded(
+        sp4, NmfConfig(rank=256, num_iterations=30, check_interval=10),
+        mesh=mesh))
+    results["cfg4_sharded_rank256"] = {
+        "mesh": dict(zip(mesh.axis_names,
+                         (int(x) for x in mesh.devices.shape))),
+        "frobenius_error": res.frobenius_error,
+        "iterations": res.num_iterations, "wall_s": round(dt, 1),
+        "in_loop_ms": round(res.elapsed_ms, 1), "nnz": int(sp4.nnz),
+    }
+
+    # 5: retrieval recall@100 on held-out interactions
+    inter = Interactions(
+        matrix=sp2, user_ids=np.arange(sp2.shape[0]),
+        item_ids=np.arange(sp2.shape[1]),
+        timestamps=rng.integers(1, 10**9, sp2.nnz),
+    )
+    train, test_pairs = train_test_split_by_user(inter)
+    res, dt_f = timed("cfg5 factorize", lambda: nmftpu.nmf(
+        train.to_csr(), 64, alpha_confidence=0.0, num_iterations=100,
+        check_interval=25, seed=0))
+    sel = rng.choice(len(test_pairs), 20000, replace=False)
+    rec, dt_e = timed("cfg5 recall", lambda: recall_at_k(
+        np.asarray(res.W), res.H, test_pairs[sel], train=train, k=100,
+        batch_users=2048, block=8192))
+    results["cfg5_retrieval_recall100"] = {
+        "recall_at_100": round(float(rec), 4),
+        "eval_pairs": 20000, "factorize_s": round(dt_f, 1),
+        "eval_s": round(dt_e, 1),
+    }
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_graded.json")
+    with open(out_path, "w") as f:
+        json.dump({
+            "hardware": str(jax.devices()[0].device_kind),
+            "note": "synthetic data at graded-config scale; real-dataset "
+                    "runs take --data in the examples",
+            "results": results,
+        }, f, indent=2)
+    print(json.dumps(results, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

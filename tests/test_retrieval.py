@@ -76,3 +76,17 @@ def test_recall_perfect_with_true_factors(rng):
     test_pairs = np.stack([np.arange(n), held], axis=1)
     rec = recall_at_k(W, H, test_pairs, train=None, k=1, batch_users=16)
     assert rec == 1.0
+
+
+def test_approx_topk_high_overlap(rng):
+    """approx_max_k path: strong overlap with exact top-k (exact on CPU
+    fallback; on TPU the recall target is ~0.95 per block)."""
+    Wq = rng.standard_normal((6, 8)).astype(np.float32)
+    H = rng.standard_normal((8, 300)).astype(np.float32)
+    _, i_ex = topk_mips_blocked(Wq, H, k=10, block=64, method="exact")
+    _, i_ap = topk_mips_blocked(Wq, H, k=10, block=64, method="approx")
+    overlap = np.mean([
+        len(set(np.asarray(i_ex)[b]) & set(np.asarray(i_ap)[b])) / 10
+        for b in range(6)
+    ])
+    assert overlap >= 0.8, overlap
