@@ -17,11 +17,14 @@ from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
 from nmftpu.retrieval.mips import topk_mips_blocked
 
 
-def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None):
-    """Exact top-k over an items-sharded table H (r, m).
+def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
+                      method="exact"):
+    """Top-k over an items-sharded table H (r, m).
 
     Wq: (b, r) queries (replicated); H sharded P(None, 'items');
     exclude_mask: optional (b, m) bool, sharded like H on its item axis.
+    method: "exact" or "approx" (hardware approx_max_k inside each
+    shard's blocked scan; both cross-block and cross-shard merges exact).
     Returns (scores (b, k), global item indices (b, k)), replicated.
     """
     has_mask = exclude_mask is not None
@@ -30,7 +33,8 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None):
         m_loc = H_loc.shape[1]
         mask_loc = mask[0] if has_mask else None
         s, idx = topk_mips_blocked(
-            Wq, H_loc, k, block=min(block, m_loc), exclude_mask=mask_loc
+            Wq, H_loc, k, block=min(block, m_loc), exclude_mask=mask_loc,
+            method=method,
         )
         shard = lax.axis_index(AXIS_ITEMS)
         gidx = idx + shard * m_loc

@@ -71,7 +71,7 @@ class Recommender:
 
             s, i = topk_mips_sharded(
                 Wq, self.H, k, mesh=self.mesh, block=self.block,
-                exclude_mask=mask,
+                exclude_mask=mask, method=self.method,
             )
         else:
             s, i = topk_mips_blocked(
