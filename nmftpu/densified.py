@@ -24,18 +24,23 @@ from jax import lax
 from nmftpu.sparse_ops import DeviceCOO, _chunked
 
 
-def densify(coo: DeviceCOO, dtype=jnp.bfloat16) -> jax.Array:
-    """Scatter the padded COO into a dense (n, m) array of `dtype`, once.
+def densify(coo: DeviceCOO, dtype=jnp.bfloat16,
+            row_multiple: int = 1) -> jax.Array:
+    """Scatter the padded COO into a dense (n_pad, m) array of `dtype`,
+    once; n_pad rounds n up to `row_multiple` so the blocked update paths
+    never need a (copying) jnp.pad of the full matrix. The extra zero rows
+    are absorbing under every update rule.
 
     Padding entries add 0 at (0, 0) — exact no-ops. Duplicates sum.
     """
     n, m = coo.shape
+    n_pad = ((n + row_multiple - 1) // row_multiple) * row_multiple
 
     def body(acc, x):
         v, rr, cc = x
         return acc.at[rr, cc].add(v.astype(dtype)), None
 
-    acc0 = jnp.zeros((n, m), dtype)
+    acc0 = jnp.zeros((n_pad, m), dtype)
     acc, _ = lax.scan(body, acc0, _chunked(coo))
     return acc
 

@@ -872,7 +872,9 @@ def compute_sparse(
     if strategy == "densified":
         from nmftpu import densified as DF
 
-        Vd = DF.densify(coo)
+        # rows padded to the blocked-update panel size: downstream pads
+        # become no-ops instead of full-matrix copies (OOM at ML-20M scale)
+        Vd = DF.densify(coo, row_multiple=4096)
         cache_key = (
             config, coo.shape, "densified", str(dtype),
         )
@@ -889,13 +891,21 @@ def compute_sparse(
                 )
                 _RUNNER_CACHE[cache_key] = runner
 
+        n_pad = Vd.shape[0]
+
         def init_fn(key):
-            return sparse_initialize_factors(
+            W, H = sparse_initialize_factors(
                 coo, config.rank, config.init_method, key,
                 W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
             )
+            if n_pad != n:  # zero rows are absorbing under every rule
+                W = jnp.pad(W, ((0, n_pad - n), (0, 0)))
+            return W, H
 
-        return execute(Vd, config, runner, init_fn, numel=n * m)
+        result = execute(Vd, config, runner, init_fn, numel=n * m)
+        if n_pad != n:
+            result.W = result.W[:n]
+        return result
 
     cache_key = (config, coo.shape, coo.values.shape[0], str(dtype))
     if callback is not None or interrupt is not None:
