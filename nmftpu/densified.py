@@ -48,62 +48,84 @@ def densify(coo: DeviceCOO, dtype=jnp.bfloat16,
 def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows):
     """Blockwise numerator (V / (Q P)) @ P^T -> (n, r) for the left-factor
     KL half-step. Q (n, r) is the left operand forming the reconstruction
-    (W, or W for nsNMF), P (r, m) the right partner (H, or S@H)."""
+    (W, or W for nsNMF), P (r, m) the right partner (H, or S@H).
+
+    Row panels are read with dynamic_slice inside a fori_loop — NEVER
+    reshaped/stacked into scan xs, which would materialize a second
+    V-sized buffer (the ML-20M OOM). Requires n % block_rows == 0 (the
+    densify row_multiple contract); falls back to a single-block path
+    otherwise."""
     n, m = Vd.shape
     r = Q.shape[1]
-    nb = (n + block_rows - 1) // block_rows
-    pad = nb * block_rows - n
-    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
-    Qb = jnp.pad(Q, ((0, pad), (0, 0))).reshape(nb, block_rows, r)
-
-    def blk(carry, x):
-        Q_blk, V_blk = x
+    if n % block_rows:
         WH = jax.lax.dot_general(
-            Q_blk.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            Q.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ratio = Vd.astype(jnp.float32) / (WH + eps)
+        return jax.lax.dot_general(
+            ratio.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    nb = n // block_rows
+    Pb = P.astype(jnp.bfloat16)
+
+    def body(i, out):
+        start = i * block_rows
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
+        Q_blk = lax.dynamic_slice_in_dim(Q, start, block_rows, 0)
+        WH = jax.lax.dot_general(
+            Q_blk.astype(jnp.bfloat16), Pb,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ratio = V_blk.astype(jnp.float32) / (WH + eps)
         numer = jax.lax.dot_general(
-            ratio.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            ratio.astype(jnp.bfloat16), Pb,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return carry, numer
+        return lax.dynamic_update_slice_in_dim(out, numer, start, 0)
 
-    _, numers = lax.scan(blk, None, (Qb, Vb))
-    return numers.reshape(nb * block_rows, r)[:n]
+    return lax.fori_loop(
+        0, nb, body, jnp.zeros((n, r), jnp.float32)
+    )
 
 
 def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows):
     """Blockwise numerator Q^T (V / (Q H)) -> (r, m) for the right-factor
-    KL half-step; Q (n, r) is the effective left factor (W, or W@S)."""
+    KL half-step; Q (n, r) is the effective left factor (W, or W@S).
+    Same no-copy panel access contract as _kl_numer_w_blocked."""
     n, m = Vd.shape
     r = Q.shape[1]
-    nb = (n + block_rows - 1) // block_rows
-    pad = nb * block_rows - n
-    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
-    Qb = jnp.pad(Q, ((0, pad), (0, 0))).reshape(nb, block_rows, r)
-
-    def blk(acc, x):
-        Q_blk, V_blk = x
+    if n % block_rows:
         WH = jax.lax.dot_general(
-            Q_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+            Q.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ratio = Vd.astype(jnp.float32) / (WH + eps)
+        return jax.lax.dot_general(
+            Q.astype(jnp.bfloat16), ratio.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    nb = n // block_rows
+    Hb = H.astype(jnp.bfloat16)
+
+    def body(i, acc):
+        start = i * block_rows
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
+        Q_blk = lax.dynamic_slice_in_dim(Q, start, block_rows, 0)
+        WH = jax.lax.dot_general(
+            Q_blk.astype(jnp.bfloat16), Hb,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ratio = V_blk.astype(jnp.float32) / (WH + eps)
-        acc = acc + jax.lax.dot_general(
+        return acc + jax.lax.dot_general(
             Q_blk.astype(jnp.bfloat16), ratio.astype(jnp.bfloat16),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, None
 
-    numer, _ = lax.scan(
-        blk, jnp.zeros((r, m), jnp.float32), (Qb, Vb)
+    return lax.fori_loop(
+        0, nb, body, jnp.zeros((r, m), jnp.float32)
     )
-    return numer
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))
@@ -257,61 +279,65 @@ def mu_update_frobenius_weighted_densified(
     Vd, W, H, alpha, eps=1e-9, order="WH", block_rows=4096
 ):
     """Confidence-weighted MU (c = 1 + alpha*v) against bf16-dense V,
-    blockwise over row panels so C⊙WH never materializes at full size."""
+    blockwise over row panels so C⊙WH never materializes at full size.
+    Panels are read via dynamic_slice (no V-sized scan xs — see
+    _kl_numer_w_blocked); requires n % block_rows == 0 or falls back to a
+    single panel."""
     n, m = Vd.shape
     r = W.shape[1]
-    nb = (n + block_rows - 1) // block_rows
-    pad = nb * block_rows - n
-    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
-
-    def pads(X):
-        return jnp.pad(X, ((0, pad), (0, 0))).reshape(nb, block_rows, -1)
+    if n % block_rows:
+        block_rows = n
+    nb = n // block_rows
 
     def cwh_terms(W, H):
         """Per-panel numer_w parts and accumulated H-side products."""
-        Wb = pads(W)
+        Hb = H.astype(jnp.bfloat16)
 
-        def blk(acc, x):
-            V_blk, W_blk = x
+        def body(i, carry):
+            nw_out, dw_out, nh, dh = carry
+            start = i * block_rows
+            V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
+            W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
             V32 = V_blk.astype(jnp.float32)
             C = 1.0 + alpha * V32
             WH = jax.lax.dot_general(
-                W_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+                W_blk.astype(jnp.bfloat16), Hb,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             CV = C * V32
             CWH = C * WH
             nw = jax.lax.dot_general(
-                CV.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+                CV.astype(jnp.bfloat16), Hb,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dw = jax.lax.dot_general(
-                CWH.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+                CWH.astype(jnp.bfloat16), Hb,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            nh = jax.lax.dot_general(
+            nh = nh + jax.lax.dot_general(
                 W_blk.astype(jnp.bfloat16), CV.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dh = jax.lax.dot_general(
+            dh = dh + jax.lax.dot_general(
                 W_blk.astype(jnp.bfloat16), CWH.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_nh, acc_dh = acc
-            return (acc_nh + nh, acc_dh + dh), (nw, dw)
+            nw_out = lax.dynamic_update_slice_in_dim(nw_out, nw, start, 0)
+            dw_out = lax.dynamic_update_slice_in_dim(dw_out, dw, start, 0)
+            return (nw_out, dw_out, nh, dh)
 
-        (nh, dh), per_panel = lax.scan(
-            blk, (jnp.zeros((r, m), jnp.float32),
-                  jnp.zeros((r, m), jnp.float32)),
-            (Vb, Wb),
+        nw, dw, nh, dh = lax.fori_loop(
+            0, nb, body,
+            (jnp.zeros((n, r), jnp.float32),
+             jnp.zeros((n, r), jnp.float32),
+             jnp.zeros((r, m), jnp.float32),
+             jnp.zeros((r, m), jnp.float32)),
         )
-        nw = per_panel[0].reshape(nb * block_rows, r)[:n]
-        dw = per_panel[1].reshape(nb * block_rows, r)[:n]
         return nw, dw, nh, dh
 
     if order == "WH":
