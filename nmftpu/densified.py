@@ -368,19 +368,21 @@ def frobenius_error_densified(Vd, W, H, sum_v_sq):
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
 def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096):
-    """Blockwise D_KL(V || WH) against dense low-precision V."""
+    """Blockwise D_KL(V || WH) against dense low-precision V (panel access
+    via dynamic_slice — no V-sized intermediates)."""
     n, m = Vd.shape
-    r = W.shape[1]
-    nb = (n + block_rows - 1) // block_rows
-    pad = nb * block_rows - n
-    Vb = jnp.pad(Vd, ((0, pad), (0, 0))).reshape(nb, block_rows, m)
-    Wb = jnp.pad(W, ((0, pad), (0, 0))).reshape(nb, block_rows, r)
+    if n % block_rows:
+        block_rows = n
+    nb = n // block_rows
+    Hb = H.astype(jnp.bfloat16)
 
-    def blk(acc, x):
-        V_blk, W_blk = x
+    def body(i, acc):
+        start = i * block_rows
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
+        W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
         V32 = V_blk.astype(jnp.float32)
         WH = jax.lax.dot_general(
-            W_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+            W_blk.astype(jnp.bfloat16), Hb,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -389,7 +391,26 @@ def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096):
             V32 * jnp.log(jnp.maximum(V32, eps) / jnp.maximum(WH, eps)),
             0.0,
         )
-        return acc + jnp.sum(term - V32 + WH), None
+        return acc + jnp.sum(term - V32 + WH)
 
-    total, _ = lax.scan(blk, jnp.asarray(0.0, jnp.float32), (Vb, Wb))
-    return total
+    return lax.fori_loop(0, nb, body, jnp.asarray(0.0, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def sum_v_sq_densified(Vd, block_rows=4096):
+    """||V||_F^2 blockwise in f32 — jnp.sum(square(Vd.astype(f32))) can
+    materialize a full f32 copy of V (2x HBM) if the convert fails to fuse
+    into the reduction; the panel loop caps the intermediate at panel
+    size."""
+    n, m = Vd.shape
+    if n % block_rows:
+        block_rows = n
+    nb = n // block_rows
+
+    def body(i, acc):
+        blk = lax.dynamic_slice_in_dim(
+            Vd, i * block_rows, block_rows, 0
+        ).astype(jnp.float32)
+        return acc + jnp.sum(blk * blk)
+
+    return lax.fori_loop(0, nb, body, jnp.asarray(0.0, jnp.float32))

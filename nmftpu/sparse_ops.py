@@ -707,8 +707,9 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
         kl=lambda Vd, aux, W, He: DF.kl_error_densified(Vd, W, He),
         # from the bf16-rounded V, consistent with the bf16 cross term in
         # the Gram-trick error (mixing the exact f32 sum with bf16 products
-        # would break the cancellation near convergence)
-        sum_v_sq=lambda Vd: jnp.sum(jnp.square(Vd.astype(jnp.float32))),
+        # would break the cancellation near convergence); blockwise to
+        # avoid a full f32 copy of V
+        sum_v_sq=lambda Vd: DF.sum_v_sq_densified(Vd),
         numel=lambda Vd: Vd.shape[0] * Vd.shape[1],
     )
 
