@@ -69,6 +69,9 @@ class NmfResult:
     best_run: int
     run_errors: list[float]
     stats: RunStats
+    # Host wall-clock over all runs. Includes jit compilation on the FIRST
+    # invocation of a given (config, shape) — subsequent calls reuse the
+    # cached runner and report pure compute.
     elapsed_ms: float
     # Multi-host sharded runs only: factors are returned still permuted /
     # padded (gathering to one host is not meaningful there); these record
