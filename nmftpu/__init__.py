@@ -30,6 +30,23 @@ from nmftpu.api import nmf
 
 __version__ = "0.1.0"
 
+_LAZY = {
+    "compute_sparse": ("nmftpu.sparse_ops", "compute_sparse"),
+    "compute_sharded": ("nmftpu.parallel", "compute_sharded"),
+    "Recommender": ("nmftpu.serving", "Recommender"),
+    "recall_at_k": ("nmftpu.retrieval", "recall_at_k"),
+}
+
+
+def __getattr__(name):
+    """Lazy re-exports of the heavier subsystem entry points."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'nmftpu' has no attribute {name!r}")
+
 __all__ = [
     "Algorithm",
     "Initialization",

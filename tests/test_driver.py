@@ -199,3 +199,13 @@ def test_nmf_api_mesh_and_strategy(lowrank, rng):
     assert r2.W.shape == (24, 3)
     r3 = nmftpu.nmf(sp, 3, num_iterations=10, strategy="scatter")
     assert np.isfinite(r3.frobenius_error)
+
+
+def test_lazy_top_level_exports():
+    import nmftpu as pkg
+    assert callable(pkg.compute_sparse)
+    assert callable(pkg.compute_sharded)
+    assert callable(pkg.recall_at_k)
+    assert pkg.Recommender.__name__ == "Recommender"
+    with pytest.raises(AttributeError):
+        pkg.does_not_exist
