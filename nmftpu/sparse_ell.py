@@ -110,15 +110,24 @@ def build_ell_rows(
     return EllRows(buckets=tuple(out), shape=(n, m), nnz=csr.nnz)
 
 
-def _bucket_rowsums(bucket: EllBucket, H, chunk: int):
-    """Per-segment sum_k v_k * H[:, col_k] -> (nseg, r), scatter-free."""
+def _bucket_rowsums(bucket: EllBucket, H, chunk: int,
+                    gather_dtype=None):
+    """Per-segment sum_k v_k * H[:, col_k] -> (nseg, r), scatter-free.
+
+    gather_dtype=jnp.bfloat16 halves gather traffic (the dominant cost at
+    high rank) at bf16 numerator precision; None keeps H's dtype."""
     H = jnp.asarray(H)
+    if gather_dtype is not None:
+        H = H.astype(gather_dtype)
     r = H.shape[0]
     nseg = bucket.vals.shape[0]
     if nseg <= chunk:
         g = jnp.take(H, bucket.cols.reshape(-1), axis=1)   # (r, nseg*w)
         g = g.T.reshape(nseg, bucket.width, r)
-        return jnp.einsum("sk,skr->sr", bucket.vals, g)
+        return jnp.einsum(
+            "sk,skr->sr", bucket.vals.astype(g.dtype), g,
+            preferred_element_type=jnp.float32,
+        )
     T = (nseg + chunk - 1) // chunk
     pad = T * chunk - nseg
     vals = jnp.pad(bucket.vals, ((0, pad), (0, 0))).reshape(
@@ -132,23 +141,27 @@ def _bucket_rowsums(bucket: EllBucket, H, chunk: int):
         v, c = x
         g = jnp.take(H, c.reshape(-1), axis=1)
         g = g.T.reshape(chunk, bucket.width, r)
-        return None, jnp.einsum("sk,skr->sr", v, g)
+        return None, jnp.einsum(
+            "sk,skr->sr", v.astype(g.dtype), g,
+            preferred_element_type=jnp.float32,
+        )
 
     _, res = lax.scan(body, None, (vals, cols))
     return res.reshape(T * chunk, r)[:nseg]
 
 
-def v_ht_ell(ell: EllRows, H, chunk: int = 2048) -> jax.Array:
+def v_ht_ell(ell: EllRows, H, chunk: int = 2048,
+             gather_dtype=None) -> jax.Array:
     """V @ H^T -> (n, r). Gathers dominate; the only scatter is the
     per-segment row accumulation (#segments ≈ n + nnz/seg_max)."""
     H = jnp.asarray(H)
     n = ell.shape[0]
     r = H.shape[0]
-    out = jnp.zeros((n, r), H.dtype)
+    out = jnp.zeros((n, r), jnp.float32)
     for bucket in ell.buckets:
-        seg = _bucket_rowsums(bucket, H, chunk)
+        seg = _bucket_rowsums(bucket, H, chunk, gather_dtype=gather_dtype)
         out = out.at[bucket.out_row].add(seg)
-    return out
+    return out.astype(H.dtype)
 
 
 def sddmm_ell(ell: EllRows, W, H, chunk: int = 2048) -> EllRows:
