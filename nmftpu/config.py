@@ -135,8 +135,10 @@ class NmfConfig:
     # k-means init (SURVEY.md C8, §3.4).
     kmeans_max_iter: int = 25
 
-    # Kernel selection: None = auto (Pallas on TPU, jnp elsewhere);
-    # True/False force.
+    # Kernel selection for the DENSE fused-MU path: None/False = XLA jnp
+    # (the measured-fastest path, PERF.md §1); True = opt into the Pallas
+    # fused half-step kernels. Sparse Pallas SpMM is controlled by the
+    # sparse engine choice, not this flag.
     use_pallas: bool | None = None
 
     # Verbosity (reference C17): 0 silent; 1 per-run summary lines;

@@ -95,6 +95,14 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback,
     check (reference C9: user-interrupt polling); truthy return stops the
     run and returns the current factors.
     """
+    if interrupt is not None and config.vectorize_runs and config.num_runs > 1:
+        # ordered io_callback (the interrupt poll) is unsupported under
+        # vmap; fail clearly instead of an opaque trace-time error.
+        raise ValueError(
+            "interrupt= cannot be combined with vectorize_runs=True "
+            "(ordered io_callback does not support vmap); use sequential "
+            "runs for interruptible execution"
+        )
     if callback is None and config.verbosity >= 2:
         callback = _verbose_callback
     num_iterations = config.num_iterations

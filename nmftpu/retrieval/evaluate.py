@@ -60,7 +60,8 @@ def recall_at_k(
             mask = None
         if mesh is not None:
             _, idx = topk_mips_sharded(
-                Wq, H_dev, k, mesh=mesh, block=block, exclude_mask=mask
+                Wq, H_dev, k, mesh=mesh, block=block, exclude_mask=mask,
+                method=method,
             )
         else:
             _, idx = topk_mips_blocked(

@@ -49,6 +49,10 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
     (recall target 0.95 per block; the cross-block merge stays exact) —
     an order of magnitude faster serving at marginal recall loss.
     """
+    if method not in ("exact", "approx"):
+        raise ValueError(
+            f"method must be 'exact' or 'approx', got {method!r}"
+        )
     b, r = Wq.shape
     m = H.shape[1]
     nblocks = (m + block - 1) // block

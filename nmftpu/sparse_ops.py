@@ -710,7 +710,11 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
         # would break the cancellation near convergence); blockwise to
         # avoid a full f32 copy of V
         sum_v_sq=lambda Vd: DF.sum_v_sq_densified(Vd),
-        numel=lambda Vd: Vd.shape[0] * Vd.shape[1],
+        # true (n, m), NOT the padded densified shape: pad rows contribute
+        # zero error (W pad rows are zero), so the RMSD denominator must be
+        # the real entry count or the in-loop metric understates the RMSD
+        # by sqrt(n_pad/n) and stops early.
+        numel=lambda Vd, _nm=coo.shape: _nm[0] * _nm[1],
     )
 
 

@@ -83,3 +83,14 @@ def test_resume_sharded(tmp_path, rng):
     )
     assert res.W.shape == (40, 4)
     assert np.isfinite(res.frobenius_error)
+
+def test_resume_at_budget_returns_factors_unchanged(tmp_path, rng):
+    """Resuming a checkpoint already at num_iterations must not run extra
+    updates (ADVICE r1: the old max(..., 1) clamp ran one spurious step)."""
+    V, W0, H0 = _problem(rng)
+    cfg = NmfConfig(rank=3, num_iterations=10)
+    ckpt.save(str(tmp_path / "ck"), W0, H0, iteration=10, config=cfg)
+    res = ckpt.resume(str(tmp_path / "ck"), V, cfg)
+    assert res.num_iterations == 0
+    np.testing.assert_allclose(np.asarray(res.W), W0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.H), H0, rtol=1e-6)

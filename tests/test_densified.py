@@ -135,3 +135,19 @@ def test_nsnmf_kl_all_engines_match_scatter(rng, strategy):
     ra = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy=strategy)
     rs = so.compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
     np.testing.assert_allclose(ra.kl_error, rs.kl_error, rtol=3e-2)
+
+
+def test_densified_rmsd_uses_true_numel(rng):
+    """ADVICE r1: the in-loop RMSD must divide by the TRUE n*m, not the
+    padded densified shape (rows pad to a 4096 multiple), so the reported
+    error and NmfResult.rmsd agree."""
+    from nmftpu.config import ThresholdType
+
+    dense, _ = _sprandom(rng, n=50, m=36)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(
+        rank=3, num_iterations=8, threshold_type=ThresholdType.RMSD,
+        threshold_value=0.0, seed=0,
+    )
+    res = so.compute_sparse(sp, cfg, strategy="densified")
+    np.testing.assert_allclose(res.error, res.rmsd, rtol=1e-5)

@@ -209,3 +209,15 @@ def test_lazy_top_level_exports():
     assert pkg.Recommender.__name__ == "Recommender"
     with pytest.raises(AttributeError):
         pkg.does_not_exist
+
+
+def test_interrupt_with_vectorized_runs_rejected(rng):
+    """ADVICE r1: ordered io_callback is unsupported under vmap — the
+    combination must fail with a clear error, not an opaque trace error."""
+    import pytest as _pytest
+
+    V = rng.uniform(0.1, 1.0, (16, 12)).astype(np.float32)
+    cfg = NmfConfig(rank=2, num_iterations=4, num_runs=3,
+                    vectorize_runs=True)
+    with _pytest.raises(ValueError, match="vectorize_runs"):
+        compute(V, cfg, interrupt=lambda: False)
