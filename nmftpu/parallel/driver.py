@@ -64,6 +64,31 @@ def _pad_perm_matrix(X, perm, padded, axis):
     return out
 
 
+def _perm_padded_shards(X, perm, padded, axis, r, sharding, dtype):
+    """Place perm+pad of X directly shard-by-shard: each process builds
+    only the shard slices its devices own (never the full padded factor).
+    out[perm[i]] = X[i] along `axis`; other slots zero."""
+    X = np.asarray(X)
+    n = X.shape[axis]
+    inv = np.full(padded, -1, np.int64)
+    inv[np.asarray(perm)] = np.arange(n)
+    shape = (padded, r) if axis == 0 else (r, padded)
+
+    def cb(idx):
+        sl = idx[axis]
+        src = inv[sl]
+        used = src >= 0
+        if axis == 0:
+            out = np.zeros((src.shape[0], X.shape[1]), dtype)
+            out[used] = X[src[used]]
+            return out[:, idx[1]]
+        out = np.zeros((X.shape[0], src.shape[0]), dtype)
+        out[:, used] = X[:, src[used]]
+        return out[idx[0], :]
+
+    return jax.make_array_from_callback(shape, sharding, cb)
+
+
 def _sharded_init(
     mat: host_sparse.SparseMatrix,
     config: NmfConfig,
@@ -76,45 +101,80 @@ def _sharded_init(
     padded_shape,
     mean_v,
     dtype,
+    mesh=None,
+    row_axis=None,
+    col_axis=None,
 ):
-    """Build the per-run init closure producing padded, sharded factors."""
+    """Build the per-run init closure producing padded, sharded factors.
+
+    ALL_RANDOM_VALUES generates SHARD-LOCAL randomness inside shard_map
+    (key folded by mesh axis index): no host or device ever materializes a
+    full (pn, r)/(r, pm) factor — required at the 100M-user scale of
+    BASELINE config #4. COPY_EXISTING likewise places user factors
+    shard-by-shard."""
     n, m = shape
     pn, pm = padded_shape
     r = config.rank
     method = config.init_method
     scale = float(np.sqrt(max(mean_v, 1e-12) / r))
 
-    row_mask = jnp.zeros((pn, 1), dtype).at[jnp.asarray(row_perm), 0].set(1.0)
-    col_mask = jnp.zeros((1, pm), dtype).at[0, jnp.asarray(col_perm)].set(1.0)
-
     if method is Initialization.COPY_EXISTING:
         if W0 is None or H0 is None:
             raise ValueError("COPY_EXISTING requires both W0 and H0")
-        Wp = jnp.asarray(_pad_perm_matrix(W0, row_perm, pn, 0), dtype)
-        Hp = jnp.asarray(_pad_perm_matrix(H0, col_perm, pm, 1), dtype)
 
         def init_fn(key):
             return (
-                _put_global(Wp, shardings["W"]),
-                _put_global(Hp, shardings["H"]),
+                _perm_padded_shards(
+                    W0, row_perm, pn, 0, r, shardings["W"], dtype
+                ),
+                _perm_padded_shards(
+                    H0, col_perm, pm, 1, r, shardings["H"], dtype
+                ),
             )
 
         return init_fn
 
     if method is Initialization.ALL_RANDOM_VALUES:
+        from jax.sharding import PartitionSpec as P
+
+        from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
+
+        row_axis = row_axis or AXIS_USERS
+        col_axis = col_axis or AXIS_ITEMS
+        pu = mesh.shape[row_axis]
+        pi = mesh.shape[col_axis]
+        bw, bh = pn // pu, pm // pi
+
+        # Padding-slot masks, placed shard-by-shard from compact host
+        # bools (O(pn + pm) host memory, not O(pn * r)).
+        row_used = np.zeros((pn, 1), bool)
+        row_used[np.asarray(row_perm), 0] = True
+        col_used = np.zeros((1, pm), bool)
+        col_used[0, np.asarray(col_perm)] = True
+        rm_dev = _put_global(row_used, shardings["W"])
+        cm_dev = _put_global(col_used, shardings["H"])
+
+        def _gen(key, rm, cm):
+            # W shards fold only the 'users' index and H shards only the
+            # 'items' index, so each factor is well-defined (identical)
+            # along its replicated mesh axis.
+            iu = jax.lax.axis_index(row_axis)
+            ii = jax.lax.axis_index(col_axis)
+            kw, kh = jax.random.split(key)
+            kw = jax.random.fold_in(kw, iu)
+            kh = jax.random.fold_in(kh, ii)
+            Wl = (jax.random.uniform(kw, (bw, r), dtype) + 1e-4) * scale
+            Hl = (jax.random.uniform(kh, (r, bh), dtype) + 1e-4) * scale
+            return Wl * rm.astype(dtype), Hl * cm.astype(dtype)
+
+        gen = jax.jit(jax.shard_map(
+            _gen, mesh=mesh,
+            in_specs=(P(), P(row_axis, None), P(None, col_axis)),
+            out_specs=(P(row_axis, None), P(None, col_axis)),
+        ))
 
         def init_fn(key):
-            kw, kh = jax.random.split(key)
-            W = (jax.random.uniform(kw, (pn, r), dtype) + 1e-4) * scale
-            H = (jax.random.uniform(kh, (r, pm), dtype) + 1e-4) * scale
-            W = W * row_mask       # zero the padding rows (absorbing)
-            H = H * col_mask
-            # same key on every process -> identical host values -> each
-            # process places its own shards
-            return (
-                _put_global(W, shardings["W"]),
-                _put_global(H, shardings["H"]),
-            )
+            return gen(key, rm_dev, cm_dev)
 
         return init_fn
 
@@ -161,7 +221,10 @@ def compute_sharded(
 
     engine: per-tile sparse engine — "ell" (gather-only bucketed segments,
     MU family, ~3x faster per tile), "scatter" (chunked COO, all
-    algorithms), or "auto" (ell for MU, else scatter).
+    algorithms), "ring" (1-D ring topology: H blocks rotate via ppermute —
+    SURVEY.md §5.7's long-item-axis answer; uses the mesh's devices as a
+    ring regardless of its 2-D shape), or "auto" (ell for MU, else
+    scatter).
     """
     from nmftpu.config import Algorithm
 
@@ -177,8 +240,45 @@ def compute_sharded(
 
     if engine == "auto":
         engine = "ell" if config.algorithm is Algorithm.MU else "scatter"
+    if engine not in ("ell", "scatter", "ring"):
+        raise ValueError(
+            f"engine must be 'auto', 'ell', 'scatter' or 'ring', "
+            f"got {engine!r}"
+        )
 
-    if engine == "ell":
+    row_axis = col_axis = None
+    if engine == "ring":
+        from nmftpu.parallel import ring as RING
+
+        mesh = RING.make_ring_mesh(list(mesh.devices.flat))
+        shardings = RING.ring_shardings(mesh)
+        row_axis = col_axis = RING.AXIS_RING
+        p = mesh.devices.size
+        scoo, row_perm, col_perm = RING.partition_for_ring(
+            V, p, dtype=dtype, chunk=chunk, balance=balance,
+            seed=config.seed, out_shardings=shardings["tiles"],
+        )
+        make_aux, update, eff_h = RING.build_ring_update(
+            config, mesh, scoo
+        )
+        fro, kl = RING.build_ring_errors(mesh, scoo)
+        ops = LoopOps(
+            make_aux=make_aux,
+            update=update,
+            effective_h=eff_h,
+            frobenius=lambda s, aux, W, He, svsq: fro(s, W, He, svsq),
+            kl=lambda s, aux, W, He: kl(s, W, He),
+            sum_v_sq=lambda s: jnp.sum(s.values * s.values),
+            numel=lambda s: s.shape[0] * s.shape[1],
+        )
+        operand = scoo
+        padded_shape = scoo.padded_shape
+        mean_v = float(jnp.sum(scoo.values)) / (float(n) * float(m))
+        cache_key = (
+            config, scoo.shape, scoo.values.shape, "ring", str(dtype),
+            tuple(mesh.devices.flat), mesh.axis_names,
+        )
+    elif engine == "ell":
         from nmftpu.parallel import sharded_ell as SEL
 
         sell, row_perm, col_perm = SEL.partition_sparse_ell(
@@ -235,7 +335,8 @@ def compute_sharded(
 
     init_fn = _sharded_init(
         V, config, shardings, row_perm, col_perm, W0, H0,
-        (n, m), padded_shape, mean_v, dtype,
+        (n, m), padded_shape, mean_v, dtype, mesh=mesh,
+        row_axis=row_axis, col_axis=col_axis,
     )
 
     result = execute(operand, config, runner, init_fn, numel=n * m)

@@ -1,4 +1,4 @@
-"""Ring-SpMM MU update on a 1-D mesh (SURVEY.md §2.9 SP/ring analog, §5.7).
+"""Ring-SpMM updates on a 1-D mesh (SURVEY.md §2.9 SP/ring analog, §5.7).
 
 The 2-D grid engine (parallel/updates.py) is the default; this module is
 the ring-topology alternative for 1-D meshes / very long item axes —
@@ -6,24 +6,31 @@ structurally the ring-attention pattern with H blocks in the KV role:
 
 * p devices; device i owns W row-block i, H column-block i, and its row
   panel of V pre-split into p column tiles (block-local indices).
-* numerator V·Hᵀ: H blocks ROTATE around the ring (`lax.ppermute`); at
-  step s device i holds H block (i−s) mod p and consumes its matching V
-  tile — after p use-and-rotate steps every W shard has seen every H block
-  and H is home again.
-* numerator WᵀV: a ring REDUCE — per-block accumulators travel the ring,
-  each device adding its own contribution for the block the accumulator is
-  destined to; one final rotation delivers every completed block to its
-  owner.
-* Grams (WᵀW, HHᵀ) are `psum`s, as in the grid engine.
+* W-side numerators (V·Hᵀ and friends): H blocks ROTATE around the ring
+  (`lax.ppermute`); at step s device i holds H block (i−s) mod p and
+  consumes its matching V tile — after p use-and-rotate steps every W
+  shard has seen every H block and H is home again.
+* H-side numerators:
+  - Frobenius/ALS need only WᵀV: a ring REDUCE — per-block accumulators
+    travel the ring, each device adding its contribution for the block
+    the accumulator is destined to; a final +2 rotation delivers every
+    completed block to its owner.
+  - KL/weighted need the resident H block too (the SDDMM ratio), so the
+    (H block, accumulator) PAIR rotates together; after p−1 add-and-rotate
+    steps plus one delivery rotation both are home.
+* Grams (WᵀW, HHᵀ) and row/col sums are `psum`s, as in the grid engine.
 
-Per-iteration comm volume: 2·r·m + r·n floats around the ring — higher
-than the 2-D grid's O((n/pu + m/pi)·r); use the ring when the mesh is
-physically 1-D (a single ICI ring) or when the item axis alone must scale.
+Per-iteration comm volume: O(r·m) rotated around the ring (2·r·m for the
+pair rotation) + r·n for the W side — higher than the 2-D grid's
+O((n/pu + m/pi)·r); use the ring when the mesh is physically 1-D (a
+single ICI ring) or when the item axis alone must scale.
+
+Supported here: MU (Frobenius, KL, confidence-weighted), ALS/ACLS/AHCLS,
+GDCLS, nsNMF (both objectives) — full parity with the grid engine.
+Selected via `compute_sharded(..., engine="ring")`.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +38,9 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from nmftpu.config import Algorithm, NmfConfig, Objective
 from nmftpu.parallel.sharded_coo import partition_sparse
-from nmftpu.sparse_ops import DeviceCOO, v_ht, wt_v
+from nmftpu.sparse_ops import DeviceCOO, sddmm, v_ht, wt_v
 from nmftpu import sparse as host_sparse
 
 AXIS_RING = "shards"
@@ -49,6 +57,7 @@ def ring_shardings(mesh: Mesh):
         "W": NamedSharding(mesh, P(AXIS_RING, None)),
         "H": NamedSharding(mesh, P(None, AXIS_RING)),
         "tiles": NamedSharding(mesh, P(AXIS_RING, None, None)),
+        "replicated": NamedSharding(mesh, P()),
     }
 
 
@@ -70,80 +79,387 @@ def _tile(scoo_meta, vals, rows, cols, j):
     )
 
 
-def build_ring_mu_update(mesh: Mesh, scoo_meta, eps=1e-9, order="WH"):
-    """Ring MU (Frobenius) update: returns update(scoo, W, H) -> (W, H) for
-    padded factors sharded per ring_shardings."""
-    p = mesh.devices.size
-    fwd = [(k, (k + 1) % p) for k in range(p)]
+class _Ring:
+    """The three ring dataflows, parameterized by per-tile contribution
+    functions. Everything here runs INSIDE a shard_map region."""
 
-    def step(vals, rows, cols, W, H):
-        vals, rows, cols = vals[0], rows[0], cols[0]   # (p, Nt) local
+    def __init__(self, scoo_meta, p):
+        self.meta = scoo_meta
+        self.p = p
+        self.fwd = [(k, (k + 1) % p) for k in range(p)]
+
+    def rotate_w(self, vals, rows, cols, H, contrib):
+        """acc_i = Σ_j contrib(tile_ij, H_j) by rotating H. Returns
+        (acc (bn, x), H home again)."""
         my = lax.axis_index(AXIS_RING)
+        p = self.p
 
-        def numer_w(H):
-            """V_i · Hᵀ by rotating H blocks around the ring."""
-            def body(s, carry):
-                H_rot, acc = carry
-                j = (my - s) % p
-                local = _tile(scoo_meta, vals, rows, cols, j)
-                acc = acc + v_ht(local, H_rot)
-                H_rot = lax.ppermute(H_rot, AXIS_RING, fwd)
-                return (H_rot, acc)
+        def body(s, carry):
+            H_rot, acc = carry
+            j = (my - s) % p
+            local = _tile(self.meta, vals, rows, cols, j)
+            acc = acc + contrib(local, H_rot)
+            H_rot = lax.ppermute(H_rot, AXIS_RING, self.fwd)
+            return (H_rot, acc)
 
-            acc0 = jnp.zeros((scoo_meta.block_rows, H.shape[0]), H.dtype)
-            H_home, acc = lax.fori_loop(0, p, body, (H, acc0))
-            # p rotations == identity; H_home is H again (kept for clarity)
-            return acc, H_home
+        # the probe only fixes the accumulator shape/dtype; XLA DCEs it
+        probe = jax.eval_shape(
+            lambda h: contrib(_tile(self.meta, vals, rows, cols, my), h), H
+        )
+        acc0 = jnp.zeros(probe.shape, probe.dtype)
+        H_home, acc = lax.fori_loop(0, p, body, (H, acc0))
+        return acc, H_home
 
-        def numer_h(W):
-            """WᵀV ring-reduce: traveling per-block accumulators."""
-            def contribution(b):
-                local = _tile(scoo_meta, vals, rows, cols, b)
-                return wt_v(local, W)                   # (r, block_cols)
+    def rotate_w_sum(self, vals, rows, cols, H, contrib):
+        """Scalar variant: acc = Σ_j contrib(tile_ij, H_j) (errors)."""
+        my = lax.axis_index(AXIS_RING)
+        p = self.p
 
-            acc = contribution((my + 1) % p)
+        def body(s, carry):
+            H_rot, acc = carry
+            j = (my - s) % p
+            local = _tile(self.meta, vals, rows, cols, j)
+            acc = acc + contrib(local, H_rot)
+            H_rot = lax.ppermute(H_rot, AXIS_RING, self.fwd)
+            return (H_rot, acc)
 
-            def body(s, acc):
-                acc = lax.ppermute(acc, AXIS_RING, fwd)
-                b = (my - s + 1) % p
-                return acc + contribution(b)
+        _, acc = lax.fori_loop(
+            0, p, body, (H, jnp.asarray(0.0, jnp.float32))
+        )
+        return acc
 
-            acc = lax.fori_loop(1, p, body, acc)
-            # completed block (i0+1) sits at device (i0-1): shift home (+2)
-            if p > 2:
-                home = [(k, (k + 2) % p) for k in range(p)]
-                acc = lax.ppermute(acc, AXIS_RING, home)
-            return acc
+    def reduce_h(self, vals, rows, cols, contrib):
+        """Ring reduce for H-side numerators NOT needing the H block:
+        accumulator destined for block b visits every device once.
+        contrib(tile_ib) -> (r, bm)."""
+        my = lax.axis_index(AXIS_RING)
+        p = self.p
 
-        def upd_w(W, H):
-            numer, H = numer_w(H)
-            HHt = lax.psum(H @ H.T, AXIS_RING)
-            return W * (numer / (W @ HHt + eps)), H
+        acc = contrib(_tile(self.meta, vals, rows, cols, (my + 1) % p))
 
-        def upd_h(W, H):
-            numer = numer_h(W)
-            WtW = lax.psum(W.T @ W, AXIS_RING)
-            return H * (numer / (WtW @ H + eps))
+        def body(s, acc):
+            acc = lax.ppermute(acc, AXIS_RING, self.fwd)
+            b = (my - s + 1) % p
+            return acc + contrib(_tile(self.meta, vals, rows, cols, b))
 
-        if order == "WH":
-            W, H = upd_w(W, H)
-            H = upd_h(W, H)
+        acc = lax.fori_loop(1, p, body, acc)
+        # after the loop the accumulator destined for block (my+2) sits at
+        # device my, for every p: deliver with a +2 rotation.
+        if p > 2:
+            home = [(k, (k + 2) % p) for k in range(p)]
+            acc = lax.ppermute(acc, AXIS_RING, home)
+        return acc
+
+    def pair_reduce_h(self, vals, rows, cols, H, contrib):
+        """Ring reduce where the contribution needs the destination H
+        block (KL ratio, weighted SDDMM): the (H block, accumulator) pair
+        rotates together. contrib(tile_ij, H_j) -> (r, bm). Returns the
+        completed accumulator, home at its owner."""
+        my = lax.axis_index(AXIS_RING)
+        p = self.p
+
+        acc = contrib(_tile(self.meta, vals, rows, cols, my), H)
+
+        def body(s, carry):
+            H_rot, acc = carry
+            H_rot = lax.ppermute(H_rot, AXIS_RING, self.fwd)
+            acc = lax.ppermute(acc, AXIS_RING, self.fwd)
+            j = (my - s) % p
+            acc = acc + contrib(
+                _tile(self.meta, vals, rows, cols, j), H_rot
+            )
+            return (H_rot, acc)
+
+        H_rot, acc = lax.fori_loop(1, p, body, (H, acc))
+        # destined block (my+1) sits at device my: one delivery rotation
+        return lax.ppermute(acc, AXIS_RING, self.fwd)
+
+
+def _solve_clamped(gram, rhs, shift, off, eps):
+    r = gram.shape[0]
+    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
+    if off:
+        A = A + off * jnp.ones((r, r), gram.dtype)
+    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+
+
+def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
+    """Ring twin of parallel.updates.build_sharded_update: returns
+    (make_aux, update, effective_h); update(scoo, aux, W, H) is ONE
+    shard_map region per iteration."""
+    eps = config.eps
+    order = config.update_order
+    alg = config.algorithm
+    obj = config.objective
+    p = mesh.devices.size
+    ring = _Ring(scoo_meta, p)
+
+    # ---- W half-steps (rotation) -------------------------------------
+    def w_fro(vals, rows, cols, W, H, HT=None):
+        # HT: optional transform of each rotated H block (nsNMF's S@H)
+        tf = HT if HT is not None else (lambda h: h)
+        numer, _ = ring.rotate_w(
+            vals, rows, cols, H, lambda l, h: v_ht(l, tf(h))
+        )
+        Ht = tf(H)
+        G = lax.psum(Ht @ Ht.T, AXIS_RING)
+        return W * (numer / (W @ G + eps))
+
+    def w_kl(vals, rows, cols, W, H, HT=None):
+        tf = HT if HT is not None else (lambda h: h)
+
+        def contrib(l, h):
+            ht = tf(h)
+            ratio = l.with_values(l.values / (sddmm(l, W, ht) + eps))
+            return v_ht(ratio, ht)
+
+        numer, _ = ring.rotate_w(vals, rows, cols, H, contrib)
+        s_sum = lax.psum(jnp.sum(tf(H), axis=1), AXIS_RING)
+        return W * (numer / jnp.maximum(s_sum, eps)[None, :])
+
+    def w_weighted(vals, rows, cols, W, H, alpha):
+        def contrib(l, h):
+            cv = l.with_values(l.values * (1.0 + alpha * l.values))
+            swh = l.with_values(l.values * sddmm(l, W, h))
+            return jnp.concatenate(
+                [v_ht(cv, h), v_ht(swh, h)], axis=1
+            )
+
+        both, _ = ring.rotate_w(vals, rows, cols, H, contrib)
+        r = W.shape[1]
+        numer, alpha_part = both[:, :r], both[:, r:]
+        HHt = lax.psum(H @ H.T, AXIS_RING)
+        return W * (numer / (W @ HHt + alpha * alpha_part + eps))
+
+    def w_als(vals, rows, cols, W, H, shift, off):
+        rhs, _ = ring.rotate_w(vals, rows, cols, H, v_ht)
+        gram = lax.psum(H @ H.T, AXIS_RING)
+        return _solve_clamped(gram, rhs.T, shift, off, eps).T
+
+    # ---- H half-steps (ring reduce) ----------------------------------
+    def h_fro(vals, rows, cols, W, H, WT=None):
+        Wt = WT(W) if WT is not None else W
+        numer = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, Wt))
+        G = lax.psum(Wt.T @ Wt, AXIS_RING)
+        return H * (numer / (G @ H + eps))
+
+    def h_kl(vals, rows, cols, W, H, WT=None):
+        Wt = WT(W) if WT is not None else W
+
+        def contrib(l, h):
+            ratio = l.with_values(l.values / (sddmm(l, Wt, h) + eps))
+            return wt_v(ratio, Wt)
+
+        numer = ring.pair_reduce_h(vals, rows, cols, H, contrib)
+        s_sum = lax.psum(jnp.sum(Wt, axis=0), AXIS_RING)
+        return H * (numer / jnp.maximum(s_sum, eps)[:, None])
+
+    def h_weighted(vals, rows, cols, W, H, alpha):
+        def contrib(l, h):
+            cv = l.with_values(l.values * (1.0 + alpha * l.values))
+            swh = l.with_values(l.values * sddmm(l, W, h))
+            return jnp.concatenate(
+                [wt_v(cv, W), wt_v(swh, W)], axis=0
+            )
+
+        both = ring.pair_reduce_h(vals, rows, cols, H, contrib)
+        r = W.shape[1]
+        numer, alpha_part = both[:r], both[r:]
+        WtW = lax.psum(W.T @ W, AXIS_RING)
+        return H * (numer / (WtW @ H + alpha * alpha_part + eps))
+
+    def h_als(vals, rows, cols, W, H, shift, off):
+        rhs = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, W))
+        gram = lax.psum(W.T @ W, AXIS_RING)
+        return _solve_clamped(gram, rhs, shift, off, eps)
+
+    # ---- assemble ----------------------------------------------------
+    def make_step(upd_w, upd_h, with_s=False):
+        def step(vals, rows, cols, W, H, *s):
+            vals, rows, cols = vals[0], rows[0], cols[0]
+            args = s if with_s else ()
+            if order == "WH":
+                W = upd_w(vals, rows, cols, W, H, *args)
+                H = upd_h(vals, rows, cols, W, H, *args)
+            else:
+                H = upd_h(vals, rows, cols, W, H, *args)
+                W = upd_w(vals, rows, cols, W, H, *args)
+            return W, H
+
+        tiles = P(AXIS_RING, None, None)
+        in_specs = (tiles, tiles, tiles, P(AXIS_RING, None),
+                    P(None, AXIS_RING))
+        if with_s:
+            in_specs = in_specs + (P(),)
+        shmapped = jax.shard_map(
+            step, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(AXIS_RING, None), P(None, AXIS_RING)),
+            check_vma=False,
+        )
+
+        def update(scoo, aux, W, H):
+            extra = aux if with_s else ()
+            return shmapped(scoo.values, scoo.rows, scoo.cols, W, H,
+                            *extra)
+
+        return update
+
+    ident_h = lambda aux, H: H  # noqa: E731
+    no_aux = lambda scoo: ()  # noqa: E731
+
+    if alg is Algorithm.MU:
+        if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
+            a = config.alpha_confidence
+            update = make_step(
+                lambda v, r_, c, W, H: w_weighted(v, r_, c, W, H, a),
+                lambda v, r_, c, W, H: h_weighted(v, r_, c, W, H, a),
+            )
+        elif obj is Objective.FROBENIUS:
+            update = make_step(w_fro, h_fro)
         else:
-            H = upd_h(W, H)
-            W, _ = upd_w(W, H)
-        return W, H
+            update = make_step(w_kl, h_kl)
+        return no_aux, update, ident_h
 
-    shmapped = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(
-            P(AXIS_RING, None, None), P(AXIS_RING, None, None),
-            P(AXIS_RING, None, None), P(AXIS_RING, None), P(None, AXIS_RING),
-        ),
-        out_specs=(P(AXIS_RING, None), P(None, AXIS_RING)),
+    if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if alg is Algorithm.ALS:
+            sw = sh = ow = oh = 0.0
+        elif alg is Algorithm.ACLS:
+            sw, sh = config.lambda_w, config.lambda_h
+            ow = oh = 0.0
+        else:
+            r = config.rank
+
+            def hoyer(lam, a):
+                sr = float(np.sqrt(r))
+                beta = ((1.0 - a) * sr + a) ** 2 / r
+                return lam * beta, lam * (1.0 - beta)
+
+            sw, ow = hoyer(config.lambda_w, config.alpha_w)
+            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        update = make_step(
+            lambda v, r_, c, W, H: w_als(v, r_, c, W, H, sw, ow),
+            lambda v, r_, c, W, H: h_als(v, r_, c, W, H, sh, oh),
+        )
+        return no_aux, update, ident_h
+
+    if alg is Algorithm.GDCLS:
+        lt = config.lambda_tik
+        update = make_step(
+            w_fro,
+            lambda v, r_, c, W, H: h_als(v, r_, c, W, H, lt, 0.0),
+        )
+        return no_aux, update, ident_h
+
+    if alg is Algorithm.NSNMF:
+        from nmftpu.linalg import dense as D
+
+        theta = config.theta
+        rank = config.rank
+
+        if obj is Objective.FROBENIUS:
+            update = make_step(
+                lambda v, r_, c, W, H, S: w_fro(
+                    v, r_, c, W, H, HT=lambda h: S @ h
+                ),
+                lambda v, r_, c, W, H, S: h_fro(
+                    v, r_, c, W, H, WT=lambda w: w @ S
+                ),
+                with_s=True,
+            )
+        else:
+            update = make_step(
+                lambda v, r_, c, W, H, S: w_kl(
+                    v, r_, c, W, H, HT=lambda h: S @ h
+                ),
+                lambda v, r_, c, W, H, S: h_kl(
+                    v, r_, c, W, H, WT=lambda w: w @ S
+                ),
+                with_s=True,
+            )
+
+        def make_aux(scoo):
+            return (
+                D.nsnmf_smoothing_matrix(
+                    rank, theta, dtype=scoo.values.dtype
+                ),
+            )
+
+        return make_aux, update, lambda aux, H: aux[0] @ H
+
+    raise ValueError(f"ring engine does not support algorithm {alg}")
+
+
+def build_ring_errors(mesh: Mesh, scoo_meta):
+    """(frobenius(scoo, W, He, svsq), kl(scoo, W, He)) on the ring: the
+    nonzero-sampled terms accumulate over one H rotation; Grams/sums are
+    psums. Each returns a replicated scalar."""
+    p = mesh.devices.size
+    ring = _Ring(scoo_meta, p)
+    tiles = P(AXIS_RING, None, None)
+
+    def fro(vals, rows, cols, W, H, svsq):
+        vals, rows, cols = vals[0], rows[0], cols[0]
+        cross = lax.psum(
+            ring.rotate_w_sum(
+                vals, rows, cols, H,
+                lambda l, h: jnp.sum(l.values * sddmm(l, W, h)),
+            ),
+            AXIS_RING,
+        )
+        WtW = lax.psum(W.T @ W, AXIS_RING)
+        HHt = lax.psum(H @ H.T, AXIS_RING)
+        quad = jnp.sum(WtW * HHt)
+        return jnp.sqrt(jnp.maximum(svsq[0] - 2.0 * cross + quad, 0.0))
+
+    fro_sh = jax.shard_map(
+        fro, mesh=mesh,
+        in_specs=(tiles, tiles, tiles, P(AXIS_RING, None),
+                  P(None, AXIS_RING), P()),
+        out_specs=P(),
         check_vma=False,
     )
 
-    def update(scoo, W, H):
-        return shmapped(scoo.values, scoo.rows, scoo.cols, W, H)
+    def kl(vals, rows, cols, W, H):
+        vals, rows, cols = vals[0], rows[0], cols[0]
 
-    return update
+        def log_terms(l, h):
+            wh = sddmm(l, W, h)
+            v = l.values
+            t = jnp.where(
+                v > 0,
+                v * jnp.log(jnp.maximum(v, 1e-12)
+                            / jnp.maximum(wh, 1e-12)),
+                0.0,
+            )
+            return jnp.sum(t) - jnp.sum(v)
+
+        total = lax.psum(
+            ring.rotate_w_sum(vals, rows, cols, H, log_terms), AXIS_RING
+        )
+        w_col = lax.psum(jnp.sum(W, axis=0), AXIS_RING)
+        h_row = lax.psum(jnp.sum(H, axis=1), AXIS_RING)
+        return total + w_col @ h_row
+
+    kl_sh = jax.shard_map(
+        kl, mesh=mesh,
+        in_specs=(tiles, tiles, tiles, P(AXIS_RING, None),
+                  P(None, AXIS_RING)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def frobenius(scoo, W, He, svsq):
+        return fro_sh(scoo.values, scoo.rows, scoo.cols, W, He,
+                      jnp.reshape(svsq, (1,)))
+
+    def kl_err(scoo, W, He):
+        return kl_sh(scoo.values, scoo.rows, scoo.cols, W, He)
+
+    return frobenius, kl_err
+
+
+def build_ring_mu_update(mesh: Mesh, scoo_meta, eps=1e-9, order="WH"):
+    """Back-compat wrapper: plain MU-Frobenius update(scoo, W, H)."""
+    cfg = NmfConfig(rank=1, num_iterations=1, eps=eps, update_order=order)
+    _, update, _ = build_ring_update(cfg, mesh, scoo_meta)
+    return lambda scoo, W, H: update(scoo, (), W, H)

@@ -1,43 +1,37 @@
-"""Ring-SpMM MU tests: the 1-D ring engine must match the dense oracle."""
+"""Ring-SpMM engine tests (SURVEY.md §2.9 SP row, §5.7, §7 hard-parts):
+the rotation/ring-reduce dataflows are exactly the off-by-one territory
+SURVEY §7 warns about, so update-level parity runs exhaustively over
+p in {2,3,4,8} x both update orders x both objectives against the dense
+oracle, plus end-to-end compute_sharded(engine="ring") for every
+algorithm family."""
+
 
 import jax
 import numpy as np
 import pytest
 
+from nmftpu import Algorithm, Initialization, NmfConfig, Objective
 from nmftpu import sparse as hs
+from nmftpu.driver import compute
 from nmftpu.linalg import dense as D
 from nmftpu.parallel import ring
+from nmftpu.parallel.driver import compute_sharded
 
 
-@pytest.fixture(scope="module", params=[2, 4])
-def ring_mesh(request):
-    p = request.param
-    return ring.make_ring_mesh(jax.devices()[:p])
-
-
-def test_ring_mu_matches_dense(rng, ring_mesh):
-    p = ring_mesh.devices.size
-    n, m, r = 36, 44, 4
+def _problem(rng, n=36, m=44, r=4, density=0.4):
     dense = rng.uniform(0.2, 2.0, (n, m))
-    mask = rng.uniform(size=(n, m)) < 0.4
+    mask = rng.uniform(size=(n, m)) < density
     mask[:, 0] = True
     mask[0, :] = True
     dense = (dense * mask).astype(np.float32)
+    W0 = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    return dense, W0, H0
 
-    scoo, row_perm, col_perm = ring.partition_for_ring(
-        hs.from_dense(dense), p, balance=False, chunk=64
-    )
-    pn, pm = scoo.padded_shape
-    Vp = np.zeros((pn, pm), np.float32)
-    Vp[:n, :m] = dense
 
-    W0 = np.zeros((pn, r), np.float32)
-    H0 = np.zeros((r, pm), np.float32)
-    W0[:n] = rng.uniform(0.1, 1.0, (n, r))
-    H0[:, :m] = rng.uniform(0.1, 1.0, (r, m))
-
-    sh = ring.ring_shardings(ring_mesh)
-    scoo_dev = type(scoo)(
+def _place(scoo, mesh):
+    sh = ring.ring_shardings(mesh)
+    return type(scoo)(
         values=jax.device_put(np.asarray(scoo.values), sh["tiles"]),
         rows=jax.device_put(np.asarray(scoo.rows), sh["tiles"]),
         cols=jax.device_put(np.asarray(scoo.cols), sh["tiles"]),
@@ -45,17 +39,124 @@ def test_ring_mu_matches_dense(rng, ring_mesh):
         mesh_shape=scoo.mesh_shape, block_rows=scoo.block_rows,
         block_cols=scoo.block_cols,
     )
+
+
+@pytest.mark.parametrize("p", [2, 3, 4, 8])
+@pytest.mark.parametrize("order", ["WH", "HW"])
+@pytest.mark.parametrize("objective", ["frobenius", "kullback-leibler"])
+def test_ring_mu_matches_dense(rng, p, order, objective):
+    """5 MU iterations on the ring == dense oracle, for every ring size,
+    update order, and objective."""
+    mesh = ring.make_ring_mesh(jax.devices()[:p])
+    n, m, r = 36, 44, 4
+    dense, W0f, H0f = _problem(rng, n, m, r)
+
+    scoo, row_perm, col_perm = ring.partition_for_ring(
+        hs.from_dense(dense), p, balance=False, chunk=64
+    )
+    pn, pm = scoo.padded_shape
+    Vp = np.zeros((pn, pm), np.float32)
+    Vp[:n, :m] = dense
+    W0 = np.zeros((pn, r), np.float32)
+    H0 = np.zeros((r, pm), np.float32)
+    W0[:n] = W0f
+    H0[:, :m] = H0f
+
+    sh = ring.ring_shardings(mesh)
+    scoo_dev = _place(scoo, mesh)
     W = jax.device_put(W0, sh["W"])
     H = jax.device_put(H0, sh["H"])
 
-    update = ring.build_ring_mu_update(ring_mesh, scoo)
-    update = jax.jit(update)
+    cfg = NmfConfig(
+        rank=r, num_iterations=1, update_order=order,
+        objective=Objective(objective),
+    )
+    _, upd, _ = ring.build_ring_update(cfg, mesh, scoo)
+    update = jax.jit(lambda s, W, H: upd(s, (), W, H))
 
+    oracle = (D.mu_update_frobenius if objective == "frobenius"
+              else D.mu_update_kl)
     Wd, Hd = W0.copy(), H0.copy()
     for _ in range(5):
         W, H = update(scoo_dev, W, H)
-        Wd, Hd = D.mu_update_frobenius(Vp, Wd, Hd)
+        Wd, Hd = oracle(Vp, Wd, Hd, order=order)
         Wd, Hd = np.asarray(Wd), np.asarray(Hd)
 
     np.testing.assert_allclose(np.asarray(W), Wd, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(H), Hd, rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "alg,obj,knobs",
+    [
+        (Algorithm.MU, Objective.FROBENIUS, {}),
+        (Algorithm.MU, Objective.KL, {}),
+        (Algorithm.MU, Objective.FROBENIUS, {"alpha_confidence": 4.0}),
+        (Algorithm.ALS, Objective.FROBENIUS, {}),
+        (Algorithm.ACLS, Objective.FROBENIUS,
+         {"lambda_w": 0.1, "lambda_h": 0.1}),
+        (Algorithm.AHCLS, Objective.FROBENIUS,
+         {"lambda_w": 0.1, "lambda_h": 0.1, "alpha_w": 0.6,
+          "alpha_h": 0.6}),
+        (Algorithm.GDCLS, Objective.FROBENIUS, {"lambda_tik": 0.05}),
+        (Algorithm.NSNMF, Objective.FROBENIUS, {"theta": 0.3}),
+        (Algorithm.NSNMF, Objective.KL, {"theta": 0.3}),
+    ],
+)
+def test_ring_engine_matches_dense_driver(rng, alg, obj, knobs):
+    """compute_sharded(engine='ring') == the dense driver for every
+    algorithm family (COPY_EXISTING, fixed iterations)."""
+    dense, W0, H0 = _problem(rng, 30, 36, 3)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(
+        rank=3, algorithm=alg, objective=obj,
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=8, check_interval=4, **knobs,
+    )
+    rr = compute_sharded(sp, cfg, engine="ring", W0=W0, H0=H0, chunk=128)
+    rd = compute(dense, cfg, W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        np.asarray(rr.W), np.asarray(rd.W), rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rr.H), np.asarray(rd.H), rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        rr.frobenius_error, rd.frobenius_error, rtol=1e-3
+    )
+    if obj is Objective.KL:
+        np.testing.assert_allclose(rr.kl_error, rd.kl_error,
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_ring_random_init_runs_and_balances(rng):
+    """Random-init ring run: shard-local RNG init, convergence tracking,
+    results in original coordinates."""
+    dense, _, _ = _problem(rng, 48, 40, 4)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(rank=4, num_iterations=30, seed=7, check_interval=10)
+    res = compute_sharded(sp, cfg, engine="ring")
+    assert res.W.shape == (48, 4) and res.H.shape == (4, 40)
+    recon = np.linalg.norm(dense - np.asarray(res.W) @ np.asarray(res.H))
+    np.testing.assert_allclose(recon, res.frobenius_error, rtol=5e-2)
+
+
+def test_ring_determinism(rng):
+    dense, _, _ = _problem(rng, 24, 28, 3)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(rank=3, num_iterations=6, seed=11)
+    r1 = compute_sharded(sp, cfg, engine="ring")
+    r2 = compute_sharded(sp, cfg, engine="ring")
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+
+
+def test_ring_threshold_convergence(rng):
+    dense, _, _ = _problem(rng, 30, 30, 3, density=0.6)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(
+        rank=3, num_iterations=500, threshold_value=1e-3,
+        check_interval=10, seed=2,
+    )
+    res = compute_sharded(sp, cfg, engine="ring")
+    assert res.converged
+    assert res.num_iterations < 500
