@@ -104,6 +104,7 @@ def _sharded_init(
     mesh=None,
     row_axis=None,
     col_axis=None,
+    init_scoo=None,
 ):
     """Build the per-run init closure producing padded, sharded factors.
 
@@ -178,10 +179,21 @@ def _sharded_init(
 
         return init_fn
 
-    # Data-dependent inits (MeanColumns / k-means family): run the
-    # single-device sparse init path, then permute+pad+shard. Init is a
-    # one-time cost; scaling it out is future work (SURVEY.md §7 notes
-    # host-side init is acceptable).
+    # Data-dependent inits (MeanColumns / k-means family).
+    if init_scoo is not None:
+        # Mesh-native: k-means assignment/centroid updates run inside
+        # shard_map (shard-local argmin + psum'd sums) — no single-device
+        # detour, no full factors anywhere (parallel/init_sharded.py).
+        from nmftpu.parallel.init_sharded import build_sharded_data_init
+
+        init = build_sharded_data_init(config, mesh, init_scoo)
+
+        def init_fn(key):
+            return init(key, init_scoo)
+
+        return init_fn
+
+    # Fallback (1-D ring mesh): single-device init, then permute+pad+shard.
     coo_1d = sparse_ops.device_put_sparse(mat, dtype=dtype)
 
     def init_fn(key):
@@ -333,10 +345,31 @@ def compute_sharded(
             runner = build_runner(config, ops, None)
             _RUNNER_CACHE[cache_key] = runner
 
+    data_dep = config.init_method in (
+        Initialization.MEAN_COLUMNS,
+        Initialization.K_MEANS_AND_RANDOM_VALUES,
+        Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        Initialization.K_MEANS_AND_ABSOLUTE_WTV,
+    )
+    init_scoo = None
+    if data_dep and engine == "scatter":
+        init_scoo = scoo
+    elif data_dep and engine == "ell":
+        # same seed => identical perms/blocking as the ELL partition; the
+        # COO copy exists only for the one-time mesh-native init
+        init_scoo, rp2, cp2 = partition_sparse(
+            V, tuple(mesh.devices.shape), dtype=dtype, chunk=chunk,
+            balance=balance, seed=config.seed,
+            out_shardings=shardings["tile"],
+        )
+        assert np.array_equal(rp2, row_perm) and np.array_equal(
+            cp2, col_perm
+        )
+
     init_fn = _sharded_init(
         V, config, shardings, row_perm, col_perm, W0, H0,
         (n, m), padded_shape, mean_v, dtype, mesh=mesh,
-        row_axis=row_axis, col_axis=col_axis,
+        row_axis=row_axis, col_axis=col_axis, init_scoo=init_scoo,
     )
 
     result = execute(operand, config, runner, init_fn, numel=n * m)

@@ -18,23 +18,32 @@ from nmftpu.retrieval.mips import topk_mips_blocked
 
 
 def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
-                      method="exact"):
+                      exclude_lists=None, method="exact",
+                      candidate_k=None):
     """Top-k over an items-sharded table H (r, m).
 
     Wq: (b, r) queries (replicated); H sharded P(None, 'items');
-    exclude_mask: optional (b, m) bool, sharded like H on its item axis.
+    exclude_mask: optional (b, m) bool, sharded like H on its item axis —
+    O(b·m), small-m only. exclude_lists: (ex_user, ex_col) from
+    `build_block_exclusion(..., shards=pi)` — block-bucketed pairs,
+    (pi·nblocks_loc, E) shard-major so each shard receives exactly its
+    own blocks; the large-m form.
     method: "exact" or "approx" (hardware approx_max_k inside each
     shard's blocked scan; both cross-block and cross-shard merges exact).
+    candidate_k: per-block candidate count for the approx path.
     Returns (scores (b, k), global item indices (b, k)), replicated.
     """
     has_mask = exclude_mask is not None
+    has_lists = exclude_lists is not None
 
-    def local_topk(Wq, H_loc, *mask):
+    def local_topk(Wq, H_loc, *extra):
         m_loc = H_loc.shape[1]
-        mask_loc = mask[0] if has_mask else None
+        mask_loc = extra[0] if has_mask else None
+        lists_loc = extra[-2:] if has_lists else None
         s, idx = topk_mips_blocked(
             Wq, H_loc, k, block=min(block, m_loc), exclude_mask=mask_loc,
-            method=method,
+            exclude_lists=lists_loc, method=method,
+            candidate_k=candidate_k,
         )
         shard = lax.axis_index(AXIS_ITEMS)
         gidx = idx + shard * m_loc
@@ -53,6 +62,10 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
     if has_mask:
         in_specs.append(P(None, AXIS_ITEMS))
         args.append(exclude_mask)
+    if has_lists:
+        in_specs += [P(AXIS_ITEMS, None), P(AXIS_ITEMS, None)]
+        args += [jnp.asarray(exclude_lists[0]),
+                 jnp.asarray(exclude_lists[1])]
 
     f = jax.shard_map(
         local_topk, mesh=mesh,

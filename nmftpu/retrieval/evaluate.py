@@ -25,14 +25,23 @@ def recall_at_k(
 
     W: (n, r) user factors; H: (r, m) item factors; test_pairs: (t, 2)
     [user, item]; train: the training interactions to exclude from
-    candidate lists (standard protocol). With `mesh`, H may be sharded
-    P(None, 'items') and scoring runs through the two-stage sharded top-k
-    (per-shard blocked top-k + all-gather merge).
+    candidate lists (standard protocol; exclusion is block-bucketed
+    lists — O(total_seen), never an O(batch·m) mask, so evaluation
+    scales to m=10M). With `mesh`, H may be sharded P(None, 'items')
+    and scoring runs through the two-stage sharded top-k (per-shard
+    blocked top-k + all-gather merge).
     """
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+
     W = np.asarray(W)
     H_dev = H  # stays on device across batches
     if mesh is not None:
+        from nmftpu.parallel.mesh import AXIS_ITEMS
         from nmftpu.parallel.retrieval_sharded import topk_mips_sharded
+
+        shards = mesh.shape[AXIS_ITEMS]
+    else:
+        shards = 1
     test_pairs = np.asarray(test_pairs)
     if test_pairs.size == 0:
         return float("nan")
@@ -52,20 +61,19 @@ def recall_at_k(
         batch = users[start:start + batch_users]
         Wq = W[batch]                                       # (b, r)
         if train_csr is not None:
-            mask = np.zeros((len(batch), m), dtype=bool)
-            for bi, u in enumerate(batch):
-                s, e = train_csr.indptr[u], train_csr.indptr[u + 1]
-                mask[bi, train_csr.indices[s:e]] = True
+            lists = build_block_exclusion(
+                batch, train_csr, m, block, shards=shards
+            )
         else:
-            mask = None
+            lists = None
         if mesh is not None:
             _, idx = topk_mips_sharded(
-                Wq, H_dev, k, mesh=mesh, block=block, exclude_mask=mask,
-                method=method,
+                Wq, H_dev, k, mesh=mesh, block=block,
+                exclude_lists=lists, method=method,
             )
         else:
             _, idx = topk_mips_blocked(
-                Wq, H_dev, k, block=block, exclude_mask=mask,
+                Wq, H_dev, k, block=block, exclude_lists=lists,
                 method=method,
             )
         idx = np.asarray(idx)

@@ -34,57 +34,98 @@ def topk_mips(Wq, H, k, exclude_mask=None):
     return lax.top_k(scores, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "method"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block", "method", "candidate_k")
+)
 def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
-                      method="exact"):
+                      exclude_lists=None, method="exact",
+                      candidate_k=None):
     """Memory-bounded top-k: stream item blocks, keep a running top-k.
 
     Peak memory is (b, block + k) scores instead of (b, m) — required when
     m is the 10M-item axis. H is scanned in (r, block) tiles (zero-padded
     tail; padding scores are -inf so they never surface).
 
+    Seen-item exclusion takes one of two forms:
+    * exclude_mask: (b, m) bool — fine at small m, O(b·m) memory;
+    * exclude_lists: (ex_user, ex_col) from
+      `nmftpu.retrieval.exclusion.build_block_exclusion` — (nblocks, E)
+      block-bucketed pairs scattered to -inf inside each block's step,
+      O(total_seen) total memory/work, the ONLY viable form at m=10M.
+
     method="exact" uses `lax.top_k` per block (exact but sort-bound — the
     top-k, not the scoring GEMM, dominates at large m). method="approx"
     uses the TPU's hardware-accelerated `lax.approx_max_k` per block
     (recall target 0.95 per block; the cross-block merge stays exact) —
     an order of magnitude faster serving at marginal recall loss.
+    candidate_k (approx only): per-block candidate count k' — lower k'
+    trades recall for block-sort time, higher k' (> k) buys back
+    approx_max_k's per-block recall loss.
     """
     if method not in ("exact", "approx"):
         raise ValueError(
             f"method must be 'exact' or 'approx', got {method!r}"
         )
+    if exclude_mask is not None and exclude_lists is not None:
+        raise ValueError(
+            "pass exclude_mask or exclude_lists, not both"
+        )
     b, r = Wq.shape
     m = H.shape[1]
     nblocks = (m + block - 1) // block
     pad = nblocks * block - m
-    Hp = jnp.pad(H, ((0, 0), (0, pad)))
-    Hb = Hp.reshape(r, nblocks, block).transpose(1, 0, 2)  # (nb, r, block)
+    # zero-copy when m divides into blocks (the large-m serving shape);
+    # otherwise ONE padded copy — never a transposed per-block stack.
+    Hp = H if pad == 0 else jnp.pad(H, ((0, 0), (0, pad)))
     if exclude_mask is not None:
         mask_p = jnp.pad(exclude_mask, ((0, 0), (0, pad)),
                          constant_values=True)
-        mask_b = mask_p.reshape(b, nblocks, block).transpose(1, 0, 2)
     else:
-        mask_b = jnp.zeros((nblocks, 1, 1), bool)  # broadcast no-op
+        mask_p = None
+    if exclude_lists is not None:
+        ex_user, ex_col = (jnp.asarray(x) for x in exclude_lists)
+        if ex_user.shape[0] != nblocks:
+            raise ValueError(
+                f"exclude_lists built for {ex_user.shape[0]} blocks, "
+                f"scan has {nblocks} (m={m}, block={block})"
+            )
+    else:
+        ex_user = ex_col = None
+
+    kk = k if candidate_k is None else max(1, min(candidate_k, block))
 
     # padding columns masked off
     col_ids = jnp.arange(block, dtype=jnp.int32)
 
-    def body(carry, x):
+    def body(blk_idx, carry):
         best_s, best_i = carry           # (b, k) running top-k
-        blk_idx, Hblk, mblk = x
+        Hblk = lax.dynamic_slice_in_dim(Hp, blk_idx * block, block, axis=1)
         s = Wq @ Hblk                    # (b, block)
         base = blk_idx * block
         ids = (base + col_ids).astype(jnp.int32)
         valid = ids[None, :] < m
-        s = jnp.where(valid & ~mblk, s, NEG_INF)
+        if mask_p is not None:
+            mblk = lax.dynamic_slice_in_dim(
+                mask_p, blk_idx * block, block, axis=1
+            )
+            s = jnp.where(valid & ~mblk, s, NEG_INF)
+        else:
+            s = jnp.where(valid, s, NEG_INF)
+        if ex_user is not None:
+            eu = lax.dynamic_index_in_dim(ex_user, blk_idx, 0,
+                                          keepdims=False)
+            ec = lax.dynamic_index_in_dim(ex_col, blk_idx, 0,
+                                          keepdims=False)
+            # -1 padding is out-of-bounds => dropped
+            s = s.at[eu, ec].set(NEG_INF, mode="drop")
         if method == "approx":
-            blk_s, blk_pos = lax.approx_max_k(s, k)
+            blk_s, blk_pos = lax.approx_max_k(s, kk)
             blk_i = jnp.take_along_axis(
                 jnp.broadcast_to(ids, (b, block)), blk_pos, axis=1
             )
             cand_s = jnp.concatenate([best_s, blk_s], axis=1)
             cand_i = jnp.concatenate([best_i, blk_i], axis=1)
-            top_s, pos = lax.top_k(cand_s, k)  # exact merge over 2k
+            top_s, pos = lax.top_k(cand_s, k)  # exact merge over k + k'
         else:
             cand_s = jnp.concatenate([best_s, s], axis=1)
             cand_i = jnp.concatenate(
@@ -92,13 +133,11 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
             )
             top_s, pos = lax.top_k(cand_s, k)
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-        return (top_s, top_i), None
+        return (top_s, top_i)
 
     init = (
         jnp.full((b, k), NEG_INF, Wq.dtype),
         jnp.zeros((b, k), jnp.int32),
     )
-    (scores, idx), _ = lax.scan(
-        body, init, (jnp.arange(nblocks), Hb, mask_b)
-    )
+    scores, idx = lax.fori_loop(0, nblocks, body, init)
     return scores, idx

@@ -50,33 +50,47 @@ class Recommender:
     def user_embedding(self, user_ids) -> np.ndarray:
         return self.W[np.asarray(user_ids)]
 
-    def _mask(self, user_ids):
+    def _exclusion(self, user_ids):
+        """Block-bucketed seen lists — O(total_seen), never a (b, m)
+        mask, so exclusion stays cheap at the 10M-item scale."""
         if self._train_csr is None:
             return None
-        mask = np.zeros((len(user_ids), self.n_items), dtype=bool)
-        for i, u in enumerate(user_ids):
-            s, e = self._train_csr.indptr[u], self._train_csr.indptr[u + 1]
-            mask[i, self._train_csr.indices[s:e]] = True
-        return mask
+        from nmftpu.parallel.mesh import AXIS_ITEMS
+        from nmftpu.retrieval.exclusion import build_block_exclusion
+
+        shards = 1
+        if self.mesh is not None:
+            shards = self.mesh.shape[AXIS_ITEMS]
+            if self.n_items % shards != 0:
+                raise ValueError(
+                    "sharded seen-exclusion requires n_items divisible "
+                    "by the items mesh axis; pad H or drop exclude_seen"
+                )
+        return build_block_exclusion(
+            user_ids, self._train_csr, self.n_items, self.block,
+            shards=shards,
+        )
 
     def recommend(self, user_ids, k: int = 100,
-                  exclude_seen: bool = True):
+                  exclude_seen: bool = True, candidate_k: int | None = None):
         """Top-k items for each user id. Returns (scores, item_ids),
-        both (len(user_ids), k)."""
+        both (len(user_ids), k). candidate_k tunes the approx path's
+        per-block candidate count (k' > k buys back per-block recall)."""
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
-        mask = self._mask(user_ids) if exclude_seen else None
+        lists = self._exclusion(user_ids) if exclude_seen else None
         if self.mesh is not None:
             from nmftpu.parallel import topk_mips_sharded
 
             s, i = topk_mips_sharded(
                 Wq, self.H, k, mesh=self.mesh, block=self.block,
-                exclude_mask=mask, method=self.method,
+                exclude_lists=lists, method=self.method,
+                candidate_k=candidate_k,
             )
         else:
             s, i = topk_mips_blocked(
-                Wq, self.H, k, block=self.block, exclude_mask=mask,
-                method=self.method,
+                Wq, self.H, k, block=self.block, exclude_lists=lists,
+                method=self.method, candidate_k=candidate_k,
             )
         return np.asarray(s), np.asarray(i)
 

@@ -211,3 +211,89 @@ def test_dense_gspmd_sharded_matches_unsharded(rng, mesh):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rs.W), np.asarray(rd.W),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_exclude_lists_match_single(rng, mesh):
+    """Sharded block-bucketed exclusion == single-device lists == dense
+    mask (shard-major bucketing, shard-local columns)."""
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+    from nmftpu.retrieval.mips import topk_mips_blocked
+    from nmftpu.parallel.retrieval_sharded import topk_mips_sharded
+    from nmftpu.sparse import SparseCSR
+
+    n, m, r = 12, 256, 4
+    pi = mesh.shape["items"]
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    dense_seen = rng.uniform(size=(n, m)) < 0.1
+    indptr = np.concatenate([[0], np.cumsum(dense_seen.sum(1))]).astype(np.int64)
+    indices = np.concatenate([np.nonzero(row)[0] for row in dense_seen])
+    csr = SparseCSR(indptr, indices.astype(np.int64),
+                    np.ones(len(indices), np.float32), (n, m))
+
+    sh = factor_shardings(mesh)
+    H_dev = jax.device_put(H, sh["H"])
+    lists_sh = build_block_exclusion(np.arange(n), csr, m, block=32,
+                                     shards=pi)
+    s_sh, i_sh = topk_mips_sharded(
+        W, H_dev, k=9, mesh=mesh, block=32, exclude_lists=lists_sh)
+    _, i_one = topk_mips_blocked(
+        W, H, k=9, block=32, exclude_mask=dense_seen)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_one))
+
+
+def test_sharded_kmeans_init_matches_single_device(rng, mesh):
+    """Mesh-native k-means init (shard-local argmin + psum'd centroid
+    sums) == the single-device sparse k-means on the same permuted
+    matrix with the same key."""
+    import jax.numpy as jnp
+    from nmftpu.parallel.init_sharded import build_sharded_data_init
+    from nmftpu.parallel.sharded_coo import partition_sparse
+    from nmftpu import sparse_ops as so
+    from nmftpu import sparse as hs
+    from nmftpu.config import Initialization
+    import dataclasses as dc
+
+    n, m, r = 40, 48, 4
+    dense, sp = _spmat(rng, n, m, density=0.5)
+    cfg = NmfConfig(
+        rank=r, init_method=Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        num_iterations=1, kmeans_max_iter=5, seed=3,
+    )
+    scoo, row_perm, col_perm = partition_sparse(
+        sp, tuple(mesh.devices.shape), chunk=256, seed=cfg.seed,
+        out_shardings=factor_shardings(mesh)["tile"],
+    )
+    init = build_sharded_data_init(cfg, mesh, scoo)
+    key = jax.random.PRNGKey(123)
+    W_sh, H_sh = init(key, scoo)
+
+    # single-device oracle on the permuted matrix with the same subkey
+    Vp = np.zeros((n, m), np.float32)
+    Vp[row_perm[:, None], col_perm[None, :]] = dense
+    coo1 = so.device_put_sparse(hs.from_dense(Vp), chunk=256)
+    _, _, kk = jax.random.split(key, 3)
+    cent, _ = so.kmeans_columns_sparse(coo1, r, kk, max_iter=5)
+    W_ref = np.maximum(np.asarray(cent), 0.0) + 1e-6
+    H_ref = np.maximum(np.asarray(so.wt_v(coo1, jnp.asarray(W_ref))), 0.0) + 1e-6
+
+    np.testing.assert_allclose(
+        np.asarray(W_sh)[:n], W_ref, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(H_sh)[:, :m], H_ref, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_kmeans_init_ell_engine_e2e(rng, mesh):
+    """k-means init runs mesh-native under the ELL engine too (the COO
+    init copy shares the ELL partition's perms/blocking)."""
+    dense, sp = _spmat(rng, 36, 40)
+    cfg = NmfConfig(
+        rank=3, init_method=Initialization.K_MEANS_AND_RANDOM_VALUES,
+        num_iterations=8, kmeans_max_iter=3, seed=5,
+    )
+    res = compute_sharded(sp, cfg, mesh=mesh, engine="ell")
+    assert np.isfinite(res.frobenius_error)
+    recon = np.linalg.norm(dense - np.asarray(res.W) @ np.asarray(res.H))
+    np.testing.assert_allclose(recon, res.frobenius_error, rtol=5e-2)

@@ -90,3 +90,78 @@ def test_approx_topk_high_overlap(rng):
         for b in range(6)
     ])
     assert overlap >= 0.8, overlap
+
+
+def test_exclude_lists_match_dense_mask(rng):
+    """Block-bucketed exclusion lists == dense mask exclusion (the 10M-item
+    form vs the small-m form), exact and approx."""
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+    from nmftpu.sparse import SparseCSR
+
+    n, m, r = 24, 200, 5
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    # random seen sets
+    dense_seen = rng.uniform(size=(n, m)) < 0.15
+    indptr = np.concatenate([[0], np.cumsum(dense_seen.sum(1))]).astype(np.int64)
+    indices = np.concatenate([np.nonzero(row)[0] for row in dense_seen])
+    csr = SparseCSR(indptr, indices.astype(np.int64),
+                    np.ones(len(indices), np.float32), (n, m))
+
+    user_ids = np.arange(n)
+    for method in ("exact", "approx"):
+        lists = build_block_exclusion(user_ids, csr, m, block=64)
+        _, i_lists = topk_mips_blocked(
+            W, H, k=8, block=64, exclude_lists=lists, method=method)
+        _, i_mask = topk_mips_blocked(
+            W, H, k=8, block=64, exclude_mask=dense_seen, method=method)
+        np.testing.assert_array_equal(np.asarray(i_lists),
+                                      np.asarray(i_mask))
+        # nothing seen may surface
+        for u in range(n):
+            assert not dense_seen[u, np.asarray(i_lists)[u]].any()
+
+
+def test_exclude_lists_uneven_tail_block(rng):
+    """m not divisible by block: the tail block's local columns must
+    still be excluded correctly."""
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+    from nmftpu.sparse import SparseCSR
+
+    n, m = 4, 100  # block 32 -> 4 blocks, tail width 4
+    W = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, m)).astype(np.float32)
+    # seen items in the tail block for every user
+    seen = np.array([[97, 98], [96, 99], [0, 99], [98, 99]])
+    indptr = np.arange(0, 2 * n + 1, 2).astype(np.int64)
+    csr = SparseCSR(indptr, seen.reshape(-1).astype(np.int64),
+                    np.ones(2 * n, np.float32), (n, m))
+    lists = build_block_exclusion(np.arange(n), csr, m, block=32)
+    _, idx = topk_mips_blocked(W, H, k=m - 2, block=32,
+                               exclude_lists=lists)
+    idx = np.asarray(idx)
+    for u in range(n):
+        assert not set(seen[u]).intersection(idx[u].tolist())
+
+
+def test_candidate_k_tuning(rng):
+    """approx candidate_k: k' >= k runs and k' > k recall >= k' = small."""
+    n, m, r = 16, 2048, 8
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    _, i_exact = topk_mips_blocked(W, H, k=32, block=256, method="exact")
+
+    def recall(i_got):
+        got = np.asarray(i_got)
+        want = np.asarray(i_exact)
+        return np.mean([
+            len(set(got[u]) & set(want[u])) / want.shape[1]
+            for u in range(n)
+        ])
+
+    _, i_small = topk_mips_blocked(W, H, k=32, block=256,
+                                   method="approx", candidate_k=8)
+    _, i_big = topk_mips_blocked(W, H, k=32, block=256,
+                                 method="approx", candidate_k=64)
+    assert recall(i_big) >= recall(i_small)
+    assert recall(i_big) > 0.9
