@@ -177,6 +177,9 @@ def _sharded_init(
         def init_fn(key):
             return gen(key, rm_dev, cm_dev)
 
+        # exposed for the multichip dryrun's no-full-factor HLO assertion
+        init_fn._gen = gen
+        init_fn._gen_args = (rm_dev, cm_dev)
         return init_fn
 
     # Data-dependent inits (MeanColumns / k-means family).

@@ -73,61 +73,83 @@ def build_ell_rows(
     buckets: tuple[int, ...] = DEFAULT_BUCKETS,
     chunk_segments: int = 2048,
 ) -> EllRows:
-    """Host-side builder: CSR -> bucketed padded segments."""
+    """Host-side builder: CSR -> bucketed padded segments (vectorized —
+    O(nnz) numpy, no per-row python loop). Columns within a segment are
+    ascending (to_csr lexsorts by (row, col)), which speeds the row
+    gather; padding lanes are (col=0, val=0)."""
     csr = mat.to_csr()
     n, m = csr.shape
     assert buckets[-1] >= seg_max
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    lens = np.diff(indptr)
 
-    per_bucket: dict[int, list] = {w: [] for w in buckets}
-    for row in range(n):
-        s, e = csr.indptr[row], csr.indptr[row + 1]
-        for off in range(s, e, seg_max):
-            seg_len = min(seg_max, e - off)
-            width = next(w for w in buckets if w >= seg_len)
-            per_bucket[width].append((row, off, seg_len))
+    # one (row, offset, seg_len) triple per segment, all vectorized
+    # (empty rows contribute no segments, as before)
+    nseg_row = (lens + seg_max - 1) // seg_max
+    seg_row = np.repeat(np.arange(n, dtype=np.int64), nseg_row)
+    starts = np.repeat(np.cumsum(nseg_row) - nseg_row, nseg_row)
+    k_in_row = np.arange(seg_row.size, dtype=np.int64) - starts
+    off = indptr[seg_row] + k_in_row * seg_max
+    seg_len = np.minimum(indptr[seg_row + 1] - off, seg_max)
 
+    widths = np.asarray(buckets, dtype=np.int64)
+    which = np.searchsorted(widths, seg_len)       # smallest bucket >= len
+
+    nnz_total = int(indptr[-1])
     out = []
-    for width, segs in per_bucket.items():
-        if not segs:
+    for bi, width in enumerate(buckets):
+        sel = np.flatnonzero(which == bi)
+        if sel.size == 0:
             continue
-        nseg = len(segs)
-        # pad segment count so scans can use fixed chunk sizes
+        nseg = sel.size
         nseg_p = ((nseg + chunk_segments - 1) // chunk_segments) * (
             chunk_segments if nseg > chunk_segments else 1
         )
         nseg_p = max(nseg_p, nseg)
+        pos = off[sel][:, None] + np.arange(width)[None, :]
+        valid = np.arange(width)[None, :] < seg_len[sel][:, None]
+        pos = np.where(valid, pos, 0).clip(0, max(nnz_total - 1, 0))
         vals = np.zeros((nseg_p, width), dtype=np.dtype(dtype))
         cols = np.zeros((nseg_p, width), dtype=np.int32)
         rows = np.zeros((nseg_p,), dtype=np.int32)
-        for i, (row, off, seg_len) in enumerate(segs):
-            vals[i, :seg_len] = csr.data[off:off + seg_len]
-            cols[i, :seg_len] = csr.indices[off:off + seg_len]
-            rows[i] = row
+        if nnz_total:
+            vals[:nseg] = np.where(valid, csr.data[pos], 0)
+            cols[:nseg] = np.where(valid, csr.indices[pos], 0)
+        rows[:nseg] = seg_row[sel]
+        # out_row must stay non-decreasing through the padding tail so the
+        # segment scatter-add can claim indices_are_sorted (pad segments
+        # carry zero values — adding them to the last row is a no-op)
+        rows[nseg:] = rows[nseg - 1] if nseg else 0
         out.append(EllBucket(
             vals=jnp.asarray(vals), cols=jnp.asarray(cols),
-            out_row=jnp.asarray(rows), width=width,
+            out_row=jnp.asarray(rows), width=int(width),
         ))
     return EllRows(buckets=tuple(out), shape=(n, m), nnz=csr.nnz)
 
 
-def _bucket_rowsums(bucket: EllBucket, H, chunk: int,
-                    gather_dtype=None):
-    """Per-segment sum_k v_k * H[:, col_k] -> (nseg, r), scatter-free.
+def _gather_rows(Ht, flat_cols):
+    """The measured-fastest TPU gather form (round-2 probes, PERF.md):
+    axis-0 row gather from a (m, r) table with promise_in_bounds — 1.7x
+    over the lane-dimension (axis-1) gather XLA emits for `take(H, axis=1)`.
+    Builders keep segment columns sorted for locality."""
+    return Ht.at[flat_cols].get(
+        mode="promise_in_bounds", indices_are_sorted=False
+    )
 
-    gather_dtype=jnp.bfloat16 halves gather traffic (the dominant cost at
-    high rank) at bf16 numerator precision; None keeps H's dtype."""
-    H = jnp.asarray(H)
-    if gather_dtype is not None:
-        H = H.astype(gather_dtype)
-    r = H.shape[0]
+
+def _bucket_rowsums(bucket: EllBucket, Ht, chunk: int):
+    """Per-segment sum_k v_k * Ht[col_k, :] -> (nseg, r), scatter-free.
+    Ht: the (m, r) ROW-major table (H transposed once by the caller)."""
+    r = Ht.shape[1]
     nseg = bucket.vals.shape[0]
+
+    def block(v, c):
+        g = _gather_rows(Ht, c.reshape(-1)).astype(jnp.float32)
+        gv = v.reshape(-1, 1).astype(jnp.float32) * g
+        return gv.reshape(v.shape[0], bucket.width, r).sum(axis=1)
+
     if nseg <= chunk:
-        g = jnp.take(H, bucket.cols.reshape(-1), axis=1)   # (r, nseg*w)
-        g = g.T.reshape(nseg, bucket.width, r)
-        return jnp.einsum(
-            "sk,skr->sr", bucket.vals.astype(g.dtype), g,
-            preferred_element_type=jnp.float32,
-        )
+        return block(bucket.vals, bucket.cols)
     T = (nseg + chunk - 1) // chunk
     pad = T * chunk - nseg
     vals = jnp.pad(bucket.vals, ((0, pad), (0, 0))).reshape(
@@ -137,31 +159,101 @@ def _bucket_rowsums(bucket: EllBucket, H, chunk: int,
         T, chunk, bucket.width
     )
 
-    def body(_, x):
-        v, c = x
-        g = jnp.take(H, c.reshape(-1), axis=1)
-        g = g.T.reshape(chunk, bucket.width, r)
-        return None, jnp.einsum(
-            "sk,skr->sr", v.astype(g.dtype), g,
-            preferred_element_type=jnp.float32,
-        )
-
-    _, res = lax.scan(body, None, (vals, cols))
+    _, res = lax.scan(
+        lambda _, x: (None, block(x[0], x[1])), None, (vals, cols)
+    )
     return res.reshape(T * chunk, r)[:nseg]
 
 
 def v_ht_ell(ell: EllRows, H, chunk: int = 2048,
              gather_dtype=None) -> jax.Array:
     """V @ H^T -> (n, r). Gathers dominate; the only scatter is the
-    per-segment row accumulation (#segments ≈ n + nnz/seg_max)."""
+    per-segment row accumulation (#segments ≈ n + nnz/seg_max).
+
+    gather_dtype optionally down-casts the gathered table (measured
+    neutral on v5e — the gather is latency-bound, not bandwidth-bound)."""
     H = jnp.asarray(H)
+    Ht = H.T if gather_dtype is None else H.T.astype(gather_dtype)
     n = ell.shape[0]
     r = H.shape[0]
     out = jnp.zeros((n, r), jnp.float32)
     for bucket in ell.buckets:
-        seg = _bucket_rowsums(bucket, H, chunk, gather_dtype=gather_dtype)
-        out = out.at[bucket.out_row].add(seg)
+        seg = _bucket_rowsums(bucket, Ht, chunk)
+        # out_row is ascending within a bucket (builder emits segments
+        # row-major): let XLA use the sorted-scatter path
+        out = out.at[bucket.out_row].add(
+            seg, indices_are_sorted=True, mode="promise_in_bounds"
+        )
     return out.astype(H.dtype)
+
+
+def _bucket_sampled_rowsums(bucket: EllBucket, Ht, w_rows, coeff_fns,
+                            chunk: int):
+    """Fused SDDMM + per-value transform + SpMM for one bucket: gather
+    g = Ht[cols] ONCE, sample s_k = <w_row, g_k>, then for each coeff fn
+    emit seg_i = Σ_k fn(v, s)_k · g_k  -> (nseg, r).
+
+    This is the KL/weighted hot path: the plain formulation gathers the
+    same rows once for the SDDMM and again for the SpMM; fusing halves
+    (KL) or thirds (weighted) the gather traffic, which is the measured
+    bottleneck. Returns one (nseg, r) array per coeff fn."""
+    r = Ht.shape[1]
+    nseg, width = bucket.vals.shape
+
+    def block(v, c, wr):
+        g = _gather_rows(Ht, c.reshape(-1)).astype(jnp.float32)
+        g3 = g.reshape(v.shape[0], width, r)
+        s = jnp.einsum("sr,skr->sk", wr.astype(jnp.float32), g3)
+        outs = []
+        for fn in coeff_fns:
+            coef = fn(v.astype(jnp.float32), s)
+            outs.append(jnp.einsum(
+                "sk,skr->sr", coef, g3,
+                preferred_element_type=jnp.float32,
+            ))
+        return tuple(outs)
+
+    if nseg <= chunk:
+        return block(bucket.vals, bucket.cols, w_rows)
+    T = (nseg + chunk - 1) // chunk
+    pad = T * chunk - nseg
+    vals = jnp.pad(bucket.vals, ((0, pad), (0, 0))).reshape(
+        T, chunk, width
+    )
+    cols = jnp.pad(bucket.cols, ((0, pad), (0, 0))).reshape(
+        T, chunk, width
+    )
+    wr = jnp.pad(w_rows, ((0, pad), (0, 0))).reshape(
+        T, chunk, w_rows.shape[1]
+    )
+    _, res = lax.scan(
+        lambda _, x: (None, block(*x)), None, (vals, cols, wr)
+    )
+    return tuple(r_.reshape(T * chunk, -1)[:nseg] for r_ in res)
+
+
+def sampled_rowsums_ell(ell: EllRows, W, H, coeff_fns, chunk: int = 2048):
+    """Fused gather-once 'transform(SDDMM) then SpMM' over a whole
+    container: for each coeff fn, returns Σ_k fn(v, (WH)_nz)_k · H[:,col_k]
+    accumulated into rows -> (n, r). W provides the row vectors sampled
+    against the gathered table rows."""
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    Ht = H.T
+    n = ell.shape[0]
+    r = H.shape[0]
+    outs = [jnp.zeros((n, r), jnp.float32) for _ in coeff_fns]
+    for bucket in ell.buckets:
+        w_rows = W[bucket.out_row]
+        segs = _bucket_sampled_rowsums(bucket, Ht, w_rows, coeff_fns,
+                                       chunk)
+        outs = [
+            o.at[bucket.out_row].add(
+                s, indices_are_sorted=True, mode="promise_in_bounds"
+            )
+            for o, s in zip(outs, segs)
+        ]
+    return tuple(o.astype(H.dtype) for o in outs)
 
 
 def sddmm_ell(ell: EllRows, W, H, chunk: int = 2048) -> EllRows:
@@ -171,14 +263,15 @@ def sddmm_ell(ell: EllRows, W, H, chunk: int = 2048) -> EllRows:
     callers only consume these values multiplied by original vals)."""
     W = jnp.asarray(W)
     H = jnp.asarray(H)
+    Ht = H.T                                             # (m, r) row table
     new_buckets = []
     for bucket in ell.buckets:
         nseg, width = bucket.vals.shape
         w_rows = W[bucket.out_row]                        # (nseg, r)
 
         def sample(cols_blk, w_blk):
-            g = jnp.take(H, cols_blk.reshape(-1), axis=1)
-            g = g.T.reshape(cols_blk.shape[0], width, H.shape[0])
+            g = _gather_rows(Ht, cols_blk.reshape(-1))
+            g = g.reshape(cols_blk.shape[0], width, H.shape[0])
             return jnp.einsum("sr,skr->sk", w_blk, g)
 
         if nseg <= chunk:
@@ -280,23 +373,26 @@ def mu_update_frobenius_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
 
 def mu_update_frobenius_weighted_ell(pair: EllPair, W, H, alpha,
                                      eps=1e-9, order="WH"):
-    """Confidence-weighted MU (c = 1 + alpha*v at nonzeros) on ELL."""
-    cv_rows = map_values(pair.rows, lambda v: v * (1.0 + alpha * v))
-    cv_cols = map_values(pair.cols, lambda v: v * (1.0 + alpha * v))
+    """Confidence-weighted MU (c = 1 + alpha*v at nonzeros) on ELL:
+    ONE gather per half-step serves the numerator, the SDDMM sample, and
+    the alpha term (fused via sampled_rowsums_ell; the plain form
+    gathers the same rows three times)."""
+    fns = (
+        lambda v, s: v * (1.0 + alpha * v),   # confidence-weighted V
+        lambda v, s: v * s,                   # V ⊙ (WH) at nonzeros
+    )
 
     def upd_w(W, H):
-        s = sddmm_ell(pair.rows, W, H)
-        swh = combine_values(pair.rows, s, lambda v, wh: v * wh)
-        denom = W @ (H @ H.T) + alpha * v_ht_ell(swh, H) + eps
-        return W * (v_ht_ell(cv_rows, H) / denom)
+        numer, alpha_part = sampled_rowsums_ell(pair.rows, W, H, fns)
+        denom = W @ (H @ H.T) + alpha * alpha_part + eps
+        return W * (numer / denom)
 
     def upd_h(W, H):
         Wt = jnp.asarray(W).T
         Ht = jnp.asarray(H).T
-        s = sddmm_ell(pair.cols, Ht, Wt)
-        swh = combine_values(pair.cols, s, lambda v, wh: v * wh)
-        denom = (W.T @ W) @ H + alpha * v_ht_ell(swh, Wt).T + eps
-        return H * (v_ht_ell(cv_cols, Wt).T / denom)
+        numer, alpha_part = sampled_rowsums_ell(pair.cols, Ht, Wt, fns)
+        denom = (W.T @ W) @ H + alpha * alpha_part.T + eps
+        return H * (numer.T / denom)
 
     if order == "WH":
         W = upd_w(W, H)
@@ -358,23 +454,24 @@ def gdcls_update_ell(pair: EllPair, W, H, lambda_tik=0.0, eps=1e-9,
 
 
 def nsnmf_update_kl_ell(pair: EllPair, W, H, S, eps=1e-9, order="WH"):
-    """nsNMF under KL on ELL: SDDMM/gather half-steps with the smoothed
-    partners (S@H stands in for H, W@S for W)."""
+    """nsNMF under KL on ELL: fused gather-once ratio+SpMM half-steps
+    against the smoothed partners (S@H stands in for H, W@S for W)."""
+    ratio = (lambda v, s: v / (s + eps),)
 
     def upd_w(W, H):
         SH = S @ H
-        s = sddmm_ell(pair.rows, W, SH)
-        ratio = combine_values(pair.rows, s, lambda v, wh: v / (wh + eps))
+        numer, = sampled_rowsums_ell(pair.rows, W, SH, ratio)
         denom = jnp.maximum(jnp.sum(SH, axis=1), eps)[None, :]
-        return W * (v_ht_ell(ratio, SH) / denom)
+        return W * (numer / denom)
 
     def upd_h(W, H):
         WS = W @ S
         WSt = jnp.asarray(WS).T
-        s = sddmm_ell(pair.cols, jnp.asarray(H).T, WSt)
-        ratio = combine_values(pair.cols, s, lambda v, wh: v / (wh + eps))
+        numer, = sampled_rowsums_ell(
+            pair.cols, jnp.asarray(H).T, WSt, ratio
+        )
         denom = jnp.maximum(jnp.sum(WS, axis=0), eps)[:, None]
-        return H * (v_ht_ell(ratio, WSt).T / denom)
+        return H * (numer.T / denom)
 
     if order == "WH":
         W = upd_w(W, H)
@@ -437,28 +534,24 @@ def kl_error_ell(pair: EllPair, W, H, eps=1e-12) -> jax.Array:
 
 
 def mu_update_kl_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
-    """Sparse MU (KL): SDDMM ratio on each container, then gather-SpMM."""
-
-    def ratio_rows(W, H):
-        s = sddmm_ell(pair.rows, W, H)
-        return combine_values(pair.rows, s,
-                              lambda v, wh: v / (wh + eps))
-
-    def ratio_cols(W, H):
-        # container holds V^T; sample (H^T W^T)= (WH)^T at its nonzeros
-        s = sddmm_ell(pair.cols, jnp.asarray(H).T, jnp.asarray(W).T)
-        return combine_values(pair.cols, s,
-                              lambda v, wh: v / (wh + eps))
+    """Sparse MU (KL): fused gather-once ratio+SpMM per half-step — the
+    table rows are gathered once and reused for the (WH) sample AND the
+    numerator SpMM (sampled_rowsums_ell), halving the dominant gather
+    traffic vs the separate SDDMM-then-SpMM formulation."""
+    ratio = (lambda v, s: v / (s + eps),)
 
     def upd_w(W, H):
-        numer = v_ht_ell(ratio_rows(W, H), H)
+        numer, = sampled_rowsums_ell(pair.rows, W, H, ratio)
         denom = jnp.maximum(jnp.sum(H, axis=1), eps)[None, :]
         return W * (numer / denom)
 
     def upd_h(W, H):
-        numer = v_ht_ell(ratio_cols(W, H), jnp.asarray(W).T).T
+        # container holds V^T; sample (H^T W^T) = (WH)^T at its nonzeros
+        numer, = sampled_rowsums_ell(
+            pair.cols, jnp.asarray(H).T, jnp.asarray(W).T, ratio
+        )
         denom = jnp.maximum(jnp.sum(W, axis=0), eps)[:, None]
-        return H * (numer / denom)
+        return H * (numer.T / denom)
 
     if order == "WH":
         W = upd_w(W, H)
