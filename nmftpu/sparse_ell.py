@@ -33,7 +33,10 @@ from jax import lax
 
 from nmftpu import sparse as host_sparse
 
-DEFAULT_BUCKETS = (8, 32, 128, 512)
+# Finer widths cost a few extra kernel launches but cut segment padding
+# 1.74x -> 1.44x on ML-20M power-law data (the gather is latency-bound
+# per ROW, so padded rows are the bill): measured ~10% per-SpMM win.
+DEFAULT_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 
 
 @functools.partial(

@@ -61,10 +61,13 @@ def main():
             print(f"{label:24s} FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:140]}", flush=True)
 
-    rate(lambda O, W, H: se.mu_update_frobenius_ell(O, W, H),
-         pair, "ELL MU fro", flops)
-    rate(lambda O, W, H: se.mu_update_kl_ell(O, W, H),
-         pair, "ELL MU KL", int(flops * 1.5))
+    which = os.environ.get("BENCH_ELL_ONLY", "")
+    if which in ("", "fro"):
+        rate(lambda O, W, H: se.mu_update_frobenius_ell(O, W, H),
+             pair, "ELL MU fro", flops)
+    if which in ("", "kl"):
+        rate(lambda O, W, H: se.mu_update_kl_ell(O, W, H),
+             pair, "ELL MU KL", int(flops * 1.5))
 
 
 if __name__ == "__main__":

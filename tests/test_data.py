@@ -87,3 +87,43 @@ def test_synthetic_generators():
     # power-law: top-1% of rows should hold a disproportionate share
     counts = np.bincount(sp.row, minlength=200)
     assert counts.max() > 3 * counts.mean()
+
+
+def _fixture(name):
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "fixtures", name)
+
+
+def test_fixture_u_data_end_to_end():
+    """Checked-in real-format u.data fixture through the FULL config-1
+    pipeline: parse -> leave-latest-out split -> factorize -> recall@k
+    (round-1 verdict item 8: the exact parse paths, integration-tested)."""
+    from nmftpu import nmf, recall_at_k
+
+    inter = load_movielens(_fixture("ml100k_u.data"))
+    assert inter.n_users == 30
+    assert inter.matrix.nnz > 150
+    # ratings are half-star grid values
+    assert set(np.unique(inter.matrix.data)) <= {
+        1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0
+    }
+    train, test = train_test_split_by_user(inter, holdout_per_user=1)
+    res = nmf(train, 4, num_iterations=60, seed=0)
+    assert np.isfinite(res.frobenius_error)
+    rec = recall_at_k(np.asarray(res.W), np.asarray(res.H), test,
+                      train=train, k=10, block=16)
+    assert 0.0 <= rec <= 1.0
+
+
+def test_fixture_ratings_csv_end_to_end():
+    """Checked-in real-format ratings.csv fixture: parse (header,
+    comma-separated, float ratings) -> implicit weighted factorization."""
+    from nmftpu import nmf
+
+    inter = load_movielens(_fixture("ml20m_ratings.csv"), implicit=True)
+    assert inter.n_users == 25
+    assert set(np.unique(inter.matrix.data)) == {1.0}
+    res = nmf(inter.matrix, 3, num_iterations=30, seed=1,
+              alpha_confidence=2.0)
+    assert np.isfinite(res.frobenius_error)
