@@ -246,33 +246,37 @@ def build_sharded_ell_update(config, mesh, sell: ShardedEll):
             )
 
         if obj is Objective.FROBENIUS and alpha > 0.0:
-            cv_r = SE.map_values(ell_r, lambda v: v * (1.0 + alpha * v))
-            cv_c = SE.map_values(ell_c, lambda v: v * (1.0 + alpha * v))
+            # fused gather-once per tile (sampled_rowsums_ell): one table
+            # gather serves the weighted numerator AND the alpha term
+            wfns = (
+                lambda v, s: v * (1.0 + alpha * v),
+                lambda v, s: v * s,
+            )
 
             def upd_w(W, H):
-                s = SE.sddmm_ell(ell_r, W, H)
-                swh = SE.combine_values(ell_r, s, lambda v, wh: v * wh)
+                numer, alpha_part = SE.sampled_rowsums_ell(
+                    ell_r, W, H, wfns
+                )
                 HHt = lax.psum(H @ H.T, AXIS_ITEMS)
                 den = (
                     W @ HHt
-                    + alpha * lax.psum(SE.v_ht_ell(swh, H), AXIS_ITEMS)
+                    + alpha * lax.psum(alpha_part, AXIS_ITEMS)
                     + eps
                 )
-                return W * (lax.psum(SE.v_ht_ell(cv_r, H), AXIS_ITEMS)
-                            / den)
+                return W * (lax.psum(numer, AXIS_ITEMS) / den)
 
             def upd_h(W, H):
                 Wt = jnp.asarray(W).T
-                s = SE.sddmm_ell(ell_c, jnp.asarray(H).T, Wt)
-                swh = SE.combine_values(ell_c, s, lambda v, wh: v * wh)
+                numer, alpha_part = SE.sampled_rowsums_ell(
+                    ell_c, jnp.asarray(H).T, Wt, wfns
+                )
                 WtW = lax.psum(W.T @ W, AXIS_USERS)
                 den = (
                     WtW @ H
-                    + alpha * lax.psum(SE.v_ht_ell(swh, Wt).T, AXIS_USERS)
+                    + alpha * lax.psum(alpha_part.T, AXIS_USERS)
                     + eps
                 )
-                return H * (lax.psum(SE.v_ht_ell(cv_c, Wt).T, AXIS_USERS)
-                            / den)
+                return H * (lax.psum(numer.T, AXIS_USERS) / den)
 
         elif obj is Objective.FROBENIUS:
 
@@ -284,25 +288,22 @@ def build_sharded_ell_update(config, mesh, sell: ShardedEll):
                 WtW = lax.psum(W.T @ W, AXIS_USERS)
                 return H * (numer_h(W) / (WtW @ H + eps))
 
-        else:  # KL
+        else:  # KL — fused gather-once ratio+SpMM per tile
+            rfns = (lambda v, s: v / (s + eps),)
 
             def upd_w(W, H):
-                s = SE.sddmm_ell(ell_r, W, H)
-                ratio = SE.combine_values(
-                    ell_r, s, lambda v, wh: v / (wh + eps)
-                )
+                numer, = SE.sampled_rowsums_ell(ell_r, W, H, rfns)
                 h_sum = lax.psum(jnp.sum(H, axis=1), AXIS_ITEMS)
-                numer = lax.psum(SE.v_ht_ell(ratio, H), AXIS_ITEMS)
+                numer = lax.psum(numer, AXIS_ITEMS)
                 return W * (numer / jnp.maximum(h_sum, eps)[None, :])
 
             def upd_h(W, H):
                 Wt = jnp.asarray(W).T
-                s = SE.sddmm_ell(ell_c, jnp.asarray(H).T, Wt)
-                ratio = SE.combine_values(
-                    ell_c, s, lambda v, wh: v / (wh + eps)
+                numer, = SE.sampled_rowsums_ell(
+                    ell_c, jnp.asarray(H).T, Wt, rfns
                 )
                 w_sum = lax.psum(jnp.sum(W, axis=0), AXIS_USERS)
-                numer = lax.psum(SE.v_ht_ell(ratio, Wt).T, AXIS_USERS)
+                numer = lax.psum(numer.T, AXIS_USERS)
                 return H * (numer / jnp.maximum(w_sum, eps)[:, None])
 
         if order == "WH":
