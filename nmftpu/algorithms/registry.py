@@ -42,6 +42,39 @@ def build_dense_update(config: NmfConfig):
                     V, aux[0], W, H, eps=eps, order=order
                 )
 
+        elif (obj is Objective.FROBENIUS and config.v_storage == "int8"
+              and not config.use_pallas):
+            # int8 x int8 MXU path (the library's fastest dense update —
+            # beats the XLA f32 anchor 1.67x on v5e, PERF.md round 2):
+            # V held once as int8 + scale, factor operands re-quantized
+            # per half-step, contractions on the double-rate int8 MXU.
+            import jax as _jax
+
+            from nmftpu.kernels import quantized as Q
+
+            if _jax.default_backend() == "tpu":
+
+                def make_aux(V):
+                    return Q.quantize_v(V)
+
+                def update(V, aux, W, H):
+                    return D.mu_update_frobenius_int8x8(
+                        aux[0], aux[1], W, H, eps=eps, order=order
+                    )
+            else:
+                # CPU/GPU backends lack a reliable int8 MXU analog:
+                # dequantized bf16 contraction keeps semantics (tests)
+                def make_aux(V):
+                    return Q.quantize_v(V)
+
+                def update(V, aux, W, H):
+                    Vb = aux[0].astype(jnp.bfloat16) * aux[1].astype(
+                        jnp.bfloat16
+                    )
+                    return D.mu_update_frobenius_bf16v(
+                        Vb, W, H, eps=eps, order=order
+                    )
+
         elif obj is Objective.FROBENIUS and config.v_storage == "int8":
             # Quantized fused-Pallas path (nmftpu.kernels.quantized): V is
             # held once as int8 + scale; interpret-mode off-TPU.

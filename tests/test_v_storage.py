@@ -56,3 +56,40 @@ def test_bf16_matches_f32_loosely(rng):
     np.testing.assert_allclose(
         rb16.frobenius_error, r32.frobenius_error, rtol=5e-2
     )
+
+
+def test_int8x8_update_matches_f32_within_quantization(rng):
+    """The int8 x int8 MXU update (the anchor-beating path) tracks the f32
+    update within the 0.4%-per-operand quantization tolerance."""
+    import jax.numpy as jnp
+
+    from nmftpu.linalg import dense as D
+
+    n, m, r = 48, 40, 5
+    V = rng.uniform(0.0, 2.0, (n, m)).astype(np.float32)
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    s, Vq = D.quantize_sym(jnp.asarray(V))
+
+    Wf, Hf = D.mu_update_frobenius(V, W, H)
+    Wq, Hq = D.mu_update_frobenius_int8x8(Vq, s, jnp.asarray(W),
+                                          jnp.asarray(H))
+    np.testing.assert_allclose(np.asarray(Wq), np.asarray(Wf), rtol=2e-2,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Hq), np.asarray(Hf), rtol=2e-2,
+                               atol=1e-3)
+
+
+def test_int8x8_converges_like_f32(rng, lowrank):
+    """50 driver iterations with v_storage='int8': converged error within
+    1% of the f32 run (the probe measured 5-digit agreement on-chip)."""
+    from nmftpu import NmfConfig
+    from nmftpu.driver import compute
+
+    V = lowrank(rng, 60, 50, 4)
+    cfg_f = NmfConfig(rank=4, num_iterations=50, seed=0)
+    cfg_q = NmfConfig(rank=4, num_iterations=50, seed=0,
+                      v_storage="int8")
+    rf = compute(V, cfg_f)
+    rq = compute(V, cfg_q)
+    assert abs(rq.frobenius_error - rf.frobenius_error) / rf.frobenius_error < 0.01
