@@ -186,17 +186,27 @@ def _sharded_init(
     if init_scoo is not None:
         # Mesh-native: k-means assignment/centroid updates run inside
         # shard_map (shard-local argmin + psum'd sums) — no single-device
-        # detour, no full factors anywhere (parallel/init_sharded.py).
-        from nmftpu.parallel.init_sharded import build_sharded_data_init
+        # detour, no full factors anywhere (parallel/init_sharded.py;
+        # ring meshes use the rotation/ring-reduce dataflows instead).
+        from nmftpu.parallel.ring import AXIS_RING
 
-        init = build_sharded_data_init(config, mesh, init_scoo)
+        if row_axis == AXIS_RING:
+            from nmftpu.parallel.ring import build_ring_data_init
+
+            init = build_ring_data_init(config, mesh, init_scoo)
+        else:
+            from nmftpu.parallel.init_sharded import (
+                build_sharded_data_init,
+            )
+
+            init = build_sharded_data_init(config, mesh, init_scoo)
 
         def init_fn(key):
             return init(key, init_scoo)
 
         return init_fn
 
-    # Fallback (1-D ring mesh): single-device init, then permute+pad+shard.
+    # Fallback: single-device init, then permute+pad+shard.
     coo_1d = sparse_ops.device_put_sparse(mat, dtype=dtype)
 
     def init_fn(key):
@@ -355,7 +365,9 @@ def compute_sharded(
         Initialization.K_MEANS_AND_ABSOLUTE_WTV,
     )
     init_scoo = None
-    if data_dep and engine == "scatter":
+    if data_dep and engine in ("scatter", "ring"):
+        # the ring ShardedCOO is already the (p, p)-tiled layout the
+        # ring-native init consumes
         init_scoo = scoo
     elif data_dep and engine == "ell":
         # same seed => identical perms/blocking as the ELL partition; the

@@ -458,6 +458,140 @@ def build_ring_errors(mesh: Mesh, scoo_meta):
     return frobenius, kl_err
 
 
+def build_ring_data_init(config: NmfConfig, mesh: Mesh, scoo_meta):
+    """Ring-native data-dependent init (MeanColumns / k-means family):
+    the same Lloyd math as parallel.init_sharded (SURVEY.md §3.4) but
+    expressed with the ring dataflows — centroid row-blocks stay
+    resident per device, per-column quantities (col norms, cross terms,
+    WᵀV) ring-REDUCE to their block owner, and the one-hot assignment
+    blocks ROTATE for the centroid update. No single-device detour, no
+    full factor on any device (closes STATUS round-2 gap 4).
+
+    Returns init(key, scoo) -> (W P(ring, None), H P(None, ring))."""
+    from nmftpu.config import Initialization
+    from nmftpu.sparse_ops import (
+        col_sums,
+        extract_columns,
+        project_columns,
+    )
+
+    method = config.init_method
+    rank = config.rank
+    max_iter = config.kmeans_max_iter
+    n, m = scoo_meta.shape
+    bm = scoo_meta.block_cols
+    p = mesh.devices.size
+    ring = _Ring(scoo_meta, p)
+
+    def f(key, vals, rows, cols):
+        vals, rows, cols = vals[0], rows[0], cols[0]
+        dtype = vals.dtype
+        my = lax.axis_index(AXIS_RING)
+        kw, kh, kk = jax.random.split(key, 3)
+        del kw  # W is data-dependent in every strategy handled here
+
+        mean_v = lax.psum(jnp.sum(vals), AXIS_RING) / (
+            float(n) * float(m)
+        )
+        scale = jnp.sqrt(jnp.maximum(mean_v, 1e-12) / rank).astype(dtype)
+
+        def rand_h():
+            # shard-local randomness, folded by the ring index (identical
+            # convention to the grid init's items-axis fold)
+            k_loc = jax.random.fold_in(kh, my)
+            u = jax.random.uniform(k_loc, (rank, bm), dtype=dtype)
+            return (u + jnp.asarray(1e-4, dtype)) * scale
+
+        def sum_tiles(contrib):
+            """acc = Σ_j contrib(tile_ij, j) over the p RESIDENT column
+            tiles of this device's row panel — no communication (row
+            blocks are disjoint across the ring)."""
+            def body(j, acc):
+                return acc + contrib(
+                    _tile(scoo_meta, vals, rows, cols, j), j
+                )
+
+            acc0 = contrib(_tile(scoo_meta, vals, rows, cols, 0), 0)
+            return lax.fori_loop(1, p, body, acc0)
+
+        if method is Initialization.MEAN_COLUMNS:
+            q = int(min(max(5, m // max(rank, 1)), m))
+            cols_s = jax.random.randint(kk, (rank, q), 0, m)
+            flat = cols_s.reshape(-1)
+            rep = jnp.repeat(jnp.arange(rank), q)
+
+            def mc_contrib(local, j):
+                # A_loc[c_local, k] = (#times local col c sampled for k)/q
+                A = jnp.zeros((bm, rank), dtype).at[
+                    flat - j * bm, rep
+                ].add(1.0 / q, mode="drop")
+                return project_columns(local, A)
+
+            return sum_tiles(mc_contrib), rand_h()
+
+        # --- k-means family (oracle: sparse_ops.kmeans_columns_sparse) --
+        cols_s = jax.random.choice(kk, m, shape=(rank,), replace=False)
+        centroids = sum_tiles(
+            lambda local, j: extract_columns(local, cols_s - j * bm)
+        )                                                   # (bn, r)
+
+        # per-column ||v||^2 of this device's OWN block: ring reduce of
+        # per-stripe partial column sums
+        col_sq = ring.reduce_h(
+            vals, rows, cols,
+            lambda l: col_sums(l.with_values(l.values * l.values)),
+        )                                                   # (bm,)
+        col_ids = my * bm + jnp.arange(bm)
+        valid = col_ids < m  # padded columns get pseudo-label `rank`
+
+        def assign(C):
+            cross = ring.reduce_h(
+                vals, rows, cols, lambda l: wt_v(l, C)
+            ).T                                             # (bm, r)
+            cent_sq = lax.psum(jnp.sum(C * C, axis=0), AXIS_RING)
+            d2 = col_sq[:, None] - 2.0 * cross + cent_sq[None, :]
+            return jnp.where(valid, jnp.argmin(d2, axis=1), rank)
+
+        def body(_, C):
+            labels = assign(C)
+            onehot = jax.nn.one_hot(labels, rank, dtype=dtype)  # (bm, r)
+            sums, _ = ring.rotate_w(
+                vals, rows, cols, onehot,
+                lambda l, oh: project_columns(l, oh),
+            )                                               # (bn, r)
+            counts = lax.psum(jnp.sum(onehot, axis=0), AXIS_RING)
+            new = sums / jnp.maximum(counts, 1.0)[None, :]
+            return jnp.where(counts[None, :] > 0, new, C)
+
+        centroids = lax.fori_loop(0, max_iter, body, centroids)
+        W = jnp.maximum(centroids, 0.0) + jnp.asarray(1e-6, dtype)
+
+        if method is Initialization.K_MEANS_AND_RANDOM_VALUES:
+            H = rand_h()
+        else:
+            WtV = ring.reduce_h(
+                vals, rows, cols, lambda l: wt_v(l, W)
+            )                                               # (r, bm)
+            if method is Initialization.K_MEANS_AND_NON_NEGATIVE_WTV:
+                H = jnp.maximum(WtV, 0.0) + jnp.asarray(1e-6, dtype)
+            else:
+                H = jnp.abs(WtV) + jnp.asarray(1e-6, dtype)
+        return W, H
+
+    tiles = P(AXIS_RING, None, None)
+    shmapped = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), tiles, tiles, tiles),
+        out_specs=(P(AXIS_RING, None), P(None, AXIS_RING)),
+        check_vma=False,
+    ))
+
+    def init(key, scoo):
+        return shmapped(key, scoo.values, scoo.rows, scoo.cols)
+
+    return init
+
+
 def build_ring_mu_update(mesh: Mesh, scoo_meta, eps=1e-9, order="WH"):
     """Back-compat wrapper: plain MU-Frobenius update(scoo, W, H)."""
     cfg = NmfConfig(rank=1, num_iterations=1, eps=eps, update_order=order)

@@ -160,3 +160,71 @@ def test_ring_threshold_convergence(rng):
     res = compute_sharded(sp, cfg, engine="ring")
     assert res.converged
     assert res.num_iterations < 500
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_ring_kmeans_init_matches_single_device(rng, p):
+    """Ring-native k-means init (centroid row-blocks resident, cross
+    terms ring-reduced, one-hot blocks rotating) == the single-device
+    sparse k-means on the same permuted matrix with the same key."""
+    import jax.numpy as jnp
+    from nmftpu import sparse_ops as so
+    from nmftpu.parallel.ring import build_ring_data_init
+
+    n, m, r = 40, 48, 4
+    dense, _, _ = _problem(rng, n, m, r, density=0.5)
+    cfg = NmfConfig(
+        rank=r, init_method=Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        num_iterations=1, kmeans_max_iter=5, seed=3,
+    )
+    mesh = ring.make_ring_mesh(jax.devices()[:p])
+    sh = ring.ring_shardings(mesh)
+    scoo, row_perm, col_perm = ring.partition_for_ring(
+        hs.from_dense(dense), p, chunk=64, seed=cfg.seed,
+        out_shardings=sh["tiles"],
+    )
+    init = build_ring_data_init(cfg, mesh, scoo)
+    key = jax.random.PRNGKey(123)
+    W_sh, H_sh = init(key, scoo)
+
+    # single-device oracle on the permuted matrix with the same subkey
+    Vp = np.zeros((n, m), np.float32)
+    Vp[row_perm[:, None], col_perm[None, :]] = dense
+    coo1 = so.device_put_sparse(hs.from_dense(Vp), chunk=64)
+    _, _, kk = jax.random.split(key, 3)
+    cent, _ = so.kmeans_columns_sparse(coo1, r, kk, max_iter=5)
+    W_ref = np.maximum(np.asarray(cent), 0.0) + 1e-6
+    H_ref = (
+        np.maximum(np.asarray(so.wt_v(coo1, jnp.asarray(W_ref))), 0.0)
+        + 1e-6
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(W_sh)[:n], W_ref, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(H_sh)[:, :m], H_ref, rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "method",
+    [
+        Initialization.K_MEANS_AND_RANDOM_VALUES,
+        Initialization.K_MEANS_AND_ABSOLUTE_WTV,
+        Initialization.MEAN_COLUMNS,
+    ],
+)
+def test_ring_data_init_e2e(rng, method):
+    """Every data-dependent init runs mesh-native on the ring engine
+    end-to-end (no single-device fallback) and converges sanely."""
+    dense, _, _ = _problem(rng, 36, 40, 3)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(
+        rank=3, init_method=method, num_iterations=10,
+        kmeans_max_iter=3, seed=5, check_interval=5,
+    )
+    res = compute_sharded(sp, cfg, engine="ring")
+    assert np.isfinite(res.frobenius_error)
+    recon = np.linalg.norm(dense - np.asarray(res.W) @ np.asarray(res.H))
+    np.testing.assert_allclose(recon, res.frobenius_error, rtol=5e-2)
