@@ -45,6 +45,85 @@ def densify(coo: DeviceCOO, dtype=jnp.bfloat16,
     return acc
 
 
+def densify_quantized(coo: DeviceCOO, row_multiple: int = 1,
+                      clip: float = 127.0):
+    """Scatter the padded COO into a dense int8 array with one symmetric
+    per-matrix scale: V ~= scale * Vq. Same padding contract as
+    `densify`. The int8 matrix is half the bf16 footprint AND feeds the
+    MXU's double-rate int8 path (`mu_update_frobenius_int8x8`) — the
+    fastest in-HBM engine for rating/count data (PERF.md round 2).
+
+    Per-entry quantization error <= scale/2 (<=0.4% of the matrix max);
+    exact when values lie on a <=255-level uniform grid. Duplicate
+    coordinates sum in int8 (same caveat as the bf16 path)."""
+    n, m = coo.shape
+    n_pad = ((n + row_multiple - 1) // row_multiple) * row_multiple
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(coo.values)) / clip, 1e-30
+    ).astype(jnp.float32)
+
+    def body(acc, x):
+        v, rr, cc = x
+        q = jnp.clip(
+            jnp.round(v.astype(jnp.float32) / scale), -clip, clip
+        ).astype(jnp.int8)
+        return acc.at[rr, cc].add(q), None
+
+    acc0 = jnp.zeros((n_pad, m), jnp.int8)
+    acc, _ = lax.scan(body, acc0, _chunked(coo))
+    return acc, scale
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def frobenius_error_int8_densified(Vq, scale, W, H, sum_v_sq,
+                                   block_rows=4096):
+    """Gram-trick ||scale*Vq - WH||_F. The cross term runs blockwise in
+    bf16 (int8 -> bf16 is exact, so the only rounding is on W — the same
+    as the bf16 engine's error path); `sum_v_sq` must come from
+    `sum_v_sq_int8_densified` for the cancellation to hold."""
+    n, m = Vq.shape
+    r = W.shape[1]
+    if n % block_rows:
+        block_rows = n
+    nb = n // block_rows
+
+    def body(i, acc):
+        start = i * block_rows
+        V_blk = lax.dynamic_slice_in_dim(
+            Vq, start, block_rows, 0
+        ).astype(jnp.bfloat16)
+        W_blk = lax.dynamic_slice_in_dim(
+            W, start, block_rows, 0
+        ).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            W_blk, V_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    WtV = lax.fori_loop(0, nb, body, jnp.zeros((r, m), jnp.float32))
+    cross = scale * jnp.sum(WtV * H)
+    quad = jnp.sum((W.T @ W) * (H @ H.T))
+    return jnp.sqrt(jnp.maximum(sum_v_sq - 2.0 * cross + quad, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def sum_v_sq_int8_densified(Vq, scale, block_rows=4096):
+    """||scale*Vq||_F^2 blockwise (no full f32 copy of V)."""
+    n, m = Vq.shape
+    if n % block_rows:
+        block_rows = n
+    nb = n // block_rows
+
+    def body(i, acc):
+        blk = lax.dynamic_slice_in_dim(
+            Vq, i * block_rows, block_rows, 0
+        ).astype(jnp.float32)
+        return acc + jnp.sum(blk * blk)
+
+    total = lax.fori_loop(0, nb, body, jnp.asarray(0.0, jnp.float32))
+    return scale * scale * total
+
+
 def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows):
     """Blockwise numerator (V / (Q P)) @ P^T -> (n, r) for the left-factor
     KL half-step. Q (n, r) is the left operand forming the reconstruction

@@ -626,6 +626,28 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
     effective_h = ident_h
     make_aux = lambda Vd: ()  # noqa: E731
 
+    if config.v_storage == "int8":
+        # Operand is the (Vq int8, scale) pair from densify_quantized;
+        # config validation guarantees plain MU + Frobenius here. The
+        # O(nmr) contractions run on the MXU's double-rate int8 path —
+        # the fastest in-HBM engine (1.5-1.6x over bf16, PERF.md r2).
+        def update_q(V, aux, W, H):
+            return D.mu_update_frobenius_int8x8(
+                V[0], V[1], W, H, eps=eps, order=order
+            )
+
+        return LoopOps(
+            make_aux=make_aux,
+            update=update_q,
+            effective_h=effective_h,
+            frobenius=lambda V, aux, W, He, svsq: (
+                DF.frobenius_error_int8_densified(V[0], V[1], W, He, svsq)
+            ),
+            kl=None,
+            sum_v_sq=lambda V: DF.sum_v_sq_int8_densified(V[0], V[1]),
+            numel=lambda V, _nm=coo.shape: _nm[0] * _nm[1],
+        )
+
     if alg is Algorithm.MU:
         if (
             config.objective is Objective.FROBENIUS
@@ -819,7 +841,10 @@ def compute_sparse(
     strategy:
       "scatter"   — chunked COO gather/scatter updates (any size);
       "densified" — scatter V once into dense bf16 and run MXU updates
-                    (MU only; fastest whenever n*m*2 bytes fit HBM);
+                    (MU only; fastest whenever n*m*2 bytes fit HBM); with
+                    v_storage="int8" V densifies to int8 + scale and the
+                    updates ride the double-rate int8 MXU path (half the
+                    footprint, ~1.5x faster — MU+Frobenius only);
       "ell"       — gather-only bucketed padded-segment layout (MU family;
                     the beyond-HBM alternative to scatter);
       "auto"      — densified when supported and within
@@ -837,9 +862,10 @@ def compute_sparse(
         )
 
     if strategy == "auto":
+        v_bytes = 1 if config.v_storage == "int8" else 2
         if (
             _densified_supported(config)
-            and 2 * n * m <= DENSIFY_BUDGET_BYTES
+            and v_bytes * n * m <= DENSIFY_BUDGET_BYTES
         ):
             strategy = "densified"
         elif not isinstance(V, DeviceCOO):
@@ -879,7 +905,12 @@ def compute_sparse(
 
         # rows padded to the blocked-update panel size: downstream pads
         # become no-ops instead of full-matrix copies (OOM at ML-20M scale)
-        Vd = DF.densify(coo, row_multiple=4096)
+        if config.v_storage == "int8":
+            Vd = DF.densify_quantized(coo, row_multiple=4096)
+            n_pad = Vd[0].shape[0]
+        else:
+            Vd = DF.densify(coo, row_multiple=4096)
+            n_pad = Vd.shape[0]
         cache_key = (
             config, coo.shape, "densified", str(dtype),
         )
@@ -895,8 +926,6 @@ def compute_sparse(
                     config, _densified_ops_bundle(config, coo), None
                 )
                 _RUNNER_CACHE[cache_key] = runner
-
-        n_pad = Vd.shape[0]
 
         def init_fn(key):
             W, H = sparse_initialize_factors(

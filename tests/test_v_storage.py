@@ -80,6 +80,39 @@ def test_int8x8_update_matches_f32_within_quantization(rng):
                                atol=1e-3)
 
 
+def test_int8_densified_engine_matches_bf16(rng):
+    """Sparse densified engine with v_storage='int8' (int8 x int8 MXU
+    contractions on the densified matrix): converged error within 1% of
+    the bf16 densified engine, and the reported Gram-trick error agrees
+    with the true f32 residual of the returned factors."""
+    from nmftpu import sparse as hs
+    from nmftpu.sparse_ops import compute_sparse
+
+    n, m, r = 120, 150, 6
+    dense = np.where(
+        rng.random((n, m)) < 0.3,
+        rng.integers(1, 11, (n, m)) * 0.5, 0.0,
+    ).astype(np.float32)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(rank=r, num_iterations=80, seed=0, check_interval=20)
+    import dataclasses
+
+    cfg8 = dataclasses.replace(cfg, v_storage="int8")
+    rb = compute_sparse(sp, cfg, strategy="densified")
+    rq = compute_sparse(sp, cfg8, strategy="densified")
+    assert (
+        abs(rq.frobenius_error - rb.frobenius_error) / rb.frobenius_error
+        < 0.01
+    )
+    true_err = np.linalg.norm(dense - np.asarray(rq.W) @ np.asarray(rq.H))
+    np.testing.assert_allclose(rq.frobenius_error, true_err, rtol=2e-2)
+    # auto strategy routes int8 within the halved (1 byte/entry) budget
+    ra = compute_sparse(sp, cfg8, strategy="auto")
+    np.testing.assert_allclose(
+        ra.frobenius_error, rq.frobenius_error, atol=1e-3
+    )
+
+
 def test_int8x8_converges_like_f32(rng, lowrank):
     """50 driver iterations with v_storage='int8': converged error within
     1% of the f32 run (the probe measured 5-digit agreement on-chip)."""
