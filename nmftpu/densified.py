@@ -368,24 +368,30 @@ def mu_update_frobenius_weighted_densified(
         block_rows = n
     nb = n // block_rows
 
-    def cwh_terms(W, H):
-        """Per-panel numer_w parts and accumulated H-side products."""
+    def panel_cwh(W, H, i):
+        """Shared per-panel terms: C = 1 + alpha*V, C⊙V and C⊙(WH)."""
+        start = i * block_rows
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
+        W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
+        V32 = V_blk.astype(jnp.float32)
+        C = 1.0 + alpha * V32
+        WH = jax.lax.dot_general(
+            W_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return start, W_blk, C * V32, C * WH
+
+    # Each half-step computes ONLY its own numerator/denominator: 3 big
+    # contractions (WH, CV·partner, CWH·partner) per half, not the 5 a
+    # fused carry of all four accumulators would force through the loop
+    # (the unused pair cannot be DCE'd out of a fori_loop carry).
+    def w_terms(W, H):
         Hb = H.astype(jnp.bfloat16)
 
         def body(i, carry):
-            nw_out, dw_out, nh, dh = carry
-            start = i * block_rows
-            V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
-            W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
-            V32 = V_blk.astype(jnp.float32)
-            C = 1.0 + alpha * V32
-            WH = jax.lax.dot_general(
-                W_blk.astype(jnp.bfloat16), Hb,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            CV = C * V32
-            CWH = C * WH
+            nw_out, dw_out = carry
+            start, _, CV, CWH = panel_cwh(W, H, i)
             nw = jax.lax.dot_general(
                 CV.astype(jnp.bfloat16), Hb,
                 (((1,), (1,)), ((), ())),
@@ -396,38 +402,48 @@ def mu_update_frobenius_weighted_densified(
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            nw_out = lax.dynamic_update_slice_in_dim(nw_out, nw, start, 0)
+            dw_out = lax.dynamic_update_slice_in_dim(dw_out, dw, start, 0)
+            return (nw_out, dw_out)
+
+        return lax.fori_loop(
+            0, nb, body,
+            (jnp.zeros((n, r), jnp.float32),
+             jnp.zeros((n, r), jnp.float32)),
+        )
+
+    def h_terms(W, H):
+        def body(i, carry):
+            nh, dh = carry
+            _, W_blk, CV, CWH = panel_cwh(W, H, i)
+            Wb = W_blk.astype(jnp.bfloat16)
             nh = nh + jax.lax.dot_general(
-                W_blk.astype(jnp.bfloat16), CV.astype(jnp.bfloat16),
+                Wb, CV.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dh = dh + jax.lax.dot_general(
-                W_blk.astype(jnp.bfloat16), CWH.astype(jnp.bfloat16),
+                Wb, CWH.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            nw_out = lax.dynamic_update_slice_in_dim(nw_out, nw, start, 0)
-            dw_out = lax.dynamic_update_slice_in_dim(dw_out, dw, start, 0)
-            return (nw_out, dw_out, nh, dh)
+            return (nh, dh)
 
-        nw, dw, nh, dh = lax.fori_loop(
+        return lax.fori_loop(
             0, nb, body,
-            (jnp.zeros((n, r), jnp.float32),
-             jnp.zeros((n, r), jnp.float32),
-             jnp.zeros((r, m), jnp.float32),
+            (jnp.zeros((r, m), jnp.float32),
              jnp.zeros((r, m), jnp.float32)),
         )
-        return nw, dw, nh, dh
 
     if order == "WH":
-        nw, dw, _, _ = cwh_terms(W, H)
+        nw, dw = w_terms(W, H)
         W = W * (nw / (dw + eps))
-        _, _, nh, dh = cwh_terms(W, H)
+        nh, dh = h_terms(W, H)
         H = H * (nh / (dh + eps))
     else:
-        _, _, nh, dh = cwh_terms(W, H)
+        nh, dh = h_terms(W, H)
         H = H * (nh / (dh + eps))
-        nw, dw, _, _ = cwh_terms(W, H)
+        nw, dw = w_terms(W, H)
         W = W * (nw / (dw + eps))
     return W, H
 
