@@ -30,6 +30,80 @@ def build_dense_update(config: NmfConfig):
     alg = config.algorithm
     obj = config.objective
 
+    if config.v_storage == "int8" and alg is not Algorithm.MU:
+        # int8 x int8 MXU path for the ALS/ACLS/AHCLS/GDCLS/nsNMF family:
+        # config validation guarantees Frobenius + no confidence weighting
+        # here. V is quantized once into aux; the O(nmr) right-hand-side
+        # contractions ride the double-rate int8 MXU (the r x r solves and
+        # MU denominators stay exact f32). The int8 contraction itself is
+        # exact integer math on every backend, so no CPU fallback is
+        # needed (unlike the Pallas paths).
+        from nmftpu.kernels import quantized as Q
+
+        def effective_h(aux, H):
+            return H
+
+        if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+            if alg is Algorithm.ALS:
+                sw = sh = ow = oh = 0.0
+            elif alg is Algorithm.ACLS:
+                sw, sh = config.lambda_w, config.lambda_h
+                ow = oh = 0.0
+            else:
+                r = config.rank
+
+                def hoyer(lam, a):
+                    sr = float(r) ** 0.5
+                    beta = ((1.0 - a) * sr + a) ** 2 / r
+                    return lam * beta, lam * (1.0 - beta)
+
+                sw, ow = hoyer(config.lambda_w, config.alpha_w)
+                sh, oh = hoyer(config.lambda_h, config.alpha_h)
+
+            def make_aux(V):
+                return Q.quantize_v(V)
+
+            def update(V, aux, W, H):
+                return D.als_family_update_int8x8(
+                    aux[0], aux[1], W, H, shift_w=sw, shift_h=sh,
+                    off_w=ow, off_h=oh, eps=eps, order=order,
+                )
+
+        elif alg is Algorithm.GDCLS:
+            lt = config.lambda_tik
+
+            def make_aux(V):
+                return Q.quantize_v(V)
+
+            def update(V, aux, W, H):
+                return D.gdcls_update_int8x8(
+                    aux[0], aux[1], W, H, lambda_tik=lt, eps=eps,
+                    order=order,
+                )
+
+        elif alg is Algorithm.NSNMF:
+            theta = config.theta
+            rank = config.rank
+
+            def make_aux(V):
+                Vq, scale = Q.quantize_v(V)
+                S = D.nsnmf_smoothing_matrix(rank, theta,
+                                             dtype=jnp.float32)
+                return (Vq, scale, S)
+
+            def update(V, aux, W, H):
+                return D.nsnmf_update_frobenius_int8x8(
+                    aux[0], aux[1], W, H, aux[2], eps=eps, order=order
+                )
+
+            def effective_h(aux, H):
+                return aux[2] @ H
+
+        else:
+            raise ValueError(f"unknown algorithm: {alg}")
+
+        return make_aux, update, effective_h
+
     if alg is Algorithm.MU:
         if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
             alpha = config.alpha_confidence

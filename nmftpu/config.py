@@ -111,8 +111,9 @@ class NmfConfig:
     # `v_storage` controls how dense V is held in HBM for the update loop:
     #   float32  — exact storage (default);
     #   bfloat16 — halves V traffic; MXU-native;
-    #   int8     — quarter traffic via per-matrix-scale quantization
-    #              (nmftpu.kernels.quantized; MU+Frobenius dense only).
+    #   int8     — quarter traffic via per-matrix-scale quantization AND
+    #              the MXU's double-rate int8 path (Frobenius objective,
+    #              any algorithm; dense + densified engines).
     # Factors W/H always stay in `dtype`; error checks read the original V.
     eps: float = 1e-9
     dtype: str = "float32"
@@ -174,12 +175,12 @@ class NmfConfig:
                 f"got {self.v_storage!r}"
             )
         if self.v_storage == "int8" and not (
-            self.algorithm is Algorithm.MU
-            and self.objective is Objective.FROBENIUS
+            self.objective is Objective.FROBENIUS
             and self.alpha_confidence == 0.0
         ):
             raise ValueError(
-                "v_storage='int8' currently requires plain MU + Frobenius"
+                "v_storage='int8' requires the Frobenius objective "
+                "without confidence weighting (any algorithm)"
             )
         if self.objective is Objective.KL and self.algorithm not in (
             Algorithm.MU,

@@ -128,6 +128,55 @@ def quantize_sym(X, clip=127.0):
     return scale.astype(jnp.float32), Xq
 
 
+def _rhs_vht_int8(Vq, scale_v, X):
+    """V·Xᵀ (n, r) with int8 V: X requantized per call, int8 × int8 →
+    int32 on the MXU's double-rate path, both scales in the epilogue."""
+    s_x, Xq = quantize_sym(X)
+    return jax.lax.dot_general(
+        Vq, Xq, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (scale_v * s_x)
+
+
+def _rhs_wtv_int8(Vq, scale_v, X):
+    """Xᵀ·V (r, m) with int8 V; X requantized per call."""
+    s_x, Xq = quantize_sym(X)
+    return jax.lax.dot_general(
+        Xq, Vq, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (scale_v * s_x)
+
+
+def _ls_terms_w_int8(Vq, scale_v, H):
+    """(gram, rhs) of the W-side normal equations with H quantized ONCE:
+    gram = H̃ H̃ᵀ (r, r) and rhs = H̃ Ṽᵀ (r, n), both from the SAME
+    dequantized H̃. Consistency matters: mixing an exact-f32 Gram with a
+    quantized rhs perturbs the solve by cond(G) ≈ cond(H)², while the
+    consistent pair is the EXACT solution of the quantized LS problem
+    (error ∝ cond(H) only). Measured: 22% → <2% H error per ALS step."""
+    s_h, Hq = quantize_sym(H)
+    Hd = Hq.astype(jnp.float32) * s_h
+    gram = Hd @ Hd.T
+    rhs = jax.lax.dot_general(
+        Hq, Vq, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (scale_v * s_h)
+    return gram, rhs
+
+
+def _ls_terms_h_int8(Vq, scale_v, W):
+    """(gram, rhs) of the H-side normal equations with W quantized once:
+    gram = W̃ᵀ W̃ (r, r), rhs = W̃ᵀ Ṽ (r, m). See `_ls_terms_w_int8`."""
+    s_w, Wq = quantize_sym(W)
+    Wd = Wq.astype(jnp.float32) * s_w
+    gram = Wd.T @ Wd
+    rhs = jax.lax.dot_general(
+        Wq, Vq, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (scale_v * s_w)
+    return gram, rhs
+
+
 def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH"):
     """MU (Frobenius) with the O(nmr) contractions as int8 x int8 -> int32
     on the MXU's double-rate int8 path: V is stored int8 once; the factor
@@ -142,20 +191,104 @@ def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH"):
     Vq = jnp.asarray(Vq)
 
     def upd_w(W, H):
-        s_h, Hq = quantize_sym(H)
-        numer = jax.lax.dot_general(
-            Vq, Hq, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (scale_v * s_h)
+        numer = _rhs_vht_int8(Vq, scale_v, H)
         return W * (numer / (W @ (H @ H.T) + eps))
 
     def upd_h(W, H):
-        s_w, Wq = quantize_sym(W)
-        numer = jax.lax.dot_general(
-            Wq, Vq, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (scale_v * s_w)
+        numer = _rhs_wtv_int8(Vq, scale_v, W)
         return H * (numer / ((W.T @ W) @ H + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def als_family_update_int8x8(
+    Vq, scale_v, W, H, shift_w=0.0, shift_h=0.0, off_w=0.0, off_h=0.0,
+    eps=1e-9, order="WH",
+):
+    """ALS/ACLS/AHCLS with the O(nmr) right-hand sides on the int8 MXU
+    path (V stored int8 + scale; same quantization contract as
+    `mu_update_frobenius_int8x8`). Each half-step quantizes its factor
+    operand ONCE and builds BOTH the Gram and the rhs from it
+    (`_ls_terms_*_int8`) — the r×r solve is then the exact f32 solution
+    of the quantized least-squares problem, avoiding the cond²
+    amplification of an exact-Gram/quantized-rhs mixture."""
+    Vq = jnp.asarray(Vq)
+    r = W.shape[1]
+
+    def solve(gram, rhs, shift, off):
+        A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
+        if off:
+            A = A + off * jnp.ones((r, r), gram.dtype)
+        return jnp.maximum(
+            jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0
+        )
+
+    def upd_w(W, H):
+        gram, rhs = _ls_terms_w_int8(Vq, scale_v, H)   # (r, r), (r, n)
+        return solve(gram, rhs, shift_w, off_w).T
+
+    def upd_h(W, H):
+        gram, rhs = _ls_terms_h_int8(Vq, scale_v, W)   # (r, r), (r, m)
+        return solve(gram, rhs, shift_h, off_h)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def gdcls_update_int8x8(Vq, scale_v, W, H, lambda_tik=0.0, eps=1e-9,
+                        order="WH"):
+    """GDCLS with int8-stored V: MU-style W step and Tikhonov H solve,
+    both rhs contractions on the int8 MXU path. The H solve uses the
+    consistent quantized Gram (see `als_family_update_int8x8`)."""
+    Vq = jnp.asarray(Vq)
+    r = W.shape[1]
+
+    def upd_w(W, H):
+        numer = _rhs_vht_int8(Vq, scale_v, H)
+        return W * (numer / (W @ (H @ H.T) + eps))
+
+    def upd_h(W, H):
+        gram, rhs = _ls_terms_h_int8(Vq, scale_v, W)
+        A = gram + (lambda_tik + eps) * jnp.eye(r, dtype=gram.dtype)
+        return jnp.maximum(
+            jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0
+        )
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def nsnmf_update_frobenius_int8x8(Vq, scale_v, W, H, S, eps=1e-9,
+                                  order="WH"):
+    """nsNMF (Frobenius) with int8-stored V: MU against the smoothed
+    partners (S@H for the W step, W@S for the H step)."""
+    Vq = jnp.asarray(Vq)
+
+    def upd_w(W, H):
+        SH = S @ H
+        numer = _rhs_vht_int8(Vq, scale_v, SH)
+        return W * (numer / (W @ (SH @ SH.T) + eps))
+
+    def upd_h(W, H):
+        WS = W @ S
+        numer = _rhs_wtv_int8(Vq, scale_v, WS)
+        return H * (numer / ((WS.T @ WS) @ H + eps))
 
     if order == "WH":
         W = upd_w(W, H)

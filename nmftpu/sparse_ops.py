@@ -613,6 +613,26 @@ def _densified_supported(config: NmfConfig) -> bool:
     return True  # every algorithm/objective combination
 
 
+def _als_family_shifts(config: NmfConfig):
+    """(shift_w, shift_h, off_w, off_h) for the generic ALS-family solve:
+    ALS = plain normal equations, ACLS = diagonal sparsity penalties,
+    AHCLS = Hoyer-target diagonal + off-diagonal shifts (Langville et al.)."""
+    if config.algorithm is Algorithm.ALS:
+        return 0.0, 0.0, 0.0, 0.0
+    if config.algorithm is Algorithm.ACLS:
+        return config.lambda_w, config.lambda_h, 0.0, 0.0
+    r = config.rank
+
+    def hoyer(lam, a):
+        sr = float(np.sqrt(r))
+        beta = ((1.0 - a) * sr + a) ** 2 / r
+        return lam * beta, lam * (1.0 - beta)
+
+    sw, ow = hoyer(config.lambda_w, config.alpha_w)
+    sh, oh = hoyer(config.lambda_h, config.alpha_h)
+    return sw, sh, ow, oh
+
+
 def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
     from nmftpu import densified as DF
 
@@ -628,13 +648,47 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
 
     if config.v_storage == "int8":
         # Operand is the (Vq int8, scale) pair from densify_quantized;
-        # config validation guarantees plain MU + Frobenius here. The
+        # config validation guarantees Frobenius + unweighted here. The
         # O(nmr) contractions run on the MXU's double-rate int8 path —
-        # the fastest in-HBM engine (1.5-1.6x over bf16, PERF.md r2).
-        def update_q(V, aux, W, H):
-            return D.mu_update_frobenius_int8x8(
-                V[0], V[1], W, H, eps=eps, order=order
-            )
+        # the fastest in-HBM engine (1.5-1.9x over bf16, PERF.md r2) —
+        # for every algorithm; r x r solves stay exact f32.
+        if alg is Algorithm.MU:
+            def update_q(V, aux, W, H):
+                return D.mu_update_frobenius_int8x8(
+                    V[0], V[1], W, H, eps=eps, order=order
+                )
+        elif alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+            sw, sh, ow, oh = _als_family_shifts(config)
+
+            def update_q(V, aux, W, H):
+                return D.als_family_update_int8x8(
+                    V[0], V[1], W, H, shift_w=sw, shift_h=sh,
+                    off_w=ow, off_h=oh, eps=eps, order=order,
+                )
+        elif alg is Algorithm.GDCLS:
+            lt = config.lambda_tik
+
+            def update_q(V, aux, W, H):
+                return D.gdcls_update_int8x8(
+                    V[0], V[1], W, H, lambda_tik=lt, eps=eps, order=order
+                )
+        else:  # NSNMF (Frobenius — int8 validation rejects KL)
+            theta = config.theta
+            rank = config.rank
+
+            def make_aux(V):
+                return (
+                    D.nsnmf_smoothing_matrix(rank, theta,
+                                             dtype=jnp.float32),
+                )
+
+            def update_q(V, aux, W, H):
+                return D.nsnmf_update_frobenius_int8x8(
+                    V[0], V[1], W, H, aux[0], eps=eps, order=order
+                )
+
+            def effective_h(aux, H):
+                return aux[0] @ H
 
         return LoopOps(
             make_aux=make_aux,
@@ -669,21 +723,7 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
                 return DF.mu_update_kl_densified(Vd, W, H, eps=eps,
                                                  order=order)
     elif alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if alg is Algorithm.ALS:
-            sw = sh = ow = oh = 0.0
-        elif alg is Algorithm.ACLS:
-            sw, sh = config.lambda_w, config.lambda_h
-            ow = oh = 0.0
-        else:
-            r = config.rank
-
-            def hoyer(lam, a):
-                sr = float(np.sqrt(r))
-                beta = ((1.0 - a) * sr + a) ** 2 / r
-                return lam * beta, lam * (1.0 - beta)
-
-            sw, ow = hoyer(config.lambda_w, config.alpha_w)
-            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        sw, sh, ow, oh = _als_family_shifts(config)
 
         def update(Vd, aux, W, H):
             return DF.als_family_update_densified(
@@ -751,21 +791,7 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
     make_aux = lambda pair: ()  # noqa: E731
 
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if alg is Algorithm.ALS:
-            sw = sh = ow = oh = 0.0
-        elif alg is Algorithm.ACLS:
-            sw, sh = config.lambda_w, config.lambda_h
-            ow = oh = 0.0
-        else:
-            r = config.rank
-
-            def hoyer(lam, a):
-                sr = float(np.sqrt(r))
-                beta = ((1.0 - a) * sr + a) ** 2 / r
-                return lam * beta, lam * (1.0 - beta)
-
-            sw, ow = hoyer(config.lambda_w, config.alpha_w)
-            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        sw, sh, ow, oh = _als_family_shifts(config)
 
         def update(pair, aux, W, H):
             return SE.als_family_update_ell(
@@ -844,7 +870,7 @@ def compute_sparse(
                     (MU only; fastest whenever n*m*2 bytes fit HBM); with
                     v_storage="int8" V densifies to int8 + scale and the
                     updates ride the double-rate int8 MXU path (half the
-                    footprint, ~1.5x faster — MU+Frobenius only);
+                    footprint, ~1.9x faster — any algorithm, Frobenius);
       "ell"       — gather-only bucketed padded-segment layout (MU family;
                     the beyond-HBM alternative to scatter);
       "auto"      — densified when supported and within

@@ -33,11 +33,16 @@ def test_int8_storage_validation():
     with pytest.raises(ValueError):
         NmfConfig(rank=4, v_storage="int8", objective=Objective.KL)
     with pytest.raises(ValueError):
-        NmfConfig(rank=4, v_storage="int8", algorithm=Algorithm.ALS)
+        NmfConfig(rank=4, v_storage="int8", algorithm=Algorithm.NSNMF,
+                  objective=Objective.KL)
     with pytest.raises(ValueError):
         NmfConfig(rank=4, v_storage="int8", alpha_confidence=1.0)
     with pytest.raises(ValueError):
         NmfConfig(rank=4, v_storage="fp4")
+    # the whole Frobenius family is int8-eligible (round 2)
+    for alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS,
+                Algorithm.GDCLS, Algorithm.NSNMF):
+        NmfConfig(rank=4, v_storage="int8", algorithm=alg)
 
 
 def test_bf16_matches_f32_loosely(rng):
@@ -126,3 +131,89 @@ def test_int8x8_converges_like_f32(rng, lowrank):
     rf = compute(V, cfg_f)
     rq = compute(V, cfg_q)
     assert abs(rq.frobenius_error - rf.frobenius_error) / rf.frobenius_error < 0.01
+
+
+_FAMILY_CFGS = [
+    dict(algorithm=Algorithm.ALS),
+    dict(algorithm=Algorithm.ACLS, lambda_w=0.05, lambda_h=0.05),
+    dict(algorithm=Algorithm.AHCLS, lambda_w=0.05, lambda_h=0.05,
+         alpha_w=0.4, alpha_h=0.4),
+    dict(algorithm=Algorithm.GDCLS, lambda_tik=0.05),
+    dict(algorithm=Algorithm.NSNMF, theta=0.3),
+]
+
+
+@pytest.mark.parametrize(
+    "kw", _FAMILY_CFGS, ids=lambda kw: kw["algorithm"].name.lower()
+)
+def test_int8_family_dense_tracks_f32(rng, lowrank, kw):
+    """ALS/ACLS/AHCLS/GDCLS/nsNMF with v_storage='int8' (int8 MXU
+    right-hand sides, exact f32 solves): short fixed-init trajectory
+    stays within a few percent of the same algorithm's f32 run (the
+    ALS family is non-monotone, so long trajectories diverge under any
+    perturbation — compare before chaos sets in, as test_densified does)."""
+    V = lowrank(rng, 60, 50, 4)
+    W0 = rng.uniform(0.1, 1.0, (60, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+    cfg_f = NmfConfig(
+        rank=4, num_iterations=10, check_interval=5,
+        init_method=Initialization.COPY_EXISTING, **kw,
+    )
+    import dataclasses
+
+    cfg_q = dataclasses.replace(cfg_f, v_storage="int8")
+    rf = compute(V, cfg_f, W0=W0, H0=H0)
+    rq = compute(V, cfg_q, W0=W0, H0=H0)
+    # Quality bound, not trajectory parity: the int8 path solves the
+    # quantized problem exactly (per-step parity <1%, see _ls_terms
+    # docstring) but its residual vs the TRUE V carries the V-quantization
+    # noise floor ~0.5% of ||V||_F, which unregularized ALS exposes in
+    # full once the fit approaches it. Require the int8 fit to be no more
+    # than 1.5% of ||V|| worse than f32's.
+    vnorm = float(np.linalg.norm(V))
+    assert rq.frobenius_error <= rf.frobenius_error + 0.015 * vnorm, (
+        rq.frobenius_error, rf.frobenius_error, vnorm,
+    )
+    assert np.all(np.asarray(rq.W) >= 0)
+    assert np.all(np.asarray(rq.H) >= 0)
+
+
+@pytest.mark.parametrize(
+    "kw", _FAMILY_CFGS, ids=lambda kw: kw["algorithm"].name.lower()
+)
+def test_int8_family_densified_engine_tracks_bf16(rng, kw):
+    """The densified sparse engine routes the whole Frobenius family
+    through the int8 MXU path; error within 2% of the bf16 engine."""
+    from nmftpu import sparse as hs
+    from nmftpu.sparse_ops import compute_sparse
+
+    n, m, r = 100, 120, 5
+    dense = np.where(
+        rng.random((n, m)) < 0.3,
+        rng.integers(1, 11, (n, m)) * 0.5, 0.0,
+    ).astype(np.float32)
+    sp = hs.from_dense(dense)
+    W0 = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=r, num_iterations=10, check_interval=5,
+        init_method=Initialization.COPY_EXISTING, **kw,
+    )
+    import dataclasses
+
+    cfg8 = dataclasses.replace(cfg, v_storage="int8")
+    rb = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="densified")
+    rq = compute_sparse(sp, cfg8, W0=W0, H0=H0, strategy="densified")
+    np.testing.assert_allclose(
+        rq.frobenius_error, rb.frobenius_error, rtol=5e-2
+    )
+    # reported Gram-trick error vs true residual of returned factors
+    # (nsNMF reports against the smoothed S@H, folded in by the driver)
+    He = np.asarray(rq.H)
+    if kw["algorithm"] is Algorithm.NSNMF:
+        from nmftpu.linalg import dense as D
+
+        S = np.asarray(D.nsnmf_smoothing_matrix(r, kw["theta"]))
+        He = S @ He
+    true_err = np.linalg.norm(dense - np.asarray(rq.W) @ He)
+    np.testing.assert_allclose(rq.frobenius_error, true_err, rtol=2e-2)
