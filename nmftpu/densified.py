@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from nmftpu.linalg import dense as D
 from nmftpu.sparse_ops import DeviceCOO, _chunked
 
 
@@ -287,7 +288,7 @@ def _solve_clamped(gram, rhs, shift, off, eps):
     A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
     if off:
         A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
 
 
 def als_family_update_densified(

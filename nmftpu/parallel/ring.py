@@ -39,6 +39,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nmftpu.config import Algorithm, NmfConfig, Objective
+from nmftpu.linalg import dense as D
 from nmftpu.parallel.sharded_coo import partition_sparse
 from nmftpu.sparse_ops import DeviceCOO, sddmm, v_ht, wt_v
 from nmftpu import sparse as host_sparse
@@ -180,7 +181,7 @@ def _solve_clamped(gram, rhs, shift, off, eps):
     A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
     if off:
         A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
 
 
 def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):

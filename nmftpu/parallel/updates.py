@@ -110,7 +110,7 @@ def _solve_clamped(gram, rhs, shift, off, eps):
     A = gram + (shift + eps) * jnp.eye(r, gram.shape[1], dtype=gram.dtype)
     if off:
         A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
 
 
 def _upd_w_als(local, W, H, shift, off, eps):

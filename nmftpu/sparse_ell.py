@@ -32,6 +32,7 @@ import numpy as np
 from jax import lax
 
 from nmftpu import sparse as host_sparse
+from nmftpu.linalg import dense as D
 
 # Finer widths cost a few extra kernel launches but cut segment padding
 # 1.74x -> 1.44x on ML-20M power-law data (the gather is latency-bound
@@ -411,7 +412,7 @@ def _solve_clamped(gram, rhs, shift, off, eps):
     A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
     if off:
         A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
 
 
 def als_family_update_ell(

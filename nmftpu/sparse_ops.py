@@ -279,7 +279,7 @@ def mu_update_frobenius_weighted_sparse(coo, W, H, alpha, eps=1e-9,
 def _solve_clamped(gram, rhs, shift, eps):
     r = gram.shape[0]
     A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
-    return jnp.maximum(jax.scipy.linalg.solve(A, rhs, assume_a="pos"), 0.0)
+    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
 
 
 def als_family_update_sparse(

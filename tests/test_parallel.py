@@ -297,3 +297,33 @@ def test_sharded_kmeans_init_ell_engine_e2e(rng, mesh):
     assert np.isfinite(res.frobenius_error)
     recon = np.linalg.norm(dense - np.asarray(res.W) @ np.asarray(res.H))
     np.testing.assert_allclose(recon, res.frobenius_error, rtol=5e-2)
+
+
+@pytest.mark.parametrize("alg", [Algorithm.MU, Algorithm.ALS])
+def test_dense_mesh_int8_storage(rng, mesh, alg):
+    """v_storage='int8' rides the GSPMD dense mesh path: the registry's
+    int8 branches quantize the sharded V in place (global-max reduction +
+    elementwise), and the int8 dot_generals partition like any other
+    contraction. MU tracks the single-device int8 run tightly; ALS is
+    trajectory-sensitive (clamp-boundary flips under reduction-order
+    noise), so it gets a quality bound instead."""
+    V = (
+        rng.uniform(0.1, 1.0, (48, 4)) @ rng.uniform(0.1, 1.0, (4, 40))
+    ).astype(np.float32)
+    W0 = rng.uniform(0.1, 1.0, (48, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 40)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=alg, v_storage="int8",
+        init_method=Initialization.COPY_EXISTING,
+        num_iterations=15, check_interval=5,
+    )
+    rm = compute(V, cfg, W0=W0, H0=H0, mesh=mesh)
+    rs = compute(V, cfg, W0=W0, H0=H0)
+    if alg is Algorithm.MU:
+        np.testing.assert_allclose(
+            rm.frobenius_error, rs.frobenius_error, rtol=2e-3
+        )
+    else:
+        vnorm = float(np.linalg.norm(V))
+        assert rm.frobenius_error <= rs.frobenius_error + 0.015 * vnorm
+    assert np.all(np.asarray(rm.W) >= 0)
