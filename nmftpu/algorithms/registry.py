@@ -30,9 +30,11 @@ def build_dense_update(config: NmfConfig):
     alg = config.algorithm
     obj = config.objective
 
-    if config.v_storage == "int8" and alg is not Algorithm.MU:
-        # int8 x int8 MXU path for the ALS/ACLS/AHCLS/GDCLS/nsNMF family:
-        # config validation guarantees Frobenius + no confidence weighting
+    if (config.v_storage == "int8" and alg is not Algorithm.MU
+            and obj is Objective.FROBENIUS):
+        # int8 x int8 MXU path for the ALS/ACLS/AHCLS/GDCLS/nsNMF family
+        # under Frobenius (nsNMF-KL routes through the quantized-KL branch
+        # below); config validation guarantees no confidence weighting
         # here. V is quantized once into aux; the O(nmr) right-hand-side
         # contractions ride the double-rate int8 MXU (the r x r solves and
         # MU denominators stay exact f32). The int8 contraction itself is
@@ -203,6 +205,34 @@ def build_dense_update(config: NmfConfig):
             def update(V, aux, W, H):
                 return D.mu_update_frobenius(V, W, H, eps=eps, order=order)
 
+        elif config.v_storage == "int8":  # KL, int8-stored V
+            # Quantized-KL: V held once as int8 + one symmetric scale
+            # (quarter traffic), blockwise bf16-GEMM half-steps with the
+            # scalar folded into the numerator after the contraction
+            # (exact — see _kl_numer_w_blocked). Zeros quantize to zeros,
+            # so the KL support pattern is preserved.
+            from nmftpu import densified as DF
+            from nmftpu.kernels import quantized as Q
+
+            def make_aux(V):
+                return Q.quantize_v(V)
+
+            def update(V, aux, W, H):
+                return DF.mu_update_kl_densified(
+                    aux[0], W, H, eps=eps, order=order, scale=aux[1]
+                )
+
+        elif config.v_storage == "bfloat16":  # KL, bf16-stored V
+            from nmftpu import densified as DF
+
+            def make_aux(V):
+                return (V.astype(jnp.bfloat16),)
+
+            def update(V, aux, W, H):
+                return DF.mu_update_kl_densified(
+                    aux[0], W, H, eps=eps, order=order
+                )
+
         else:  # KL
 
             def make_aux(V):
@@ -272,13 +302,50 @@ def build_dense_update(config: NmfConfig):
         rank = config.rank
         obj_name = "frobenius" if obj is Objective.FROBENIUS else "kl"
 
-        def make_aux(V):
-            return (D.nsnmf_smoothing_matrix(rank, theta, dtype=V.dtype),)
+        if obj is Objective.KL and config.v_storage in ("bfloat16", "int8"):
+            # Low-precision-stored V under KL: blockwise bf16-GEMM
+            # half-steps vs the smoothed partners; int8 folds its scalar
+            # scale into the numerators (see mu_update_kl_densified).
+            from nmftpu import densified as DF
 
-        def update(V, aux, W, H):
-            return D.nsnmf_update(
-                V, W, H, aux[0], eps=eps, objective=obj_name, order=order
-            )
+            if config.v_storage == "int8":
+                from nmftpu.kernels import quantized as Q
+
+                def make_aux(V):
+                    S = D.nsnmf_smoothing_matrix(
+                        rank, theta, dtype=jnp.float32
+                    )
+                    return (S,) + tuple(Q.quantize_v(V))
+
+                def update(V, aux, W, H):
+                    return DF.nsnmf_update_kl_densified(
+                        aux[1], W, H, aux[0], eps=eps, order=order,
+                        scale=aux[2],
+                    )
+            else:
+
+                def make_aux(V):
+                    S = D.nsnmf_smoothing_matrix(
+                        rank, theta, dtype=jnp.float32
+                    )
+                    return (S, V.astype(jnp.bfloat16))
+
+                def update(V, aux, W, H):
+                    return DF.nsnmf_update_kl_densified(
+                        aux[1], W, H, aux[0], eps=eps, order=order
+                    )
+        else:
+
+            def make_aux(V):
+                return (
+                    D.nsnmf_smoothing_matrix(rank, theta, dtype=V.dtype),
+                )
+
+            def update(V, aux, W, H):
+                return D.nsnmf_update(
+                    V, W, H, aux[0], eps=eps, objective=obj_name,
+                    order=order,
+                )
 
         def effective_h(aux, H):
             return aux[0] @ H

@@ -111,9 +111,11 @@ class NmfConfig:
     # `v_storage` controls how dense V is held in HBM for the update loop:
     #   float32  — exact storage (default);
     #   bfloat16 — halves V traffic; MXU-native;
-    #   int8     — quarter traffic via per-matrix-scale quantization AND
-    #              the MXU's double-rate int8 path (Frobenius objective,
-    #              any algorithm; dense + densified engines).
+    #   int8     — quarter traffic via per-matrix-scale quantization AND,
+    #              under Frobenius, the MXU's double-rate int8 path (any
+    #              algorithm); under KL (MU/nsNMF) the scale folds into
+    #              the blockwise bf16-GEMM numerators. Dense + densified
+    #              engines; confidence weighting excluded.
     # Factors W/H always stay in `dtype`; error checks read the original V.
     eps: float = 1e-9
     dtype: str = "float32"
@@ -174,13 +176,11 @@ class NmfConfig:
                 f"v_storage must be float32|bfloat16|int8, "
                 f"got {self.v_storage!r}"
             )
-        if self.v_storage == "int8" and not (
-            self.objective is Objective.FROBENIUS
-            and self.alpha_confidence == 0.0
-        ):
+        if self.v_storage == "int8" and self.alpha_confidence != 0.0:
             raise ValueError(
-                "v_storage='int8' requires the Frobenius objective "
-                "without confidence weighting (any algorithm)"
+                "v_storage='int8' does not support confidence weighting "
+                "(the per-entry confidence term cannot fold into the "
+                "shared quantization scale)"
             )
         if self.objective is Objective.KL and self.algorithm not in (
             Algorithm.MU,

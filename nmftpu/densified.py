@@ -125,10 +125,15 @@ def sum_v_sq_int8_densified(Vq, scale, block_rows=4096):
     return scale * scale * total
 
 
-def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows):
+def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows, scale=None):
     """Blockwise numerator (V / (Q P)) @ P^T -> (n, r) for the left-factor
     KL half-step. Q (n, r) is the left operand forming the reconstruction
     (W, or W for nsNMF), P (r, m) the right partner (H, or S@H).
+
+    `scale` (int8 storage): Vd holds unscaled quantized values and the
+    true V is scale * Vd. The ratio scale*Vq/(WH+eps) factors the scalar
+    out of the contraction, so it folds into the numerator AFTER the
+    GEMM — exact, and the int8 reads quarter the V traffic.
 
     Row panels are read with dynamic_slice inside a fori_loop — NEVER
     reshaped/stacked into scan xs, which would materialize a second
@@ -142,9 +147,10 @@ def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows):
             Q.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         ratio = Vd.astype(jnp.float32) / (WH + eps)
-        return jax.lax.dot_general(
+        numer = jax.lax.dot_general(
             ratio.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return numer if scale is None else numer * scale
     nb = n // block_rows
     Pb = P.astype(jnp.bfloat16)
 
@@ -165,15 +171,17 @@ def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows):
         )
         return lax.dynamic_update_slice_in_dim(out, numer, start, 0)
 
-    return lax.fori_loop(
+    out = lax.fori_loop(
         0, nb, body, jnp.zeros((n, r), jnp.float32)
     )
+    return out if scale is None else out * scale
 
 
-def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows):
+def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows, scale=None):
     """Blockwise numerator Q^T (V / (Q H)) -> (r, m) for the right-factor
     KL half-step; Q (n, r) is the effective left factor (W, or W@S).
-    Same no-copy panel access contract as _kl_numer_w_blocked."""
+    Same no-copy panel access and int8 scale-folding contract as
+    _kl_numer_w_blocked."""
     n, m = Vd.shape
     r = Q.shape[1]
     if n % block_rows:
@@ -181,9 +189,10 @@ def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows):
             Q.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         ratio = Vd.astype(jnp.float32) / (WH + eps)
-        return jax.lax.dot_general(
+        numer = jax.lax.dot_general(
             Q.astype(jnp.bfloat16), ratio.astype(jnp.bfloat16),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return numer if scale is None else numer * scale
     nb = n // block_rows
     Hb = H.astype(jnp.bfloat16)
 
@@ -203,30 +212,35 @@ def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows):
             preferred_element_type=jnp.float32,
         )
 
-    return lax.fori_loop(
+    out = lax.fori_loop(
         0, nb, body, jnp.zeros((r, m), jnp.float32)
     )
+    return out if scale is None else out * scale
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))
 def mu_update_kl_densified(
-    Vd, W, H, eps=1e-9, order="WH", block_rows=4096
+    Vd, W, H, eps=1e-9, order="WH", block_rows=4096, scale=None
 ):
     """KL MU against a dense low-precision V, blockwise over row panels.
 
     Per half-step one pass over V: for each row panel, WH = W_blk @ H and
     the ratio V/(WH) live only at panel size; numerators accumulate into
     (n, r) / (r, m). FLOPs 2×O(nmr) per half-step — MXU-bound, versus the
-    gather-bound scatter path.
+    gather-bound scatter path. With `scale` (int8-stored V = scale * Vd)
+    the scalar folds into the numerator after the contraction — this is
+    also the dense `v_storage` KL path (registry routes bf16/int8 dense
+    KL here: bounded intermediates + bf16 MXU GEMMs instead of the f32
+    full-materialization update).
     """
 
     def upd_w(W, H):
-        numer = _kl_numer_w_blocked(Vd, W, H, eps, block_rows)
+        numer = _kl_numer_w_blocked(Vd, W, H, eps, block_rows, scale)
         h_sum = jnp.maximum(jnp.sum(H, axis=1), eps)[None, :]
         return W * (numer / h_sum)
 
     def upd_h(W, H):
-        numer = _kl_numer_h_blocked(Vd, W, H, eps, block_rows)
+        numer = _kl_numer_h_blocked(Vd, W, H, eps, block_rows, scale)
         w_sum = jnp.maximum(jnp.sum(W, axis=0), eps)[:, None]
         return H * (numer / w_sum)
 
@@ -241,20 +255,21 @@ def mu_update_kl_densified(
 
 @functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))
 def nsnmf_update_kl_densified(
-    Vd, W, H, S, eps=1e-9, order="WH", block_rows=4096
+    Vd, W, H, S, eps=1e-9, order="WH", block_rows=4096, scale=None
 ):
     """nsNMF under KL against dense low-precision V: MU-KL half-steps with
-    the smoothed partners (S@H stands in for H, W@S for W)."""
+    the smoothed partners (S@H stands in for H, W@S for W). `scale` as in
+    mu_update_kl_densified (int8-stored V)."""
 
     def upd_w(W, H):
         SH = S @ H
-        numer = _kl_numer_w_blocked(Vd, W, SH, eps, block_rows)
+        numer = _kl_numer_w_blocked(Vd, W, SH, eps, block_rows, scale)
         s_sum = jnp.maximum(jnp.sum(SH, axis=1), eps)[None, :]
         return W * (numer / s_sum)
 
     def upd_h(W, H):
         WS = W @ S
-        numer = _kl_numer_h_blocked(Vd, WS, H, eps, block_rows)
+        numer = _kl_numer_h_blocked(Vd, WS, H, eps, block_rows, scale)
         s_sum = jnp.maximum(jnp.sum(WS, axis=0), eps)[:, None]
         return H * (numer / s_sum)
 
@@ -463,9 +478,10 @@ def frobenius_error_densified(Vd, W, H, sum_v_sq):
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
-def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096):
+def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096, scale=None):
     """Blockwise D_KL(V || WH) against dense low-precision V (panel access
-    via dynamic_slice — no V-sized intermediates)."""
+    via dynamic_slice — no V-sized intermediates). `scale`: int8-stored
+    V = scale * Vd (dequantized per panel in registers)."""
     n, m = Vd.shape
     if n % block_rows:
         block_rows = n
@@ -477,6 +493,8 @@ def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096):
         V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
         W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
         V32 = V_blk.astype(jnp.float32)
+        if scale is not None:
+            V32 = V32 * scale
         WH = jax.lax.dot_general(
             W_blk.astype(jnp.bfloat16), Hb,
             (((1,), (0,)), ((), ())),

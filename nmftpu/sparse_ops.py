@@ -653,10 +653,16 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
         # the fastest in-HBM engine (1.5-1.9x over bf16, PERF.md r2) —
         # for every algorithm; r x r solves stay exact f32.
         if alg is Algorithm.MU:
-            def update_q(V, aux, W, H):
-                return D.mu_update_frobenius_int8x8(
-                    V[0], V[1], W, H, eps=eps, order=order
-                )
+            if config.objective is Objective.KL:
+                def update_q(V, aux, W, H):
+                    return DF.mu_update_kl_densified(
+                        V[0], W, H, eps=eps, order=order, scale=V[1]
+                    )
+            else:
+                def update_q(V, aux, W, H):
+                    return D.mu_update_frobenius_int8x8(
+                        V[0], V[1], W, H, eps=eps, order=order
+                    )
         elif alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
             sw, sh, ow, oh = _als_family_shifts(config)
 
@@ -672,7 +678,7 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
                 return D.gdcls_update_int8x8(
                     V[0], V[1], W, H, lambda_tik=lt, eps=eps, order=order
                 )
-        else:  # NSNMF (Frobenius — int8 validation rejects KL)
+        else:  # NSNMF
             theta = config.theta
             rank = config.rank
 
@@ -682,10 +688,17 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
                                              dtype=jnp.float32),
                 )
 
-            def update_q(V, aux, W, H):
-                return D.nsnmf_update_frobenius_int8x8(
-                    V[0], V[1], W, H, aux[0], eps=eps, order=order
-                )
+            if config.objective is Objective.KL:
+                def update_q(V, aux, W, H):
+                    return DF.nsnmf_update_kl_densified(
+                        V[0], W, H, aux[0], eps=eps, order=order,
+                        scale=V[1],
+                    )
+            else:
+                def update_q(V, aux, W, H):
+                    return D.nsnmf_update_frobenius_int8x8(
+                        V[0], V[1], W, H, aux[0], eps=eps, order=order
+                    )
 
             def effective_h(aux, H):
                 return aux[0] @ H
@@ -697,7 +710,9 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
             frobenius=lambda V, aux, W, He, svsq: (
                 DF.frobenius_error_int8_densified(V[0], V[1], W, He, svsq)
             ),
-            kl=None,
+            kl=lambda V, aux, W, He: DF.kl_error_densified(
+                V[0], W, He, scale=V[1]
+            ),
             sum_v_sq=lambda V: DF.sum_v_sq_int8_densified(V[0], V[1]),
             numel=lambda V, _nm=coo.shape: _nm[0] * _nm[1],
         )

@@ -31,11 +31,6 @@ def test_low_precision_storage_converges(rng, storage):
 
 def test_int8_storage_validation():
     with pytest.raises(ValueError):
-        NmfConfig(rank=4, v_storage="int8", objective=Objective.KL)
-    with pytest.raises(ValueError):
-        NmfConfig(rank=4, v_storage="int8", algorithm=Algorithm.NSNMF,
-                  objective=Objective.KL)
-    with pytest.raises(ValueError):
         NmfConfig(rank=4, v_storage="int8", alpha_confidence=1.0)
     with pytest.raises(ValueError):
         NmfConfig(rank=4, v_storage="fp4")
@@ -43,6 +38,11 @@ def test_int8_storage_validation():
     for alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS,
                 Algorithm.GDCLS, Algorithm.NSNMF):
         NmfConfig(rank=4, v_storage="int8", algorithm=alg)
+    # KL is int8-eligible for the KL-capable algorithms (round 2:
+    # quantized-KL with the scale folded into the numerators)
+    NmfConfig(rank=4, v_storage="int8", objective=Objective.KL)
+    NmfConfig(rank=4, v_storage="int8", algorithm=Algorithm.NSNMF,
+              objective=Objective.KL)
 
 
 def test_bf16_matches_f32_loosely(rng):
@@ -217,3 +217,66 @@ def test_int8_family_densified_engine_tracks_bf16(rng, kw):
         He = S @ He
     true_err = np.linalg.norm(dense - np.asarray(rq.W) @ He)
     np.testing.assert_allclose(rq.frobenius_error, true_err, rtol=2e-2)
+
+
+@pytest.mark.parametrize("alg", [Algorithm.MU, Algorithm.NSNMF])
+@pytest.mark.parametrize("storage", ["bfloat16", "int8"])
+def test_kl_lowp_dense_tracks_f32(rng, alg, storage):
+    """KL with low-precision-stored V (blockwise bf16-GEMM half-steps;
+    int8 additionally folds its quantization scale into the numerators):
+    on integer count data <= 127 the int8 storage is EXACT, so both
+    storages track the f32 trajectory to bf16-GEMM rounding."""
+    import dataclasses
+
+    V = rng.integers(0, 6, (80, 64)).astype(np.float32)
+    W0 = rng.uniform(0.1, 1.0, (80, 5)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (5, 64)).astype(np.float32)
+    kw = {"theta": 0.3} if alg is Algorithm.NSNMF else {}
+    cfg = NmfConfig(
+        rank=5, algorithm=alg, objective=Objective.KL,
+        num_iterations=12, check_interval=4,
+        init_method=Initialization.COPY_EXISTING, **kw,
+    )
+    ref = compute(V, cfg, W0=W0, H0=H0)
+    res = compute(V, dataclasses.replace(cfg, v_storage=storage),
+                  W0=W0, H0=H0)
+    np.testing.assert_allclose(res.kl_error, ref.kl_error, rtol=2e-3)
+    np.testing.assert_allclose(
+        res.frobenius_error, ref.frobenius_error, rtol=2e-3
+    )
+    assert np.all(np.asarray(res.W) >= 0)
+    assert np.all(np.asarray(res.H) >= 0)
+
+
+@pytest.mark.parametrize("alg", [Algorithm.MU, Algorithm.NSNMF])
+def test_kl_int8_densified_engine_tracks_bf16(rng, alg):
+    """The densified sparse engine under KL with v_storage='int8':
+    quantized densify + scale-folded blockwise updates + quantized KL
+    error metric track the bf16 densified engine."""
+    import dataclasses
+
+    from nmftpu import sparse as hs
+    from nmftpu.sparse_ops import compute_sparse
+
+    n, m, r = 90, 70, 4
+    dense = np.where(
+        rng.random((n, m)) < 0.3, rng.integers(1, 6, (n, m)), 0
+    ).astype(np.float32)
+    sp = hs.from_dense(dense)
+    W0 = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    kw = {"theta": 0.3} if alg is Algorithm.NSNMF else {}
+    cfg = NmfConfig(
+        rank=r, algorithm=alg, objective=Objective.KL,
+        num_iterations=10, check_interval=5,
+        init_method=Initialization.COPY_EXISTING, **kw,
+    )
+    rb = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="densified")
+    rq = compute_sparse(
+        sp, dataclasses.replace(cfg, v_storage="int8"),
+        W0=W0, H0=H0, strategy="densified",
+    )
+    np.testing.assert_allclose(rq.kl_error, rb.kl_error, rtol=5e-3)
+    np.testing.assert_allclose(
+        rq.frobenius_error, rb.frobenius_error, rtol=5e-3
+    )
