@@ -46,21 +46,9 @@ def build_dense_update(config: NmfConfig):
             return H
 
         if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-            if alg is Algorithm.ALS:
-                sw = sh = ow = oh = 0.0
-            elif alg is Algorithm.ACLS:
-                sw, sh = config.lambda_w, config.lambda_h
-                ow = oh = 0.0
-            else:
-                r = config.rank
+            from nmftpu.sparse_ops import _als_family_shifts
 
-                def hoyer(lam, a):
-                    sr = float(r) ** 0.5
-                    beta = ((1.0 - a) * sr + a) ** 2 / r
-                    return lam * beta, lam * (1.0 - beta)
-
-                sw, ow = hoyer(config.lambda_w, config.alpha_w)
-                sh, oh = hoyer(config.lambda_h, config.alpha_h)
+            sw, sh, ow, oh = _als_family_shifts(config)
 
             def make_aux(V):
                 return Q.quantize_v(V)
@@ -100,6 +88,66 @@ def build_dense_update(config: NmfConfig):
 
             def effective_h(aux, H):
                 return aux[2] @ H
+
+        else:
+            raise ValueError(f"unknown algorithm: {alg}")
+
+        return make_aux, update, effective_h
+
+    if (config.v_storage == "bfloat16" and alg is not Algorithm.MU
+            and obj is Objective.FROBENIUS):
+        # bf16-stored V for the ALS family under Frobenius: previously the
+        # knob was silently ignored on these algorithms. The densified
+        # module's family updates take any dense low-precision V — the
+        # O(nmr) right-hand sides (_big_vht/_big_wtv) read half the V
+        # traffic and contract bf16 x bf16 -> f32 on the MXU; r x r
+        # solves stay exact f32.
+        from nmftpu import densified as DFB
+
+        def effective_h(aux, H):
+            return H
+
+        if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+            from nmftpu.sparse_ops import _als_family_shifts
+
+            sw, sh, ow, oh = _als_family_shifts(config)
+
+            def make_aux(V):
+                return (V.astype(jnp.bfloat16),)
+
+            def update(V, aux, W, H):
+                return DFB.als_family_update_densified(
+                    aux[0], W, H, shift_w=sw, shift_h=sh,
+                    off_w=ow, off_h=oh, eps=eps, order=order,
+                )
+
+        elif alg is Algorithm.GDCLS:
+            lt = config.lambda_tik
+
+            def make_aux(V):
+                return (V.astype(jnp.bfloat16),)
+
+            def update(V, aux, W, H):
+                return DFB.gdcls_update_densified(
+                    aux[0], W, H, lambda_tik=lt, eps=eps, order=order
+                )
+
+        elif alg is Algorithm.NSNMF:
+            theta = config.theta
+            rank = config.rank
+
+            def make_aux(V):
+                S = D.nsnmf_smoothing_matrix(rank, theta,
+                                             dtype=jnp.float32)
+                return (V.astype(jnp.bfloat16), S)
+
+            def update(V, aux, W, H):
+                return DFB.nsnmf_update_densified(
+                    aux[0], W, H, aux[1], eps=eps, order=order
+                )
+
+            def effective_h(aux, H):
+                return aux[1] @ H
 
         else:
             raise ValueError(f"unknown algorithm: {alg}")

@@ -280,3 +280,34 @@ def test_kl_int8_densified_engine_tracks_bf16(rng, alg):
     np.testing.assert_allclose(
         rq.frobenius_error, rb.frobenius_error, rtol=5e-3
     )
+
+
+@pytest.mark.parametrize(
+    "kw", _FAMILY_CFGS, ids=lambda kw: kw["algorithm"].name.lower()
+)
+def test_bf16_family_dense_tracks_f32(rng, lowrank, kw):
+    """ALS/ACLS/AHCLS/GDCLS/nsNMF with v_storage='bfloat16' (previously a
+    silent no-op on these algorithms): bf16 MXU right-hand sides, exact
+    f32 solves — same quality-bound contract as the int8 family test."""
+    import dataclasses
+
+    V = lowrank(rng, 60, 50, 4)
+    W0 = rng.uniform(0.1, 1.0, (60, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+    cfg_f = NmfConfig(
+        rank=4, num_iterations=10, check_interval=5,
+        init_method=Initialization.COPY_EXISTING, **kw,
+    )
+    cfg_b = dataclasses.replace(cfg_f, v_storage="bfloat16")
+    rf = compute(V, cfg_f, W0=W0, H0=H0)
+    rb = compute(V, cfg_b, W0=W0, H0=H0)
+    vnorm = float(np.linalg.norm(V))
+    # plain ALS has no regularizer pinning the clamp set, so rounding
+    # noise flips active constraints and trajectories fork harder than
+    # for the penalized variants — wider bound for that one case
+    tol = 0.04 if kw["algorithm"] is Algorithm.ALS else 0.015
+    assert rb.frobenius_error <= rf.frobenius_error + tol * vnorm, (
+        rb.frobenius_error, rf.frobenius_error, vnorm,
+    )
+    assert np.all(np.asarray(rb.W) >= 0)
+    assert np.all(np.asarray(rb.H) >= 0)
