@@ -29,6 +29,14 @@ def main(argv=None):
     ap.add_argument("--threshold-type", default="frobenius")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--alpha-confidence", type=float, default=0.0)
+    ap.add_argument("--v-storage", default="float32",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="dense-V HBM storage: bfloat16 halves / int8 "
+                         "quarters traffic (int8 also rides the MXU "
+                         "double-rate path under Frobenius)")
+    ap.add_argument("--strategy", default="auto",
+                    choices=["auto", "densified", "ell", "scatter"],
+                    help="sparse device engine (see docs/TUNING.md)")
     ap.add_argument("--implicit", action="store_true",
                     help="binarize ratings to click events")
     ap.add_argument("--eval-recall", type=int, metavar="K", default=0,
@@ -85,6 +93,8 @@ def main(argv=None):
         num_iterations=args.iters, num_runs=args.runs,
         threshold=args.threshold, threshold_type=args.threshold_type,
         alpha_confidence=args.alpha_confidence,
+        v_storage=args.v_storage,
+        strategy=args.strategy,
         verbosity=args.verbosity,
         callback=logger.as_callback() if logger else None,
     )

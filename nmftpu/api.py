@@ -24,6 +24,8 @@ _INIT_ALIASES = {
     "kmeans": Initialization.K_MEANS_AND_RANDOM_VALUES,
 }
 
+_OBJ_ALIASES = {"kl": Objective.KL}
+
 
 def _coerce(enum_cls, value, aliases=None):
     if isinstance(value, enum_cls):
@@ -69,7 +71,7 @@ def nmf(
     config = NmfConfig(
         rank=rank,
         algorithm=_coerce(Algorithm, algorithm),
-        objective=_coerce(Objective, objective),
+        objective=_coerce(Objective, objective, _OBJ_ALIASES),
         init_method=_coerce(Initialization, init, _INIT_ALIASES),
         seed=seed,
         num_iterations=num_iterations,
