@@ -846,10 +846,28 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
                 pair, W, H, a, eps=eps, order=order
             )
     elif obj is Objective.FROBENIUS:
+        if config.use_pallas:
+            # opt-in fused Pallas SpMM (the north-star kernel): gather ·
+            # multiply · segment-reduce in-kernel against a VMEM-resident
+            # table. Exact, but ~3-5x slower than the XLA gather
+            # formulation on current libtpu (receipts in PERF.md) — the
+            # default stays XLA. Interpret mode off-TPU keeps tests
+            # backend-independent.
+            import jax as _jax
 
-        def update(pair, aux, W, H):
-            return SE.mu_update_frobenius_ell(pair, W, H, eps=eps,
-                                              order=order)
+            from nmftpu.kernels import sparse_ell_kernel as SEK
+
+            interp = _jax.default_backend() != "tpu"
+
+            def update(pair, aux, W, H):
+                return SEK.mu_update_frobenius_ell_pallas(
+                    pair, W, H, eps=eps, order=order, interpret=interp
+                )
+        else:
+
+            def update(pair, aux, W, H):
+                return SE.mu_update_frobenius_ell(pair, W, H, eps=eps,
+                                                  order=order)
     else:
 
         def update(pair, aux, W, H):
