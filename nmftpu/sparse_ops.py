@@ -900,12 +900,18 @@ def compute_sparse(
     strategy:
       "scatter"   — chunked COO gather/scatter updates (any size);
       "densified" — scatter V once into dense bf16 and run MXU updates
-                    (MU only; fastest whenever n*m*2 bytes fit HBM); with
-                    v_storage="int8" V densifies to int8 + scale and the
-                    updates ride the double-rate int8 MXU path (half the
-                    footprint, ~1.9x faster — any algorithm, Frobenius);
+                    (all six algorithms, both objectives; fastest whenever
+                    n*m*2 bytes fit HBM); with v_storage="int8" V
+                    densifies to int8 + scale: the Frobenius family rides
+                    the double-rate int8 MXU (~1.9x) and KL folds the
+                    scale into its blockwise numerators (~1.4x), at half
+                    the footprint either way;
       "ell"       — gather-only bucketed padded-segment layout (MU family;
-                    the beyond-HBM alternative to scatter);
+                    the beyond-HBM alternative to scatter); with
+                    use_pallas=True the MU-Frobenius SpMMs run the fused
+                    Pallas kernel (kernels/sparse_ell_kernel.py — exact,
+                    but slower than the XLA formulation on current
+                    libtpu, see PERF.md);
       "auto"      — densified when supported and within
                     DENSIFY_BUDGET_BYTES, else scatter.
     """
