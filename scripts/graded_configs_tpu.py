@@ -47,11 +47,23 @@ def main():
         timed (remote compiles here stall 30 s-10 min)."""
         res, dt_cold = timed(label, lambda: make_fn(full_iters))
         make_fn(half_iters)  # warm the half-count program's compile
-        dt_full = min(timed(f"{label} warm", lambda: make_fn(full_iters))[1]
-                      for _ in range(2))
-        dt_half = min(timed(f"{label} half", lambda: make_fn(half_iters))[1]
-                      for _ in range(2))
-        slope_ms = (dt_full - dt_half) / max(full_iters - half_iters, 1) * 1e3
+        slope_ms = -1.0
+        for attempt in range(3):  # the tunnel is contended (1.6x swings)
+            dt_full = min(
+                timed(f"{label} warm", lambda: make_fn(full_iters))[1]
+                for _ in range(3)
+            )
+            dt_half = min(
+                timed(f"{label} half", lambda: make_fn(half_iters))[1]
+                for _ in range(3)
+            )
+            slope_ms = (
+                (dt_full - dt_half) / max(full_iters - half_iters, 1) * 1e3
+            )
+            if slope_ms > 0:
+                break
+            print(f"[{label}] non-positive slope ({slope_ms:.1f} ms), "
+                  f"retry {attempt + 1}", flush=True)
         print(f"[{label}] per-iter slope {slope_ms:.1f} ms", flush=True)
         return res, dt_cold, round(slope_ms, 2)
 
@@ -59,11 +71,16 @@ def main():
     n1, m1 = 943, 1682
     sp1 = synthetic_powerlaw_sparse(n1, m1, nnz=100_000, seed=1)
     V1 = sp1.todense()
-    res, dt = timed("cfg1 dense ml100k", lambda: nmftpu.nmf(
-        V1, 32, num_iterations=200, threshold=1e-3, seed=0))
+    def cfg1():
+        return nmftpu.nmf(V1, 32, num_iterations=200, threshold=1e-3,
+                          seed=0)
+
+    res, dt_cold = timed("cfg1 dense ml100k (cold)", cfg1)
+    res, dt = timed("cfg1 dense ml100k (warm)", cfg1)
     results["cfg1_ml100k_dense_rank32"] = {
         "frobenius_error": res.frobenius_error, "rmsd": res.rmsd,
         "iterations": res.num_iterations, "wall_s": round(dt, 1),
+        "wall_s_cold_incl_compile": round(dt_cold, 1),
         "in_loop_ms": round(res.elapsed_ms, 1),
     }
 
