@@ -19,16 +19,30 @@ from jax import lax
 NEG_INF = -jnp.inf
 
 
+def _score_dot(Wq, Hblk):
+    """Scoring GEMM with f32 accumulation at the TABLE's dtype: a bf16
+    item table (`Recommender(table_dtype="bfloat16")`) halves both the
+    per-chip table footprint and the scan's HBM read traffic — the exact
+    path's bandwidth bill — while the f32 accumulation keeps top-k
+    ordering stable (only the ~0.4% per-operand storage rounding
+    remains)."""
+    return lax.dot_general(
+        Wq.astype(Hblk.dtype), Hblk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_mips(Wq, H, k, exclude_mask=None):
     """Exact top-k inner products for a batch of query embeddings.
 
-    Wq: (b, r) query (user) embeddings; H: (r, m) item table.
-    exclude_mask: optional (b, m) bool — True entries (e.g. training
-    interactions) are excluded from the candidates.
-    Returns (scores (b, k), indices (b, k)).
+    Wq: (b, r) query (user) embeddings; H: (r, m) item table (f32 or
+    bf16 — see _score_dot). exclude_mask: optional (b, m) bool — True
+    entries (e.g. training interactions) are excluded from the
+    candidates. Returns (scores (b, k), indices (b, k)).
     """
-    scores = Wq @ H                                  # (b, m) — MXU
+    scores = _score_dot(Wq, H)                       # (b, m) — MXU
     if exclude_mask is not None:
         scores = jnp.where(exclude_mask, NEG_INF, scores)
     return lax.top_k(scores, k)
@@ -100,7 +114,7 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
     def body(blk_idx, carry):
         best_s, best_i = carry           # (b, k) running top-k
         Hblk = lax.dynamic_slice_in_dim(Hp, blk_idx * block, block, axis=1)
-        s = Wq @ Hblk                    # (b, block)
+        s = _score_dot(Wq, Hblk)         # (b, block) f32
         base = blk_idx * block
         ids = (base + col_ids).astype(jnp.int32)
         valid = ids[None, :] < m
@@ -136,7 +150,7 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
         return (top_s, top_i)
 
     init = (
-        jnp.full((b, k), NEG_INF, Wq.dtype),
+        jnp.full((b, k), NEG_INF, jnp.float32),
         jnp.zeros((b, k), jnp.int32),
     )
     scores, idx = lax.fori_loop(0, nblocks, body, init)

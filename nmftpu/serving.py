@@ -22,21 +22,30 @@ class Recommender:
     """Top-k recommendation serving over factor embedding tables."""
 
     def __init__(self, W, H, train: SparseMatrix | None = None,
-                 mesh=None, block: int = 8192, method: str = "approx"):
+                 mesh=None, block: int = 8192, method: str = "approx",
+                 table_dtype: str = "float32"):
         import jax
+        import jax.numpy as jnp
 
-        self.W = np.asarray(W)
+        if table_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"table_dtype must be float32|bfloat16, got {table_dtype!r}"
+            )
+        self.W = np.asarray(W)  # queries stay f32 (row-gathered, small)
         self.mesh = mesh
         self.block = block
         self.method = method  # "approx": TPU approx_max_k serving path
+        self.table_dtype = table_dtype
+        # the ITEM table is the scanned operand: bf16 halves its per-chip
+        # footprint (2x more items per chip at the 10M scale) and the
+        # exact path's HBM read traffic; scores accumulate f32 either way
+        H_dev = jnp.asarray(np.asarray(H), dtype=jnp.dtype(table_dtype))
         if mesh is not None:
             from nmftpu.parallel import factor_shardings
 
-            self.H = jax.device_put(
-                np.asarray(H), factor_shardings(mesh)["H"]
-            )
+            self.H = jax.device_put(H_dev, factor_shardings(mesh)["H"])
         else:
-            self.H = jax.device_put(np.asarray(H))
+            self.H = jax.device_put(H_dev)
         self._train_csr = train.to_csr() if train is not None else None
 
     @property
@@ -96,7 +105,7 @@ class Recommender:
 
     def score(self, user_id: int, item_ids) -> np.ndarray:
         """Predicted affinities for specific (user, items) pairs."""
-        H = np.asarray(self.H)
+        H = np.asarray(self.H).astype(np.float32)
         return self.W[user_id] @ H[:, np.asarray(item_ids)]
 
     # -- persistence ------------------------------------------------------
@@ -104,9 +113,13 @@ class Recommender:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "W.npy"), self.W)
-        np.save(os.path.join(path, "H.npy"), np.asarray(self.H))
+        # H persists f32 (ml_dtypes .npy files are not portable);
+        # table_dtype is re-applied at load
+        np.save(os.path.join(path, "H.npy"),
+                np.asarray(self.H).astype(np.float32))
         meta = {"n_users": self.n_users, "n_items": self.n_items,
-                "rank": int(self.W.shape[1])}
+                "rank": int(self.W.shape[1]),
+                "table_dtype": self.table_dtype}
         if self._train_csr is not None:
             np.savez(
                 os.path.join(path, "train.npz"),
@@ -122,6 +135,11 @@ class Recommender:
     def load(cls, path: str, mesh=None) -> "Recommender":
         W = np.load(os.path.join(path, "W.npy"))
         H = np.load(os.path.join(path, "H.npy"))
+        meta = {}
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
         train = None
         tr_path = os.path.join(path, "train.npz")
         if os.path.exists(tr_path):
@@ -130,4 +148,5 @@ class Recommender:
                 z["indptr"], z["indices"], z["data"],
                 (W.shape[0], H.shape[1]),
             )
-        return cls(W, H, train=train, mesh=mesh)
+        return cls(W, H, train=train, mesh=mesh,
+                   table_dtype=meta.get("table_dtype", "float32"))

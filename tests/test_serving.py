@@ -90,3 +90,37 @@ def test_cli_end_to_end(tmp_path, rng):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert "frobenius_error" in summary and "recall@3" in summary
     assert (out_dir / "W.npy").exists()
+
+
+def test_bf16_table_dtype(rng, tmp_path):
+    """table_dtype='bfloat16' halves the item-table footprint; scores
+    accumulate f32 so the top-k ordering matches f32 serving up to the
+    ~0.4% storage rounding. Persistence re-applies the dtype at load."""
+    from nmftpu.serving import Recommender
+
+    n, m, r = 60, 500, 8
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    rf = Recommender(W, H, method="exact", block=128)
+    rb = Recommender(W, H, method="exact", block=128,
+                     table_dtype="bfloat16")
+    assert str(rb.H.dtype) == "bfloat16"
+    sf, i_f = rf.recommend([3, 7, 11], k=20, exclude_seen=False)
+    sb, i_b = rb.recommend([3, 7, 11], k=20, exclude_seen=False)
+    assert sb.dtype == np.float32
+    # near-ties may swap under bf16 rounding: require high overlap and
+    # close scores rather than identical order
+    for a, b in zip(i_f, i_b):
+        assert len(np.intersect1d(a, b)) >= 18
+    np.testing.assert_allclose(sb, sf, rtol=1e-2)
+
+    rb.save(str(tmp_path / "rec"))
+    rl = Recommender.load(str(tmp_path / "rec"))
+    assert rl.table_dtype == "bfloat16" and str(rl.H.dtype) == "bfloat16"
+    sl, il = rl.recommend([3, 7, 11], k=20, exclude_seen=False)
+    np.testing.assert_array_equal(il, i_b)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Recommender(W, H, table_dtype="fp8")
