@@ -138,10 +138,10 @@ class NmfConfig:
     # k-means init (SURVEY.md C8, §3.4).
     kmeans_max_iter: int = 25
 
-    # Kernel selection for the DENSE fused-MU path: None/False = XLA jnp
-    # (the measured-fastest path, PERF.md §1); True = opt into the Pallas
-    # fused half-step kernels. Sparse Pallas SpMM is controlled by the
-    # sparse engine choice, not this flag.
+    # Kernel selection: None/False = XLA formulations (the
+    # measured-fastest paths, PERF.md); True = opt into the Pallas
+    # kernels — the dense fused MU half-steps, and on strategy="ell"
+    # the fused ELL SpMM (kernels/sparse_ell_kernel.py).
     use_pallas: bool | None = None
 
     # Verbosity (reference C17): 0 silent; 1 per-run summary lines;
