@@ -158,13 +158,41 @@ def build_dense_update(config: NmfConfig):
         if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
             alpha = config.alpha_confidence
 
-            def make_aux(V):
-                return (jnp.asarray(1.0, V.dtype) + alpha * V,)
+            if config.v_storage in ("bfloat16", "int8"):
+                # low-precision-stored V: the confidence C = 1 + αV is
+                # rebuilt per row panel in registers (never an nm-sized
+                # aux), with the int8 scale applied before weighting
+                from nmftpu import densified as DFW
 
-            def update(V, aux, W, H):
-                return D.mu_update_frobenius_weighted(
-                    V, aux[0], W, H, eps=eps, order=order
-                )
+                if config.v_storage == "int8":
+                    from nmftpu.kernels import quantized as Q
+
+                    def make_aux(V):
+                        return Q.quantize_v(V)
+
+                    def update(V, aux, W, H):
+                        return DFW.mu_update_frobenius_weighted_densified(
+                            aux[0], W, H, alpha, eps=eps, order=order,
+                            scale=aux[1],
+                        )
+                else:
+
+                    def make_aux(V):
+                        return (V.astype(jnp.bfloat16),)
+
+                    def update(V, aux, W, H):
+                        return DFW.mu_update_frobenius_weighted_densified(
+                            aux[0], W, H, alpha, eps=eps, order=order
+                        )
+            else:
+
+                def make_aux(V):
+                    return (jnp.asarray(1.0, V.dtype) + alpha * V,)
+
+                def update(V, aux, W, H):
+                    return D.mu_update_frobenius_weighted(
+                        V, aux[0], W, H, eps=eps, order=order
+                    )
 
         elif (obj is Objective.FROBENIUS and config.v_storage == "int8"
               and not config.use_pallas):

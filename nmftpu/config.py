@@ -114,8 +114,9 @@ class NmfConfig:
     #   int8     — quarter traffic via per-matrix-scale quantization AND,
     #              under Frobenius, the MXU's double-rate int8 path (any
     #              algorithm); under KL (MU/nsNMF) the scale folds into
-    #              the blockwise bf16-GEMM numerators. Dense + densified
-    #              engines; confidence weighting excluded.
+    #              the blockwise bf16-GEMM numerators; under confidence
+    #              weighting C = 1 + α·scale·Vq is rebuilt per panel.
+    #              Dense + densified engines.
     # Factors W/H always stay in `dtype`; error checks read the original V.
     eps: float = 1e-9
     dtype: str = "float32"
@@ -175,12 +176,6 @@ class NmfConfig:
             raise ValueError(
                 f"v_storage must be float32|bfloat16|int8, "
                 f"got {self.v_storage!r}"
-            )
-        if self.v_storage == "int8" and self.alpha_confidence != 0.0:
-            raise ValueError(
-                "v_storage='int8' does not support confidence weighting "
-                "(the per-entry confidence term cannot fold into the "
-                "shared quantization scale)"
             )
         if self.objective is Objective.KL and self.algorithm not in (
             Algorithm.MU,

@@ -371,13 +371,16 @@ def nsnmf_update_densified(Vd, W, H, S, eps=1e-9, order="WH"):
     jax.jit, static_argnames=("alpha", "eps", "order", "block_rows")
 )
 def mu_update_frobenius_weighted_densified(
-    Vd, W, H, alpha, eps=1e-9, order="WH", block_rows=4096
+    Vd, W, H, alpha, eps=1e-9, order="WH", block_rows=4096, scale=None
 ):
     """Confidence-weighted MU (c = 1 + alpha*v) against bf16-dense V,
     blockwise over row panels so C⊙WH never materializes at full size.
     Panels are read via dynamic_slice (no V-sized scan xs — see
     _kl_numer_w_blocked); requires n % block_rows == 0 or falls back to a
-    single panel."""
+    single panel. `scale` (int8-stored V = scale * Vd): the confidence
+    C = 1 + α·scale·Vq is computed per panel in registers — the
+    per-entry weight needs no global fold, so int8 storage composes with
+    weighting exactly."""
     n, m = Vd.shape
     r = W.shape[1]
     if n % block_rows:
@@ -390,6 +393,8 @@ def mu_update_frobenius_weighted_densified(
         V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
         W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
         V32 = V_blk.astype(jnp.float32)
+        if scale is not None:
+            V32 = V32 * scale
         C = 1.0 + alpha * V32
         WH = jax.lax.dot_general(
             W_blk.astype(jnp.bfloat16), H.astype(jnp.bfloat16),

@@ -658,6 +658,13 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
                     return DF.mu_update_kl_densified(
                         V[0], W, H, eps=eps, order=order, scale=V[1]
                     )
+            elif config.alpha_confidence > 0.0:
+                a = config.alpha_confidence
+
+                def update_q(V, aux, W, H):
+                    return DF.mu_update_frobenius_weighted_densified(
+                        V[0], W, H, a, eps=eps, order=order, scale=V[1]
+                    )
             else:
                 def update_q(V, aux, W, H):
                     return D.mu_update_frobenius_int8x8(

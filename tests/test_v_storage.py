@@ -31,9 +31,10 @@ def test_low_precision_storage_converges(rng, storage):
 
 def test_int8_storage_validation():
     with pytest.raises(ValueError):
-        NmfConfig(rank=4, v_storage="int8", alpha_confidence=1.0)
-    with pytest.raises(ValueError):
         NmfConfig(rank=4, v_storage="fp4")
+    # confidence weighting composes with int8 (round 2: C = 1 + α·scale·Vq
+    # rebuilt per panel)
+    NmfConfig(rank=4, v_storage="int8", alpha_confidence=1.0)
     # the whole Frobenius family is int8-eligible (round 2)
     for alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS,
                 Algorithm.GDCLS, Algorithm.NSNMF):
@@ -311,3 +312,53 @@ def test_bf16_family_dense_tracks_f32(rng, lowrank, kw):
     )
     assert np.all(np.asarray(rb.W) >= 0)
     assert np.all(np.asarray(rb.H) >= 0)
+
+
+@pytest.mark.parametrize("storage", ["bfloat16", "int8"])
+def test_weighted_lowp_dense_tracks_f32(rng, storage):
+    """Confidence weighting with low-precision-stored V: C = 1 + alpha*V
+    is rebuilt per row panel (int8 applies its scale before weighting),
+    so no nm-sized C aux exists and the trajectory tracks f32."""
+    import dataclasses
+
+    V = rng.integers(0, 6, (90, 70)).astype(np.float32)
+    W0 = rng.uniform(0.1, 1.0, (90, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 70)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, num_iterations=12, check_interval=4,
+        alpha_confidence=2.0, init_method=Initialization.COPY_EXISTING,
+    )
+    ref = compute(V, cfg, W0=W0, H0=H0)
+    res = compute(V, dataclasses.replace(cfg, v_storage=storage),
+                  W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        res.frobenius_error, ref.frobenius_error, rtol=5e-3
+    )
+    assert np.all(np.asarray(res.W) >= 0)
+
+
+def test_weighted_int8_densified_engine(rng):
+    """int8 densified engine under confidence weighting tracks bf16."""
+    import dataclasses
+
+    from nmftpu import sparse as hs
+    from nmftpu.sparse_ops import compute_sparse
+
+    dense = np.where(
+        rng.random((100, 80)) < 0.3, rng.integers(1, 6, (100, 80)), 0
+    ).astype(np.float32)
+    sp = hs.from_dense(dense)
+    W0 = rng.uniform(0.1, 1.0, (100, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 80)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, num_iterations=10, check_interval=5,
+        alpha_confidence=2.0, init_method=Initialization.COPY_EXISTING,
+    )
+    rb = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="densified")
+    rq = compute_sparse(
+        sp, dataclasses.replace(cfg, v_storage="int8"),
+        W0=W0, H0=H0, strategy="densified",
+    )
+    np.testing.assert_allclose(
+        rq.frobenius_error, rb.frobenius_error, rtol=1e-2
+    )
