@@ -95,7 +95,7 @@ def main():
         lambda it: nmftpu.nmf(csr2, 64, objective="kullback-leibler",
                               num_iterations=it, check_interval=20,
                               seed=0),
-        60, 30,
+        150, 30,
     )
     results["cfg2_ml20m_sparse_kl_rank64"] = {
         "kl_error": res.kl_error, "frobenius_error": res.frobenius_error,
@@ -115,7 +115,7 @@ def main():
         lambda it: nmftpu.nmf(sp3, 128, alpha_confidence=40.0,
                               num_iterations=it, check_interval=20,
                               seed=0),
-        40, 20,
+        100, 20,
     )
     results["cfg3_implicit_weighted_rank128"] = {
         "frobenius_error": res.frobenius_error,
@@ -133,7 +133,7 @@ def main():
         lambda it: compute_sharded(
             sp4, NmfConfig(rank=256, num_iterations=it,
                            check_interval=10), mesh=mesh),
-        30, 15,
+        100, 20,
     )
     results["cfg4_sharded_rank256"] = {
         "mesh": dict(zip(mesh.axis_names,
