@@ -32,7 +32,11 @@ __version__ = "0.1.0"
 
 _LAZY = {
     "compute_sparse": ("nmftpu.sparse_ops", "compute_sparse"),
+    "prepare_sparse": ("nmftpu.sparse_ops", "prepare_sparse"),
+    "SparsePlan": ("nmftpu.sparse_ops", "SparsePlan"),
     "compute_sharded": ("nmftpu.parallel", "compute_sharded"),
+    "prepare_sharded": ("nmftpu.parallel", "prepare_sharded"),
+    "ShardedPlan": ("nmftpu.parallel", "ShardedPlan"),
     "Recommender": ("nmftpu.serving", "Recommender"),
     "recall_at_k": ("nmftpu.retrieval", "recall_at_k"),
 }

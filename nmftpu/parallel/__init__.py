@@ -17,7 +17,11 @@ from nmftpu.parallel.mesh import (
     make_grid_mesh,
 )
 from nmftpu.parallel.sharded_coo import ShardedCOO, partition_sparse
-from nmftpu.parallel.driver import compute_sharded
+from nmftpu.parallel.driver import (
+    ShardedPlan,
+    compute_sharded,
+    prepare_sharded,
+)
 from nmftpu.parallel.retrieval_sharded import topk_mips_sharded
 from nmftpu.parallel import ring
 
@@ -25,7 +29,9 @@ __all__ = [
     "AXIS_ITEMS",
     "AXIS_USERS",
     "ShardedCOO",
+    "ShardedPlan",
     "compute_sharded",
+    "prepare_sharded",
     "factor_shardings",
     "make_grid_mesh",
     "partition_sparse",

@@ -224,33 +224,191 @@ def _sharded_init(
     return init_fn
 
 
-def compute_sharded(
+class ShardedPlan:
+    """Partitioned, device-resident operand reusable across runs.
+
+    `prepare_sharded` pays the host-side cost ONCE (load balancing,
+    tile/bucket building, device placement — seconds at 10M+ nnz);
+    `.run()` then executes the factorization loop. Compiled runners are
+    cached per config, so sweeps over rank-independent loop knobs
+    (iterations, threshold, seeds, runs) reuse both the partition and,
+    where the config matches, the compiled program.
+
+    The partition is built with the dtype, seed (balancing permutation)
+    and engine fixed at prepare time; `.run(config)` may vary any loop-
+    level or algorithm-level knob but must keep `dtype` (validated).
+    """
+
+    def __init__(self, *, V, config, mesh, shardings, engine, operand,
+                 row_perm, col_perm, padded_shape, mean_v, dtype,
+                 row_axis, col_axis, chunk, balance, partition_key,
+                 init_scoo=None):
+        self.V = V
+        self.config = config
+        self.mesh = mesh
+        self.shardings = shardings
+        self.engine = engine
+        self.operand = operand
+        self.row_perm = row_perm
+        self.col_perm = col_perm
+        self.padded_shape = padded_shape
+        self.mean_v = mean_v
+        self.dtype = dtype
+        self.row_axis = row_axis
+        self.col_axis = col_axis
+        self.chunk = chunk
+        self.balance = balance
+        self.shape = V.shape
+        self._pkey = partition_key
+        self._init_scoo = init_scoo
+
+    def _ops(self, config: NmfConfig) -> LoopOps:
+        if self.engine == "ring":
+            from nmftpu.parallel import ring as RING
+
+            make_aux, update, eff_h = RING.build_ring_update(
+                config, self.mesh, self.operand
+            )
+            fro, kl = RING.build_ring_errors(self.mesh, self.operand)
+            return LoopOps(
+                make_aux=make_aux,
+                update=update,
+                effective_h=eff_h,
+                frobenius=lambda s, aux, W, He, svsq: fro(s, W, He, svsq),
+                kl=lambda s, aux, W, He: kl(s, W, He),
+                sum_v_sq=lambda s: jnp.sum(s.values * s.values),
+                numel=lambda s: s.shape[0] * s.shape[1],
+            )
+        if self.engine == "ell":
+            from nmftpu.parallel import sharded_ell as SEL
+
+            make_aux, update, eff_h = SEL.build_sharded_ell_update(
+                config, self.mesh, self.operand
+            )
+            fro, kl = SEL.build_sharded_ell_errors(self.mesh, self.operand)
+            return LoopOps(
+                make_aux=make_aux,
+                update=update,
+                effective_h=eff_h,
+                frobenius=lambda s, aux, W, He, svsq: fro(s, W, He, svsq),
+                kl=lambda s, aux, W, He: kl(s, W, He),
+                sum_v_sq=lambda s: sum(
+                    jnp.sum(v * v) for v in s.r_vals
+                ),
+                numel=lambda s: s.shape[0] * s.shape[1],
+            )
+        return _sharded_ops(config, self.mesh, self.operand)
+
+    def _data_dep_scoo(self, config: NmfConfig):
+        """Tiled COO for mesh-native data-dependent inits (lazy for the
+        ELL engine, where it is an extra one-time partition)."""
+        if self._init_scoo is not None:
+            return self._init_scoo
+        if self.engine in ("scatter", "ring"):
+            self._init_scoo = self.operand
+            return self._init_scoo
+        # ELL: same seed => identical perms/blocking as the ELL partition;
+        # the COO copy exists only for the one-time mesh-native init.
+        init_scoo, rp2, cp2 = partition_sparse(
+            self.V, tuple(self.mesh.devices.shape), dtype=self.dtype,
+            chunk=self.chunk, balance=self.balance,
+            seed=self.config.seed, out_shardings=self.shardings["tile"],
+        )
+        assert np.array_equal(rp2, self.row_perm) and np.array_equal(
+            cp2, self.col_perm
+        )
+        self._init_scoo = init_scoo
+        return init_scoo
+
+    def run(
+        self,
+        config: NmfConfig | None = None,
+        W0=None,
+        H0=None,
+        callback: Callable[[Any, Any, Any, Any], None] | None = None,
+        interrupt: Callable[[], bool] | None = None,
+        unpermute: bool = True,
+    ) -> NmfResult:
+        """Execute the factorization loop on the prepared partition.
+
+        unpermute=False skips the final device→host fetch + un-permute of
+        the full factors: W/H come back sharded, PADDED and in partition
+        order, with `row_perm`/`col_perm` attached for callers that keep
+        factors on-device (sharded retrieval, checkpointing, benchmarks).
+        """
+        if config is None:
+            config = self.config
+        n, m = self.shape
+        if config.rank > min(n, m):
+            raise ValueError(
+                f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
+            )
+        if jnp.dtype(config.dtype) != self.dtype:
+            raise ValueError(
+                f"config.dtype {config.dtype} differs from the plan's "
+                f"partition dtype {self.dtype}; re-run prepare_sharded"
+            )
+        # Note: the balancing permutation was drawn from the PREPARE-time
+        # seed; a run-time config.seed feeds only the init/run RNG.
+
+        cache_key = (config,) + self._pkey
+        if callback is not None or interrupt is not None:
+            runner = build_runner(config, self._ops(config), callback,
+                                  interrupt)
+        else:
+            runner = _RUNNER_CACHE.get(cache_key)
+            if runner is None:
+                runner = build_runner(config, self._ops(config), None)
+                _RUNNER_CACHE[cache_key] = runner
+
+        data_dep = config.init_method in (
+            Initialization.MEAN_COLUMNS,
+            Initialization.K_MEANS_AND_RANDOM_VALUES,
+            Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+            Initialization.K_MEANS_AND_ABSOLUTE_WTV,
+        )
+        init_scoo = self._data_dep_scoo(config) if data_dep else None
+
+        init_fn = _sharded_init(
+            self.V, config, self.shardings, self.row_perm, self.col_perm,
+            W0, H0, (n, m), self.padded_shape, self.mean_v, self.dtype,
+            mesh=self.mesh, row_axis=self.row_axis,
+            col_axis=self.col_axis, init_scoo=init_scoo,
+        )
+
+        result = execute(self.operand, config, runner, init_fn,
+                         numel=n * m)
+
+        if jax.process_count() > 1 or not unpermute:
+            # Multi-host (or unpermute=False): the factors stay
+            # distributed (permuted + padded); callers slice/unpermute
+            # with the index maps.
+            result.row_perm = self.row_perm
+            result.col_perm = self.col_perm
+            return result
+
+        # Un-permute and crop padded factors back to user coordinates.
+        W_full = np.asarray(result.W)
+        H_full = np.asarray(result.H)
+        result.W = jnp.asarray(W_full[self.row_perm])   # (n, r)
+        result.H = jnp.asarray(H_full[:, self.col_perm])  # (r, m)
+        return result
+
+
+def prepare_sharded(
     V: host_sparse.SparseMatrix,
     config: NmfConfig,
     mesh=None,
     mesh_shape: tuple[int, int] | None = None,
-    W0=None,
-    H0=None,
     balance: bool = True,
     chunk: int = 8192,
     engine: str = "auto",
-    callback: Callable[[Any, Any, Any, Any], None] | None = None,
-    interrupt: Callable[[], bool] | None = None,
-) -> NmfResult:
-    """Factorize sparse V over a 2-D ('users','items') device mesh.
-
-    The full update/convergence loop runs under jit with one shard_map
-    region per iteration; see nmftpu.parallel.updates for the collective
-    pattern. Returns factors in the ORIGINAL row/column order, cropped to
-    the true shape.
-
-    engine: per-tile sparse engine — "ell" (gather-only bucketed segments,
-    MU family, ~3x faster per tile), "scatter" (chunked COO, all
-    algorithms), "ring" (1-D ring topology: H blocks rotate via ppermute —
-    SURVEY.md §5.7's long-item-axis answer; uses the mesh's devices as a
-    ring regardless of its 2-D shape), or "auto" (ell for MU, else
-    scatter).
-    """
+) -> ShardedPlan:
+    """Partition sparse V over the mesh once, returning a reusable
+    :class:`ShardedPlan`. Use when factorizing the same matrix repeatedly
+    (hyperparameter sweeps, warm restarts, benchmarking): the host-side
+    balance/tile/bucket build and device placement — the expensive part
+    at 10M+ nonzeros — happens here, not per run."""
     from nmftpu.config import Algorithm
 
     if mesh is None:
@@ -279,126 +437,87 @@ def compute_sharded(
         shardings = RING.ring_shardings(mesh)
         row_axis = col_axis = RING.AXIS_RING
         p = mesh.devices.size
-        scoo, row_perm, col_perm = RING.partition_for_ring(
+        operand, row_perm, col_perm = RING.partition_for_ring(
             V, p, dtype=dtype, chunk=chunk, balance=balance,
             seed=config.seed, out_shardings=shardings["tiles"],
         )
-        make_aux, update, eff_h = RING.build_ring_update(
-            config, mesh, scoo
-        )
-        fro, kl = RING.build_ring_errors(mesh, scoo)
-        ops = LoopOps(
-            make_aux=make_aux,
-            update=update,
-            effective_h=eff_h,
-            frobenius=lambda s, aux, W, He, svsq: fro(s, W, He, svsq),
-            kl=lambda s, aux, W, He: kl(s, W, He),
-            sum_v_sq=lambda s: jnp.sum(s.values * s.values),
-            numel=lambda s: s.shape[0] * s.shape[1],
-        )
-        operand = scoo
-        padded_shape = scoo.padded_shape
-        mean_v = float(jnp.sum(scoo.values)) / (float(n) * float(m))
-        cache_key = (
-            config, scoo.shape, scoo.values.shape, "ring", str(dtype),
+        padded_shape = operand.padded_shape
+        mean_v = float(jnp.sum(operand.values)) / (float(n) * float(m))
+        partition_key = (
+            operand.shape, operand.values.shape, "ring", str(dtype),
             tuple(mesh.devices.flat), mesh.axis_names,
         )
     elif engine == "ell":
         from nmftpu.parallel import sharded_ell as SEL
 
-        sell, row_perm, col_perm = SEL.partition_sparse_ell(
+        operand, row_perm, col_perm = SEL.partition_sparse_ell(
             V, tuple(mesh.devices.shape), dtype=dtype,
             balance=balance, seed=config.seed, mesh=mesh,
         )
-        make_aux, update, eff_h = SEL.build_sharded_ell_update(
-            config, mesh, sell
-        )
-        fro, kl = SEL.build_sharded_ell_errors(mesh, sell)
-        ops = LoopOps(
-            make_aux=make_aux,
-            update=update,
-            effective_h=eff_h,
-            frobenius=lambda s, aux, W, He, svsq: fro(s, W, He, svsq),
-            kl=lambda s, aux, W, He: kl(s, W, He),
-            sum_v_sq=lambda s: sum(
-                jnp.sum(v * v) for v in s.r_vals
-            ),
-            numel=lambda s: s.shape[0] * s.shape[1],
-        )
-        operand = sell
-        padded_shape = sell.padded_shape
-        mean_v = float(sum(float(jnp.sum(v)) for v in sell.r_vals)) / (
-            float(n) * float(m)
-        )
-        cache_key = (
-            config, sell.shape, "ell",
-            tuple(a.shape for a in sell.r_vals), str(dtype),
+        padded_shape = operand.padded_shape
+        mean_v = float(
+            sum(float(jnp.sum(v)) for v in operand.r_vals)
+        ) / (float(n) * float(m))
+        partition_key = (
+            operand.shape, "ell",
+            tuple(a.shape for a in operand.r_vals), str(dtype),
             tuple(mesh.devices.flat), mesh.axis_names,
         )
     else:
-        scoo, row_perm, col_perm = partition_sparse(
+        operand, row_perm, col_perm = partition_sparse(
             V, tuple(mesh.devices.shape), dtype=dtype, chunk=chunk,
             balance=balance, seed=config.seed,
             out_shardings=shardings["tile"],
         )
-        ops = _sharded_ops(config, mesh, scoo)
-        operand = scoo
-        padded_shape = scoo.padded_shape
-        mean_v = float(jnp.sum(scoo.values)) / (float(n) * float(m))
-        cache_key = (
-            config, scoo.shape, scoo.values.shape, str(dtype),
+        padded_shape = operand.padded_shape
+        mean_v = float(jnp.sum(operand.values)) / (float(n) * float(m))
+        partition_key = (
+            operand.shape, operand.values.shape, str(dtype),
             tuple(mesh.devices.flat), mesh.axis_names,
         )
 
-    if callback is not None or interrupt is not None:
-        runner = build_runner(config, ops, callback, interrupt)
-    else:
-        runner = _RUNNER_CACHE.get(cache_key)
-        if runner is None:
-            runner = build_runner(config, ops, None)
-            _RUNNER_CACHE[cache_key] = runner
-
-    data_dep = config.init_method in (
-        Initialization.MEAN_COLUMNS,
-        Initialization.K_MEANS_AND_RANDOM_VALUES,
-        Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
-        Initialization.K_MEANS_AND_ABSOLUTE_WTV,
-    )
-    init_scoo = None
-    if data_dep and engine in ("scatter", "ring"):
-        # the ring ShardedCOO is already the (p, p)-tiled layout the
-        # ring-native init consumes
-        init_scoo = scoo
-    elif data_dep and engine == "ell":
-        # same seed => identical perms/blocking as the ELL partition; the
-        # COO copy exists only for the one-time mesh-native init
-        init_scoo, rp2, cp2 = partition_sparse(
-            V, tuple(mesh.devices.shape), dtype=dtype, chunk=chunk,
-            balance=balance, seed=config.seed,
-            out_shardings=shardings["tile"],
-        )
-        assert np.array_equal(rp2, row_perm) and np.array_equal(
-            cp2, col_perm
-        )
-
-    init_fn = _sharded_init(
-        V, config, shardings, row_perm, col_perm, W0, H0,
-        (n, m), padded_shape, mean_v, dtype, mesh=mesh,
-        row_axis=row_axis, col_axis=col_axis, init_scoo=init_scoo,
+    return ShardedPlan(
+        V=V, config=config, mesh=mesh, shardings=shardings, engine=engine,
+        operand=operand, row_perm=row_perm, col_perm=col_perm,
+        padded_shape=padded_shape, mean_v=mean_v, dtype=dtype,
+        row_axis=row_axis, col_axis=col_axis, chunk=chunk,
+        balance=balance, partition_key=partition_key,
     )
 
-    result = execute(operand, config, runner, init_fn, numel=n * m)
 
-    if jax.process_count() > 1:
-        # Multi-host: the factors stay distributed (permuted + padded);
-        # callers slice/unpermute with the attached index maps.
-        result.row_perm = row_perm
-        result.col_perm = col_perm
-        return result
+def compute_sharded(
+    V: host_sparse.SparseMatrix,
+    config: NmfConfig,
+    mesh=None,
+    mesh_shape: tuple[int, int] | None = None,
+    W0=None,
+    H0=None,
+    balance: bool = True,
+    chunk: int = 8192,
+    engine: str = "auto",
+    callback: Callable[[Any, Any, Any, Any], None] | None = None,
+    interrupt: Callable[[], bool] | None = None,
+) -> NmfResult:
+    """Factorize sparse V over a 2-D ('users','items') device mesh.
 
-    # Un-permute and crop the padded factors back to user coordinates.
-    W_full = np.asarray(result.W)
-    H_full = np.asarray(result.H)
-    result.W = jnp.asarray(W_full[row_perm])        # (n, r), original order
-    result.H = jnp.asarray(H_full[:, col_perm])     # (r, m)
-    return result
+    The full update/convergence loop runs under jit with one shard_map
+    region per iteration; see nmftpu.parallel.updates for the collective
+    pattern. Returns factors in the ORIGINAL row/column order, cropped to
+    the true shape.
+
+    engine: per-tile sparse engine — "ell" (gather-only bucketed segments,
+    MU family, ~3x faster per tile), "scatter" (chunked COO, all
+    algorithms), "ring" (1-D ring topology: H blocks rotate via ppermute —
+    SURVEY.md §5.7's long-item-axis answer; uses the mesh's devices as a
+    ring regardless of its 2-D shape), or "auto" (ell for MU, else
+    scatter).
+
+    Repeated factorizations of the same matrix should use
+    :func:`prepare_sharded` once and call ``plan.run(...)`` per sweep
+    point — this function re-partitions V on every call.
+    """
+    plan = prepare_sharded(
+        V, config, mesh=mesh, mesh_shape=mesh_shape, balance=balance,
+        chunk=chunk, engine=engine,
+    )
+    return plan.run(W0=W0, H0=H0, callback=callback, interrupt=interrupt)

@@ -893,6 +893,157 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
     )
 
 
+def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
+                      m: int) -> str:
+    if strategy == "auto":
+        v_bytes = 1 if config.v_storage == "int8" else 2
+        if (
+            _densified_supported(config)
+            and v_bytes * n * m <= DENSIFY_BUDGET_BYTES
+        ):
+            return "densified"
+        if not isinstance(V, DeviceCOO):
+            # beyond the densify budget: gather-only ELL beats the
+            # scatter path ~3x (PERF.md)
+            return "ell"
+        return "scatter"
+    return strategy
+
+
+class SparsePlan:
+    """Device-resident sparse operand reusable across runs.
+
+    `prepare_sparse` pays the one-time layout cost ONCE (ELL bucket
+    build, densify scatter — seconds at ML-20M scale); `.run()` executes
+    the factorization loop, with compiled runners cached per config. Use
+    for hyperparameter sweeps / repeated factorizations of one matrix.
+    """
+
+    def __init__(self, *, coo, operand, strategy, dtype, config, n_pad):
+        self.coo = coo
+        self.operand = operand
+        self.strategy = strategy
+        self.dtype = dtype
+        self.config = config
+        self.n_pad = n_pad
+        self.shape = coo.shape
+
+    def _bundle(self, config: NmfConfig) -> LoopOps:
+        if self.strategy == "ell":
+            return _ell_ops_bundle(config)
+        if self.strategy == "densified":
+            return _densified_ops_bundle(config, self.coo)
+        return _sparse_ops_bundle(config)
+
+    def run(
+        self,
+        config: NmfConfig | None = None,
+        W0=None,
+        H0=None,
+        callback: Callable[[Any, Any, Any, Any], None] | None = None,
+        interrupt: Callable[[], bool] | None = None,
+    ) -> NmfResult:
+        """Execute the factorization loop on the prepared layout."""
+        if config is None:
+            config = self.config
+        n, m = self.shape
+        if config.rank > min(n, m):
+            raise ValueError(
+                f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
+            )
+        if jnp.dtype(config.dtype) != self.dtype:
+            raise ValueError(
+                f"config.dtype {config.dtype} differs from the plan's "
+                f"layout dtype {self.dtype}; re-run prepare_sparse"
+            )
+        if self.strategy == "densified" and (
+            (config.v_storage == "int8")
+            != (self.config.v_storage == "int8")
+        ):
+            raise ValueError(
+                "config.v_storage changes the densified layout "
+                f"({self.config.v_storage!r} at prepare time vs "
+                f"{config.v_storage!r}); re-run prepare_sparse"
+            )
+
+        cache_key = (config, self.shape, self.strategy, str(self.dtype))
+        if callback is not None or interrupt is not None:
+            runner = build_runner(config, self._bundle(config), callback,
+                                  interrupt)
+        else:
+            runner = _RUNNER_CACHE.get(cache_key)
+            if runner is None:
+                runner = build_runner(config, self._bundle(config), None)
+                _RUNNER_CACHE[cache_key] = runner
+
+        coo, n_pad = self.coo, self.n_pad
+
+        def init_fn(key):
+            W, H = sparse_initialize_factors(
+                coo, config.rank, config.init_method, key,
+                W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
+            )
+            if n_pad != n:  # zero rows are absorbing under every rule
+                W = jnp.pad(W, ((0, n_pad - n), (0, 0)))
+            return W, H
+
+        result = execute(self.operand, config, runner, init_fn,
+                         numel=n * m)
+        if n_pad != n:
+            result.W = result.W[:n]
+        return result
+
+
+def prepare_sparse(
+    V: host_sparse.SparseMatrix | DeviceCOO,
+    config: NmfConfig,
+    strategy: str = "auto",
+) -> SparsePlan:
+    """Build the device layout for sparse V once, returning a reusable
+    :class:`SparsePlan`. Strategy resolution and layouts match
+    :func:`compute_sparse` (which is now a prepare+run one-shot)."""
+    dtype = jnp.dtype(config.dtype)
+    coo = V if isinstance(V, DeviceCOO) else device_put_sparse(
+        V, dtype=dtype
+    )
+    n, m = coo.shape
+    if config.rank > min(n, m):
+        raise ValueError(
+            f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
+        )
+    strategy = _resolve_strategy(V, config, strategy, n, m)
+    if strategy not in ("ell", "densified", "scatter"):
+        raise ValueError(
+            f"strategy must be 'auto', 'ell', 'densified' or 'scatter', "
+            f"got {strategy!r}"
+        )
+
+    n_pad = n
+    if strategy == "ell":
+        if isinstance(V, DeviceCOO):
+            raise ValueError("ell strategy needs a host sparse container")
+        from nmftpu import sparse_ell as SE
+
+        operand = SE.build_ell_pair(V, dtype=dtype)
+    elif strategy == "densified":
+        from nmftpu import densified as DF
+
+        # rows padded to the blocked-update panel size: downstream pads
+        # become no-ops instead of full-matrix copies (OOM at ML-20M
+        # scale)
+        if config.v_storage == "int8":
+            operand = DF.densify_quantized(coo, row_multiple=4096)
+            n_pad = operand[0].shape[0]
+        else:
+            operand = DF.densify(coo, row_multiple=4096)
+            n_pad = operand.shape[0]
+    else:
+        operand = coo
+
+    return SparsePlan(coo=coo, operand=operand, strategy=strategy,
+                      dtype=dtype, config=config, n_pad=n_pad)
+
+
 def compute_sparse(
     V: host_sparse.SparseMatrix | DeviceCOO,
     config: NmfConfig,
@@ -921,112 +1072,10 @@ def compute_sparse(
                     libtpu, see PERF.md);
       "auto"      — densified when supported and within
                     DENSIFY_BUDGET_BYTES, else scatter.
+
+    Repeated factorizations of the same matrix should use
+    :func:`prepare_sparse` once and call ``plan.run(...)`` per sweep
+    point — this function rebuilds the device layout on every call.
     """
-    dtype = jnp.dtype(config.dtype)
-    if isinstance(V, DeviceCOO):
-        coo = V
-    else:
-        coo = device_put_sparse(V, dtype=dtype)
-    n, m = coo.shape
-    if config.rank > min(n, m):
-        raise ValueError(
-            f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
-        )
-
-    if strategy == "auto":
-        v_bytes = 1 if config.v_storage == "int8" else 2
-        if (
-            _densified_supported(config)
-            and v_bytes * n * m <= DENSIFY_BUDGET_BYTES
-        ):
-            strategy = "densified"
-        elif not isinstance(V, DeviceCOO):
-            # beyond the densify budget: gather-only ELL beats the scatter
-            # path ~3x (PERF.md)
-            strategy = "ell"
-        else:
-            strategy = "scatter"
-
-
-    if strategy == "ell":
-        if isinstance(V, DeviceCOO):
-            raise ValueError("ell strategy needs a host sparse container")
-        from nmftpu import sparse_ell as SE
-
-        pair = SE.build_ell_pair(V, dtype=dtype)
-        cache_key = (config, coo.shape, "ell", str(dtype))
-        if callback is not None or interrupt is not None:
-            runner = build_runner(config, _ell_ops_bundle(config), callback,
-                                  interrupt)
-        else:
-            runner = _RUNNER_CACHE.get(cache_key)
-            if runner is None:
-                runner = build_runner(config, _ell_ops_bundle(config), None)
-                _RUNNER_CACHE[cache_key] = runner
-
-        def init_fn(key):
-            return sparse_initialize_factors(
-                coo, config.rank, config.init_method, key,
-                W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
-            )
-
-        return execute(pair, config, runner, init_fn, numel=n * m)
-
-    if strategy == "densified":
-        from nmftpu import densified as DF
-
-        # rows padded to the blocked-update panel size: downstream pads
-        # become no-ops instead of full-matrix copies (OOM at ML-20M scale)
-        if config.v_storage == "int8":
-            Vd = DF.densify_quantized(coo, row_multiple=4096)
-            n_pad = Vd[0].shape[0]
-        else:
-            Vd = DF.densify(coo, row_multiple=4096)
-            n_pad = Vd.shape[0]
-        cache_key = (
-            config, coo.shape, "densified", str(dtype),
-        )
-        if callback is not None or interrupt is not None:
-            runner = build_runner(
-                config, _densified_ops_bundle(config, coo), callback,
-                interrupt,
-            )
-        else:
-            runner = _RUNNER_CACHE.get(cache_key)
-            if runner is None:
-                runner = build_runner(
-                    config, _densified_ops_bundle(config, coo), None
-                )
-                _RUNNER_CACHE[cache_key] = runner
-
-        def init_fn(key):
-            W, H = sparse_initialize_factors(
-                coo, config.rank, config.init_method, key,
-                W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
-            )
-            if n_pad != n:  # zero rows are absorbing under every rule
-                W = jnp.pad(W, ((0, n_pad - n), (0, 0)))
-            return W, H
-
-        result = execute(Vd, config, runner, init_fn, numel=n * m)
-        if n_pad != n:
-            result.W = result.W[:n]
-        return result
-
-    cache_key = (config, coo.shape, coo.values.shape[0], str(dtype))
-    if callback is not None or interrupt is not None:
-        runner = build_runner(config, _sparse_ops_bundle(config), callback,
-                              interrupt)
-    else:
-        runner = _RUNNER_CACHE.get(cache_key)
-        if runner is None:
-            runner = build_runner(config, _sparse_ops_bundle(config), None)
-            _RUNNER_CACHE[cache_key] = runner
-
-    def init_fn(key):
-        return sparse_initialize_factors(
-            coo, config.rank, config.init_method, key,
-            W0=W0, H0=H0, kmeans_max_iter=config.kmeans_max_iter,
-        )
-
-    return execute(coo, config, runner, init_fn, numel=n * m)
+    plan = prepare_sparse(V, config, strategy=strategy)
+    return plan.run(W0=W0, H0=H0, callback=callback, interrupt=interrupt)

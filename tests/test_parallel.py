@@ -327,3 +327,92 @@ def test_dense_mesh_int8_storage(rng, mesh, alg):
         vnorm = float(np.linalg.norm(V))
         assert rm.frobenius_error <= rs.frobenius_error + 0.015 * vnorm
     assert np.all(np.asarray(rm.W) >= 0)
+
+
+def test_prepare_sharded_plan_reuse(rng, mesh):
+    """prepare_sharded pays the partition once; plan.run() is bit-equal to
+    a fresh compute_sharded for the same config, and loop-knob sweeps
+    (iterations) reuse the partition without re-building it."""
+    import dataclasses
+
+    from nmftpu.parallel import prepare_sharded
+
+    _, sp = _spmat(rng, 30, 32)
+    cfg = NmfConfig(rank=3, num_iterations=10, seed=9)
+    plan = prepare_sharded(sp, cfg, mesh=mesh, chunk=256)
+    r1 = plan.run()
+    r2 = compute_sharded(sp, cfg, mesh=mesh, chunk=256)
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+
+    operand_before = plan.operand
+    r3 = plan.run(dataclasses.replace(cfg, num_iterations=20))
+    assert r3.num_iterations == 20
+    assert plan.operand is operand_before  # no re-partition
+    assert r3.frobenius_error <= r1.frobenius_error + 1e-6
+
+    with pytest.raises(ValueError, match="dtype"):
+        plan.run(dataclasses.replace(cfg, dtype="bfloat16"))
+    with pytest.raises(ValueError, match="rank"):
+        plan.run(dataclasses.replace(cfg, rank=64))
+
+
+def test_prepare_sharded_plan_warm_start_and_engines(rng, mesh):
+    """COPY_EXISTING warm starts flow through plan.run, and the scatter /
+    ring partitions behave the same way as the default ELL one."""
+    import dataclasses
+
+    from nmftpu.parallel import prepare_sharded
+
+    dense, sp = _spmat(rng, 24, 28)
+    W0 = rng.uniform(0.1, 1.0, (24, 3)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (3, 28)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=3, init_method=Initialization.COPY_EXISTING,
+        num_iterations=8, check_interval=4,
+    )
+    for engine in ("scatter", "ring"):
+        plan = prepare_sharded(sp, cfg, mesh=mesh, chunk=256,
+                               engine=engine)
+        rp = plan.run(W0=W0, H0=H0)
+        rc = compute_sharded(sp, cfg, mesh=mesh, chunk=256,
+                             engine=engine, W0=W0, H0=H0)
+        np.testing.assert_array_equal(np.asarray(rp.W), np.asarray(rc.W))
+
+
+def test_prepare_sharded_plan_data_dependent_init(rng, mesh):
+    """Data-dependent init on an ELL plan builds its COO companion
+    lazily, once, and reuses it on subsequent runs."""
+    _, sp = _spmat(rng, 40, 40)
+    from nmftpu.parallel import prepare_sharded
+
+    cfg = NmfConfig(
+        rank=4, init_method=Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        num_iterations=4, kmeans_max_iter=2,
+    )
+    plan = prepare_sharded(sp, cfg, mesh=mesh, chunk=256, engine="ell")
+    assert plan._init_scoo is None
+    r1 = plan.run()
+    scoo = plan._init_scoo
+    assert scoo is not None
+    r2 = plan.run()
+    assert plan._init_scoo is scoo
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+
+
+def test_plan_run_unpermute_false(rng, mesh):
+    """unpermute=False keeps factors padded + partition-ordered on device;
+    applying the attached perms reproduces the default output."""
+    from nmftpu.parallel import prepare_sharded
+
+    _, sp = _spmat(rng, 30, 32)
+    cfg = NmfConfig(rank=3, num_iterations=6, seed=2)
+    plan = prepare_sharded(sp, cfg, mesh=mesh, chunk=256)
+    rp = plan.run(unpermute=False)
+    rd = plan.run()
+    assert rp.W.shape[0] >= 30 and rp.H.shape[1] >= 32
+    np.testing.assert_array_equal(
+        np.asarray(rp.W)[rp.row_perm], np.asarray(rd.W)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rp.H)[:, rp.col_perm], np.asarray(rd.H)
+    )

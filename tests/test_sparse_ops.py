@@ -208,3 +208,63 @@ def test_nmf_api_dispatches_sparse(rng):
     sp = hs.from_dense(dense)
     res = nmftpu.nmf(sp, 3, num_iterations=15)
     assert res.W.shape == (20, 3)
+
+
+@pytest.mark.parametrize("strategy", ["scatter", "densified", "ell"])
+def test_prepare_sparse_plan_matches_oneshot(rng, strategy):
+    """prepare_sparse + plan.run == compute_sparse bit-for-bit, and a
+    loop-knob sweep reuses the prepared layout."""
+    import dataclasses
+
+    from nmftpu.sparse_ops import prepare_sparse
+
+    dense = rng.uniform(0.2, 2.0, (30, 26))
+    dense[rng.uniform(size=(30, 26)) > 0.4] = 0.0
+    dense[:, 0] = 1.0
+    dense[0, :] = 1.0
+    sp = hs.from_dense(dense.astype(np.float32))
+    cfg = NmfConfig(rank=3, num_iterations=8, seed=5)
+    plan = prepare_sparse(sp, cfg, strategy=strategy)
+    r1 = plan.run()
+    r2 = compute_sparse(sp, cfg, strategy=strategy)
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    np.testing.assert_array_equal(np.asarray(r1.H), np.asarray(r2.H))
+
+    operand_before = plan.operand
+    r3 = plan.run(dataclasses.replace(cfg, num_iterations=16))
+    assert r3.num_iterations == 16
+    assert plan.operand is operand_before  # no layout rebuild
+    assert r3.frobenius_error <= r1.frobenius_error + 1e-6
+
+    with pytest.raises(ValueError, match="dtype"):
+        plan.run(dataclasses.replace(cfg, dtype="bfloat16"))
+
+
+def test_prepare_sparse_densified_v_storage_guard(rng):
+    """Switching int8 v_storage after a bf16 densify (or vice versa) must
+    be rejected — the layouts differ."""
+    import dataclasses
+
+    from nmftpu.sparse_ops import prepare_sparse
+
+    dense, _ = _sprandom(rng, 24, 20)
+    sp = hs.from_dense(dense)
+    cfg = NmfConfig(rank=3, num_iterations=4)
+    plan = prepare_sparse(sp, cfg, strategy="densified")
+    with pytest.raises(ValueError, match="v_storage"):
+        plan.run(dataclasses.replace(cfg, v_storage="int8"))
+
+    cfg8 = dataclasses.replace(cfg, v_storage="int8")
+    plan8 = prepare_sparse(sp, cfg8, strategy="densified")
+    r8 = plan8.run()
+    assert np.isfinite(r8.frobenius_error)
+
+
+def test_prepare_sparse_unknown_strategy_rejected(rng):
+    from nmftpu.sparse_ops import prepare_sparse
+
+    dense, _ = _sprandom(rng, 12, 10)
+    sp = hs.from_dense(dense)
+    with pytest.raises(ValueError, match="strategy"):
+        prepare_sparse(sp, NmfConfig(rank=2, num_iterations=2),
+                       strategy="dense")
