@@ -191,3 +191,30 @@ class NmfConfig:
             v = getattr(self, name)
             if not 0.0 <= v <= 1.0:
                 raise ValueError(f"{name} must be in [0, 1], got {v}")
+
+
+def resolve_dtype(name: str):
+    """Factor/storage dtype for the drivers, mirroring the reference's
+    float/double precision dispatch (SURVEY.md C1/C2: nmfgpu_compute
+    dispatches {algorithm x float/double}).
+
+    float32 and bfloat16 are native; float64 is supported end-to-end
+    (every update rule is dtype-generic) but requires JAX x64 mode —
+    without it JAX SILENTLY truncates to float32, which would turn the
+    reference's double-precision contract into a quiet downgrade, so we
+    raise instead. On TPU, float64 is software-emulated and slow; it is
+    intended for CPU verification runs and accuracy studies.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(name)
+    if dt == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype='float64' requires JAX x64 mode (the reference's "
+            "double-precision path): set JAX_ENABLE_X64=1 in the "
+            "environment or jax.config.update('jax_enable_x64', True) "
+            "at startup — without it JAX silently truncates every array "
+            "to float32"
+        )
+    return dt

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from nmftpu.algorithms import build_dense_update
-from nmftpu.config import NmfConfig
+from nmftpu.config import NmfConfig, resolve_dtype
 from nmftpu.init import initialize_factors
 from nmftpu.linalg import dense as D
 from nmftpu.loop import LoopOps, NmfResult, RunStats, build_runner, execute
@@ -68,7 +68,7 @@ def compute(
     dense update GEMMs (inserting the psum pattern automatically); the
     update code is unchanged.
     """
-    dtype = jnp.dtype(config.dtype)
+    dtype = resolve_dtype(config.dtype)
     V = jnp.asarray(V, dtype)
     if V.ndim != 2:
         raise ValueError(f"V must be 2-D, got shape {V.shape}")

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nmftpu.config import Initialization, NmfConfig
+from nmftpu.config import Initialization, NmfConfig, resolve_dtype
 from nmftpu.loop import LoopOps, NmfResult, build_runner, execute
 from nmftpu.parallel.mesh import factor_shardings, make_grid_mesh
 from nmftpu.parallel.sharded_coo import ShardedCOO, partition_sparse
@@ -414,7 +414,7 @@ def prepare_sharded(
     if mesh is None:
         mesh = make_grid_mesh(mesh_shape)
     shardings = factor_shardings(mesh)
-    dtype = jnp.dtype(config.dtype)
+    dtype = resolve_dtype(config.dtype)
     n, m = V.shape
     if config.rank > min(n, m):
         raise ValueError(

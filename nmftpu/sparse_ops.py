@@ -30,6 +30,7 @@ import numpy as np
 from jax import lax
 
 from nmftpu.config import (
+    resolve_dtype,
     Algorithm,
     Initialization,
     NmfConfig,
@@ -1002,7 +1003,7 @@ def prepare_sparse(
     """Build the device layout for sparse V once, returning a reusable
     :class:`SparsePlan`. Strategy resolution and layouts match
     :func:`compute_sparse` (which is now a prepare+run one-shot)."""
-    dtype = jnp.dtype(config.dtype)
+    dtype = resolve_dtype(config.dtype)
     coo = V if isinstance(V, DeviceCOO) else device_put_sparse(
         V, dtype=dtype
     )
