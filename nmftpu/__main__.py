@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--threshold-type", default="frobenius")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--alpha-confidence", type=float, default=0.0)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16", "float64"],
+                    help="factor dtype (float64 = the reference's double "
+                         "precision; requires JAX_ENABLE_X64=1)")
     ap.add_argument("--v-storage", default="float32",
                     choices=["float32", "bfloat16", "int8"],
                     help="dense-V HBM storage: bfloat16 halves / int8 "
@@ -93,6 +97,7 @@ def main(argv=None):
         num_iterations=args.iters, num_runs=args.runs,
         threshold=args.threshold, threshold_type=args.threshold_type,
         alpha_confidence=args.alpha_confidence,
+        dtype=args.dtype,
         v_storage=args.v_storage,
         strategy=args.strategy,
         verbosity=args.verbosity,

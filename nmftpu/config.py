@@ -145,8 +145,10 @@ class NmfConfig:
     # the fused ELL SpMM (kernels/sparse_ell_kernel.py).
     use_pallas: bool | None = None
 
-    # Verbosity (reference C17): 0 silent; 1 per-run summary lines;
-    # 2 additionally per-convergence-check lines.
+    # Verbosity (reference C17, levels 0-3): 0 silent; 1 per-run summary
+    # lines; 2 additionally per-convergence-check lines; 3 per-check
+    # lines with elapsed wall-clock ms (the reference's full stats
+    # record).
     verbosity: int = 0
 
     # Multi-run restarts as ONE vmapped program (all restarts advance in

@@ -87,6 +87,27 @@ def _verbose_callback(run_idx, iteration, error, delta):
     )
 
 
+def _make_verbose_callback_timed():
+    """Verbosity 3: per-check line including wall-clock since the run's
+    first check — the reference's full stats record {iteration, error,
+    delta, elapsed ms} (SURVEY.md C17)."""
+    state = {"run": None, "t0": 0.0}
+
+    def cb(run_idx, iteration, error, delta):
+        now = time.perf_counter()
+        if state["run"] != int(run_idx):
+            state["run"] = int(run_idx)
+            state["t0"] = now
+        ms = (now - state["t0"]) * 1e3
+        print(
+            f"[nmftpu] run {int(run_idx)} iter {int(iteration):6d}  "
+            f"error {float(error):.6g}  delta {float(delta):.3g}  "
+            f"elapsed {ms:.1f} ms"
+        )
+
+    return cb
+
+
 def build_runner(config: NmfConfig, ops: LoopOps, callback,
                  interrupt=None):
     """Build the jitted single-run loop for (config, ops).
@@ -103,7 +124,9 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback,
             "(ordered io_callback does not support vmap); use sequential "
             "runs for interruptible execution"
         )
-    if callback is None and config.verbosity >= 2:
+    if callback is None and config.verbosity >= 3:
+        callback = _make_verbose_callback_timed()
+    elif callback is None and config.verbosity >= 2:
         callback = _verbose_callback
     num_iterations = config.num_iterations
     check_interval = config.check_interval

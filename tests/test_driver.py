@@ -221,3 +221,16 @@ def test_interrupt_with_vectorized_runs_rejected(rng):
                     vectorize_runs=True)
     with _pytest.raises(ValueError, match="vectorize_runs"):
         compute(V, cfg, interrupt=lambda: False)
+
+
+def test_verbosity_three_prints_elapsed(rng, capsys):
+    """Verbosity 3 = reference C17's full record: per-check lines carry
+    elapsed wall-clock ms."""
+    from nmftpu import NmfConfig
+    from nmftpu.driver import compute
+
+    V = rng.uniform(0.1, 1.0, (16, 12)).astype(np.float32)
+    compute(V, NmfConfig(rank=2, num_iterations=10, check_interval=5,
+                         verbosity=3))
+    out = capsys.readouterr().out
+    assert "elapsed" in out and "ms" in out
