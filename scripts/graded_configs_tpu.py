@@ -114,6 +114,7 @@ def main():
         "in_loop_ms": round(res.elapsed_ms, 1),
         "per_iter_ms_slope": slope2, "nnz": int(sp2.nnz),
     }
+    del plan2  # frees the 7.45 GB densified V before cfg3 densifies its own
 
     # 3: implicit confidence-weighted, rank 128
     sp3 = synthetic_powerlaw_sparse(
@@ -138,6 +139,7 @@ def main():
         "in_loop_ms": round(res.elapsed_ms, 1),
         "per_iter_ms_slope": slope3,
     }
+    del plan3
 
     # 4: sharded rank-256 on the largest mesh available here
     mesh = make_grid_mesh()
@@ -166,6 +168,7 @@ def main():
         "in_loop_ms": round(res.elapsed_ms, 1),
         "per_iter_ms_slope": slope4, "nnz": int(sp4.nnz),
     }
+    del plan4
 
     # 5: retrieval recall@100 on held-out interactions
     inter = Interactions(

@@ -416,3 +416,33 @@ def test_plan_run_unpermute_false(rng, mesh):
     np.testing.assert_array_equal(
         np.asarray(rp.H)[:, rp.col_perm], np.asarray(rd.H)
     )
+
+
+def test_plan_unpermuted_factors_feed_sharded_topk(rng, mesh):
+    """The documented on-device pipeline: run(unpermute=False) keeps H
+    sharded/padded; feeding it straight into topk_mips_sharded and
+    mapping indices back through col_perm reproduces the top-k of the
+    unpermuted factors (H pad columns are zero, so they never rank)."""
+    import jax.numpy as jnp
+
+    from nmftpu.parallel import prepare_sharded
+
+    _, sp = _spmat(rng, 40, 64, density=0.3)
+    cfg = NmfConfig(rank=4, num_iterations=8, seed=3)
+    plan = prepare_sharded(sp, cfg, mesh=mesh, chunk=256)
+    rp = plan.run(unpermute=False)
+    rd = plan.run()  # same seed => same factors, user coordinates
+
+    Wq = jnp.asarray(np.asarray(rd.W)[:5])
+    s_ref, i_ref = topk_mips(Wq, jnp.asarray(rd.H), 10)
+    s_dev, i_dev = topk_mips_sharded(Wq, rp.H, 10, mesh, block=16)
+
+    np.testing.assert_allclose(
+        np.asarray(s_dev), np.asarray(s_ref), rtol=1e-5
+    )
+    inv = np.full(rp.H.shape[1], -1, np.int64)
+    inv[np.asarray(rp.col_perm)] = np.arange(len(rp.col_perm))
+    mapped = inv[np.asarray(i_dev)]
+    assert (mapped >= 0).all()  # pad columns never enter the top-k
+    for got, want in zip(mapped, np.asarray(i_ref)):
+        assert set(got) == set(want)
