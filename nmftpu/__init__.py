@@ -39,6 +39,8 @@ _LAZY = {
     "ShardedPlan": ("nmftpu.parallel", "ShardedPlan"),
     "Recommender": ("nmftpu.serving", "Recommender"),
     "recall_at_k": ("nmftpu.retrieval", "recall_at_k"),
+    "transform": ("nmftpu.foldin", "transform"),
+    "TransformResult": ("nmftpu.foldin", "TransformResult"),
 }
 
 

@@ -1,0 +1,301 @@
+"""Fold-in / out-of-sample projection: user factors for NEW interaction
+rows against a FIXED item table H.
+
+The reference's only warm-start mechanism is ``CopyExisting`` init
+(SURVEY.md C8/§5.4) — serving a user that appeared after training means
+re-running the factorization. This module completes the serving story:
+``transform(V_new, H)`` learns only the (b, r) user block, with H frozen,
+so cold users get embeddings in milliseconds without touching the trained
+item table. The semantics match sklearn's ``NMF.transform`` (MU with
+``update_H=False``, ``sklearn/decomposition/_nmf.py:532`` — the oracle for
+the parity tests).
+
+TPU shape of the problem: with H fixed, the MU-Frobenius numerator
+``V Hᵀ`` and the Gram ``H Hᵀ`` are loop-invariant — both are hoisted and
+the iteration body is two tiny ``(b,r)×(r,r)`` MXU GEMMs. Sparse inputs
+never materialize dense rows OR a full table read: numerators touch only
+the gathered columns ``Ht[cols]`` (at a 10M-item table that is the
+difference between kilobytes and a 10 GB read per fold-in).
+
+Algorithms:
+  * ``mu``  — multiplicative updates, Frobenius or KL objective.
+  * ``als`` — one-shot regularized nonnegative LS (normal equations via
+    ``linalg.dense.spd_solve`` + clamp); with ``alpha_confidence`` this is
+    the classic implicit-feedback weighted fold-in
+    (Gram_u = HHᵀ + Σ_obs (c_i−1) h_i h_iᵀ, matching the training
+    objective ``‖√C ⊙ (V−WH)‖²`` of mu_update_frobenius_weighted).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmftpu.sparse import SparseMatrix
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformResult:
+    """Learned user block for a fixed item table."""
+
+    W: np.ndarray  # (b, rank) nonnegative user factors
+    error: float  # objective at exit (Frobenius norm, or KL divergence)
+    rmsd: float  # Frobenius objective only; NaN for KL
+    num_iterations: int
+
+
+# ---------------------------------------------------------------------------
+# Jitted W-only loops (numerator inputs hoisted outside the fori_loop)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _mu_fro_w_loop(N, G, W0, num_iterations, eps):
+    """W ← W ⊙ N / (W G + eps), k times. N=(b,r), G=(r,r) loop-invariant."""
+
+    def body(_, W):
+        return W * (N / (W @ G + eps))
+
+    return jax.lax.fori_loop(0, num_iterations, body, W0)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _mu_kl_w_loop_dense(V, Ht, h_sum, W0, num_iterations, eps):
+    """KL: W ← W ⊙ ((V/(WH)) Hᵀ) / h_sum. Dense V (b, m)."""
+    denom = h_sum[None, :] + eps
+
+    def body(_, W):
+        WH = W @ Ht.T
+        return W * (((V / (WH + eps)) @ Ht) / denom)
+
+    return jax.lax.fori_loop(0, num_iterations, body, W0)
+
+
+@partial(jax.jit, static_argnums=(5, 7))
+def _mu_kl_w_loop_sparse(vals, rows, Hc, h_sum, W0, num_iterations, eps,
+                         num_rows):
+    """KL on sparse rows: the reconstruction is sampled ONLY at the
+    nonzeros (SDDMM over the gathered columns Hc = Ht[cols]); zero
+    entries of V contribute nothing to the KL numerator."""
+    denom = h_sum[None, :] + eps
+
+    def body(_, W):
+        pred = jnp.sum(W[rows] * Hc, axis=1)  # (nnz,) SDDMM sample
+        ratio = vals / (pred + eps)
+        numer = jax.ops.segment_sum(
+            ratio[:, None] * Hc, rows, num_segments=num_rows
+        )
+        return W * (numer / denom)
+
+    return jax.lax.fori_loop(0, num_iterations, body, W0)
+
+
+# ---------------------------------------------------------------------------
+# Input plumbing
+# ---------------------------------------------------------------------------
+
+
+def _flat_nnz(data: SparseMatrix):
+    csr = data.to_csr()
+    b, m = csr.shape
+    counts = np.diff(csr.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(b, dtype=np.int32), counts)
+    return rows, csr.indices.astype(np.int32), csr.data, csr.indptr, (b, m)
+
+
+def _init_w(b, r, seed, W0, dtype):
+    if W0 is not None:
+        W = np.asarray(W0, dtype=np.float32)
+        if W.shape != (b, r):
+            raise ValueError(f"W0 must be shape {(b, r)}, got {W.shape}")
+        if (W < 0).any():
+            raise ValueError("W0 must be nonnegative")
+        return jnp.asarray(W, dtype)
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0.1, 1.0, (b, r)), dtype)
+
+
+# ---------------------------------------------------------------------------
+# Errors (Gram trick keeps sparse error evaluation off the dense m axis)
+# ---------------------------------------------------------------------------
+
+
+def _fro_error_sparse(vals, rows, Hc, W, G, sum_v_sq):
+    """‖V−WH‖ via ⟨V,WH⟩ sampled at nonzeros + tr((WᵀW)(HHᵀ))."""
+    pred = jnp.sum(W[rows] * Hc, axis=1)
+    cross = jnp.sum(vals * pred)
+    wtw = W.T @ W
+    sq = sum_v_sq - 2.0 * cross + jnp.sum(wtw * G)
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+def _kl_error_sparse(vals, rows, Hc, W, h_sum, eps):
+    """Σ_nz v·log(v/pred) − Σv + ΣWH (zero entries add only their WH mass)."""
+    pred = jnp.sum(W[rows] * Hc, axis=1)
+    pos = jnp.sum(vals * (jnp.log(vals + eps) - jnp.log(pred + eps)))
+    return pos - jnp.sum(vals) + jnp.sum(W @ h_sum)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def transform(
+    data,
+    H,
+    *,
+    algorithm: str = "mu",
+    objective: str = "frobenius",
+    num_iterations: int = 100,
+    eps: float = 1e-9,
+    lambda_w: float = 0.0,
+    alpha_confidence: float = 0.0,
+    W0=None,
+    seed: int = 0,
+) -> TransformResult:
+    """Learn nonnegative user factors W for ``data`` ≈ W H with H FIXED.
+
+    data: dense (b, m) array or any nmftpu sparse container with b rows.
+    H: the trained (rank, m) item table (e.g. ``NmfResult.H``).
+    algorithm: ``"mu"`` (iterative, Frobenius/KL objective) or ``"als"``
+      (one-shot regularized LS + clamp; supports ``alpha_confidence``
+      implicit weighting c = 1 + alpha·v).
+    lambda_w: Tikhonov shift on the ALS normal equations.
+    Returns TransformResult; rows with no interactions keep their init
+    (MU) or come back as zeros (ALS).
+    """
+    from nmftpu.linalg import dense as D
+
+    # jnp.asarray keeps an already-on-device table resident (serving hands
+    # us its jax H; a host round-trip at 10M items would dwarf the solve)
+    H = jnp.asarray(H, dtype=jnp.float32)
+    if H.ndim != 2:
+        raise ValueError(f"H must be (rank, n_items), got shape {H.shape}")
+    r, m = H.shape
+    dtype = H.dtype
+    Ht = H.T  # (m, r): row-gathers on the sublane axis (PERF.md round 2)
+    G = H @ Ht  # (r, r) Gram, loop-invariant
+    h_sum = jnp.sum(H, axis=1)  # (r,) KL denominator
+
+    if algorithm not in ("mu", "als"):
+        raise ValueError(f"algorithm must be mu|als, got {algorithm!r}")
+    if objective not in ("frobenius", "kl"):
+        raise ValueError(
+            f"objective must be frobenius|kl, got {objective!r}"
+        )
+    if algorithm == "als" and objective == "kl":
+        raise ValueError("als transform supports the frobenius objective")
+    if alpha_confidence and algorithm != "als":
+        raise ValueError(
+            "alpha_confidence weighting requires algorithm='als'"
+        )
+
+    sparse_in = isinstance(data, SparseMatrix)
+    if sparse_in:
+        rows_np, cols_np, vals_np, indptr_np, (b, m_in) = _flat_nnz(data)
+        if m_in != m:
+            raise ValueError(
+                f"data has {m_in} columns but H has {m} items"
+            )
+        rows = jnp.asarray(rows_np)
+        vals = jnp.asarray(vals_np, dtype)
+        # only the observed columns of the table are ever read
+        # (row gather from the (m, r) table — PERF.md's fastest form)
+        Hc = Ht.at[jnp.asarray(cols_np)].get(
+            mode="promise_in_bounds"
+        )  # (nnz, r)
+        N = jax.ops.segment_sum(vals[:, None] * Hc, rows, num_segments=b)
+        sum_v_sq = jnp.sum(vals * vals)
+    else:
+        V = jnp.asarray(np.asarray(data, dtype=np.float32))
+        if V.ndim != 2 or V.shape[1] != m:
+            raise ValueError(f"data must be (b, {m}), got {V.shape}")
+        if bool(jnp.any(V < 0)):
+            raise ValueError("data must be nonnegative")
+        b = V.shape[0]
+        N = V @ Ht
+        sum_v_sq = jnp.sum(V * V)
+
+    if algorithm == "als":
+        if alpha_confidence:
+            if not sparse_in:
+                C = 1.0 + alpha_confidence * V
+                # per-user Gram Hᵀ diag(C_u) H, batched on the MXU
+                Gb = jnp.einsum("rm,um,sm->urs", H, C, H)
+                rhs = (C * V) @ Ht  # (b, r)
+            else:
+                Gb, rhs = _weighted_grams_sparse(
+                    G, Ht, cols_np, vals_np, indptr_np, b,
+                    alpha_confidence,
+                )
+            shift = (lambda_w + eps) * jnp.eye(r, dtype=dtype)
+            W = jax.vmap(lambda A, y: D.spd_solve(A + shift, y))(
+                Gb, rhs[:, :, None]
+            )[:, :, 0]
+        else:
+            A = G + (lambda_w + eps) * jnp.eye(r, dtype=dtype)
+            W = D.spd_solve(A, N.T).T
+        W = jnp.maximum(W, 0.0)
+        iters_done = 1
+    elif objective == "frobenius":
+        W0d = _init_w(b, r, seed, W0, dtype)
+        W = _mu_fro_w_loop(N, G, W0d, num_iterations, eps)
+        iters_done = num_iterations
+    else:  # mu / kl
+        W0d = _init_w(b, r, seed, W0, dtype)
+        if sparse_in:
+            W = _mu_kl_w_loop_sparse(
+                vals, rows, Hc, h_sum, W0d, num_iterations, eps, b
+            )
+        else:
+            W = _mu_kl_w_loop_dense(V, Ht, h_sum, W0d, num_iterations, eps)
+        iters_done = num_iterations
+
+    # exit-time objective
+    if objective == "kl":
+        if sparse_in:
+            err = float(_kl_error_sparse(vals, rows, Hc, W, h_sum, 1e-12))
+        else:
+            err = float(D.kl_error(V, W, H))
+        rmsd = float("nan")
+    else:
+        if sparse_in:
+            err = float(_fro_error_sparse(vals, rows, Hc, W, G, sum_v_sq))
+        else:
+            err = float(D.frobenius_error(V, W, H, sum_v_sq=sum_v_sq))
+        rmsd = err / float(np.sqrt(b * m))
+    return TransformResult(
+        W=np.asarray(W), error=err, rmsd=rmsd, num_iterations=iters_done
+    )
+
+
+def _weighted_grams_sparse(G, Ht, cols_np, vals_np, indptr_np, b, alpha):
+    """Batched per-user weighted Grams from CSR structure.
+
+    Pads each user's items to the batch max (fold-in batches are small and
+    histories bounded, so the (b, kmax, r) gather stays tiny) and forms
+      Gram_u = HHᵀ + Σ_i (c_i − 1) h_i h_iᵀ,   rhs_u = Σ_i c_i v_i h_i
+    with c = 1 + alpha·v; unobserved entries (v=0, c=1) contribute only
+    through the shared HHᵀ term.
+    """
+    counts = np.diff(indptr_np)
+    kmax = max(int(counts.max()) if len(counts) else 0, 1)
+    idx = np.zeros((b, kmax), dtype=np.int32)
+    val = np.zeros((b, kmax), dtype=np.float32)
+    for u in range(b):
+        s, e = indptr_np[u], indptr_np[u + 1]
+        idx[u, : e - s] = cols_np[s:e]
+        val[u, : e - s] = vals_np[s:e]
+    Hk = Ht.at[jnp.asarray(idx)].get(
+        mode="promise_in_bounds"
+    )  # (b, kmax, r)
+    v = jnp.asarray(val)  # zero on padding, so c−1 = 0 there
+    cm1 = alpha * v
+    Gb = G[None] + jnp.einsum("ukr,uks,uk->urs", Hk, Hk, cm1)
+    rhs = jnp.einsum("ukr,uk->ur", Hk, (1.0 + alpha * v) * v)
+    return Gb, rhs

@@ -103,6 +103,80 @@ class Recommender:
             )
         return np.asarray(s), np.asarray(i)
 
+    # -- cold users: fold-in against the frozen item table -----------------
+
+    def fold_in(self, item_ids, values=None, *, algorithm: str = "als",
+                objective: str = "frobenius", num_iterations: int = 50,
+                alpha_confidence: float = 0.0, lambda_w: float = 1e-6,
+                seed: int = 0) -> np.ndarray:
+        """Embed a user NOT present at training time from their interaction
+        history (``transform`` with this recommender's H frozen). Returns
+        the (rank,) nonnegative embedding. ``values`` defaults to implicit
+        1.0 per item; ``algorithm="als"`` is a one-shot solve (the serving
+        default), ``"mu"`` iterates ``num_iterations`` times."""
+        from nmftpu.sparse import SparseCOO
+        from nmftpu.foldin import transform
+
+        item_ids = np.atleast_1d(np.asarray(item_ids, dtype=np.int64))
+        if values is None:
+            values = np.ones(len(item_ids), dtype=np.float32)
+        values = np.atleast_1d(np.asarray(values, dtype=np.float32))
+        if values.shape != item_ids.shape:
+            raise ValueError("values must match item_ids in length")
+        hist = SparseCOO(
+            np.zeros(len(item_ids), dtype=np.int64), item_ids, values,
+            (1, self.n_items),
+        )
+        res = transform(
+            hist, self.H, algorithm=algorithm, objective=objective,
+            num_iterations=num_iterations,
+            alpha_confidence=alpha_confidence, lambda_w=lambda_w,
+            seed=seed,
+        )
+        return res.W[0]
+
+    def recommend_from_history(self, item_ids, values=None, k: int = 100,
+                               exclude_history: bool = True,
+                               candidate_k: int | None = None,
+                               **fold_in_kwargs):
+        """Top-k items for an unseen user described only by their history:
+        fold-in embedding + the same blocked MIPS path as `recommend`.
+        Returns (scores, item_ids), both shape (k,)."""
+        item_ids = np.atleast_1d(np.asarray(item_ids, dtype=np.int64))
+        w = self.fold_in(item_ids, values, **fold_in_kwargs)
+        lists = None
+        if exclude_history:
+            from nmftpu.parallel.mesh import AXIS_ITEMS
+            from nmftpu.retrieval.exclusion import build_block_exclusion
+            from nmftpu.sparse import SparseCOO
+
+            shards = self.mesh.shape[AXIS_ITEMS] if self.mesh is not None \
+                else 1
+            hist = SparseCOO(
+                np.zeros(len(item_ids), dtype=np.int64), item_ids,
+                np.ones(len(item_ids), dtype=np.float32),
+                (1, self.n_items),
+            )
+            lists = build_block_exclusion(
+                np.zeros(1, dtype=np.int64), hist.to_csr(), self.n_items,
+                self.block, shards=shards,
+            )
+        Wq = w[None, :]
+        if self.mesh is not None:
+            from nmftpu.parallel import topk_mips_sharded
+
+            s, i = topk_mips_sharded(
+                Wq, self.H, k, mesh=self.mesh, block=self.block,
+                exclude_lists=lists, method=self.method,
+                candidate_k=candidate_k,
+            )
+        else:
+            s, i = topk_mips_blocked(
+                Wq, self.H, k, block=self.block, exclude_lists=lists,
+                method=self.method, candidate_k=candidate_k,
+            )
+        return np.asarray(s)[0], np.asarray(i)[0]
+
     def score(self, user_id: int, item_ids) -> np.ndarray:
         """Predicted affinities for specific (user, items) pairs."""
         H = np.asarray(self.H).astype(np.float32)
