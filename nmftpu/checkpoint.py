@@ -104,23 +104,12 @@ def resume(path: str, V, config: NmfConfig, strict: bool = True, **kwargs):
             "checkpoint was written under a different NmfConfig; pass "
             "strict=False to resume anyway"
         )
-    if ck.iteration >= config.num_iterations:
-        # Budget already exhausted: return the stored factors unchanged
-        # instead of running a spurious extra update.
-        from nmftpu.loop import NmfResult, RunStats
-
-        return NmfResult(
-            W=ck.W, H=ck.H, error=float("nan"),
-            frobenius_error=float("nan"), rmsd=float("nan"), kl_error=None,
-            num_iterations=0, converged=True, best_run=0, run_errors=[],
-            stats=RunStats(
-                iterations=np.zeros((0,), np.int32),
-                errors=np.zeros((0,), np.float32),
-                deltas=np.zeros((0,), np.float32),
-            ),
-            elapsed_ms=0.0,
-        )
-    remaining = config.num_iterations - ck.iteration
+    # Budget already exhausted => remaining = 0: the driver runs ZERO
+    # update steps (CopyExisting + num_iterations=0 is an evaluate-only
+    # pass), so the stored factors come back unchanged but with REAL
+    # error/frobenius_error/rmsd and converged=False — callers gating on
+    # convergence or comparing errors keep their contract.
+    remaining = max(0, config.num_iterations - ck.iteration)
     cfg = dataclasses.replace(
         config,
         init_method=Initialization.COPY_EXISTING,

@@ -160,9 +160,9 @@ class NmfConfig:
     def __post_init__(self) -> None:
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")
-        if self.num_iterations < 1:
+        if self.num_iterations < 0:
             raise ValueError(
-                f"num_iterations must be >= 1, got {self.num_iterations}"
+                f"num_iterations must be >= 0, got {self.num_iterations}"
             )
         if self.num_runs < 1:
             raise ValueError(f"num_runs must be >= 1, got {self.num_runs}")

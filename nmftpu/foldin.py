@@ -166,8 +166,10 @@ def transform(
       (one-shot regularized LS + clamp; supports ``alpha_confidence``
       implicit weighting c = 1 + alpha·v).
     lambda_w: Tikhonov shift on the ALS normal equations.
-    Returns TransformResult; rows with no interactions keep their init
-    (MU) or come back as zeros (ALS).
+    Returns TransformResult; rows with no interactions come back ~zero
+    under every rule (the MU numerator for an empty row is 0, so its
+    factors shrink to 0 over the iterations; ALS solves to exact zeros)
+    — zero scores against any item table, i.e. "no information".
     """
     from nmftpu.linalg import dense as D
 

@@ -428,6 +428,17 @@ def prepare_sharded(
             f"engine must be 'auto', 'ell', 'scatter' or 'ring', "
             f"got {engine!r}"
         )
+    if config.v_storage != "float32":
+        # Sharded tiles keep values at the compute dtype; honoring
+        # low-precision storage here would require per-tile quantized
+        # layouts — reject rather than silently run full-precision.
+        raise ValueError(
+            f"v_storage={config.v_storage!r} is not supported by the "
+            "sparse sharded engines (tile values stay at the compute "
+            "dtype); use v_storage='float32' here, the single-device "
+            "'densified' engine, or the dense mesh path (compute(V, "
+            "cfg, mesh=...)), which do honor quantized storage."
+        )
 
     row_axis = col_axis = None
     if engine == "ring":

@@ -87,8 +87,12 @@ def build_sharded_data_init(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
         if method is Initialization.MEAN_COLUMNS:
             q = int(min(max(5, m // max(rank, 1)), m))
             cols_s = jax.random.randint(kk, (rank, q), 0, m)
-            # A_loc[j_local, k] = (#times local column j sampled for k)/q
+            # A_loc[j_local, k] = (#times local column j sampled for k)/q.
+            # Samples on EARLIER item shards give negative local_idx, which
+            # JAX would wrap NumPy-style before mode="drop" applies —
+            # remap them to bm (positive out-of-bounds, genuinely dropped).
             local_idx = cols_s.reshape(-1) - ii * bm
+            local_idx = jnp.where(local_idx < 0, bm, local_idx)
             A = jnp.zeros((bm, rank), dtype).at[
                 local_idx, jnp.repeat(jnp.arange(rank), q)
             ].add(1.0 / q, mode="drop")

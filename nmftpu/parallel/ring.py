@@ -322,21 +322,9 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         return no_aux, update, ident_h
 
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if alg is Algorithm.ALS:
-            sw = sh = ow = oh = 0.0
-        elif alg is Algorithm.ACLS:
-            sw, sh = config.lambda_w, config.lambda_h
-            ow = oh = 0.0
-        else:
-            r = config.rank
+        from nmftpu.sparse_ops import _als_family_shifts
 
-            def hoyer(lam, a):
-                sr = float(np.sqrt(r))
-                beta = ((1.0 - a) * sr + a) ** 2 / r
-                return lam * beta, lam * (1.0 - beta)
-
-            sw, ow = hoyer(config.lambda_w, config.alpha_w)
-            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        sw, sh, ow, oh = _als_family_shifts(config)
         update = make_step(
             lambda v, r_, c, W, H: w_als(v, r_, c, W, H, sw, ow),
             lambda v, r_, c, W, H: h_als(v, r_, c, W, H, sh, oh),
@@ -522,9 +510,14 @@ def build_ring_data_init(config: NmfConfig, mesh: Mesh, scoo_meta):
             rep = jnp.repeat(jnp.arange(rank), q)
 
             def mc_contrib(local, j):
-                # A_loc[c_local, k] = (#times local col c sampled for k)/q
+                # A_loc[c_local, k] = (#times local col c sampled for k)/q.
+                # Samples in earlier column blocks give negative local ids,
+                # which JAX wraps NumPy-style BEFORE mode="drop" — remap to
+                # bm (positive out-of-bounds) so they are genuinely dropped.
+                loc = flat - j * bm
+                loc = jnp.where(loc < 0, bm, loc)
                 A = jnp.zeros((bm, rank), dtype).at[
-                    flat - j * bm, rep
+                    loc, rep
                 ].add(1.0 / q, mode="drop")
                 return project_columns(local, A)
 

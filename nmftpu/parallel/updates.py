@@ -183,21 +183,9 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
         return (lambda scoo: ()), update, ident_h
 
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if alg is Algorithm.ALS:
-            sw = sh = ow = oh = 0.0
-        elif alg is Algorithm.ACLS:
-            sw, sh = config.lambda_w, config.lambda_h
-            ow = oh = 0.0
-        else:
-            r = config.rank
+        from nmftpu.sparse_ops import _als_family_shifts
 
-            def hoyer(lam, a):
-                sr = float(np.sqrt(r))
-                beta = ((1.0 - a) * sr + a) ** 2 / r
-                return lam * beta, lam * (1.0 - beta)
-
-            sw, ow = hoyer(config.lambda_w, config.alpha_w)
-            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        sw, sh, ow, oh = _als_family_shifts(config)
         update = make_step(
             lambda l, W, H: _upd_w_als(l, W, H, sw, ow, eps),
             lambda l, W, H: _upd_h_als(l, W, H, sh, oh, eps),

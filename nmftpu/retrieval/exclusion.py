@@ -10,9 +10,11 @@ work), giving two small (nblocks, E) int32 arrays:
     block-local column) of block blk, padded with -1.
 
 Inside the scoring scan each block scatters -inf at its own E entries
-(`mode="drop"` ignores the -1 padding), so total exclusion work is
-O(total_seen + nblocks·pad) regardless of m. E is rounded up to a power
-of two to bound jit recompiles across batches.
+(the consumer remaps the -1 padding to a POSITIVE out-of-bounds index
+before a `mode="drop"` scatter — raw negatives would wrap NumPy-style),
+so total exclusion work is O(total_seen + nblocks·pad) regardless of m.
+E is rounded up to a power of two to bound jit recompiles across
+batches.
 """
 
 from __future__ import annotations

@@ -130,7 +130,12 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
                                           keepdims=False)
             ec = lax.dynamic_index_in_dim(ex_col, blk_idx, 0,
                                           keepdims=False)
-            # -1 padding is out-of-bounds => dropped
+            # -1 padding must be remapped to a POSITIVE out-of-bounds
+            # index: JAX normalizes negative indices NumPy-style before
+            # mode="drop" applies, so a raw -1 would wrap to the last
+            # row/column and mask a real item.
+            eu = jnp.where(eu < 0, b, eu)
+            ec = jnp.where(ec < 0, block, ec)
             s = s.at[eu, ec].set(NEG_INF, mode="drop")
         if method == "approx":
             blk_s, blk_pos = lax.approx_max_k(s, kk)

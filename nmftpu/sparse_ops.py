@@ -406,22 +406,7 @@ def build_sparse_update(config: NmfConfig):
         )
 
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if alg is Algorithm.ALS:
-            sw = sh = 0.0
-            ow = oh = 0.0
-        elif alg is Algorithm.ACLS:
-            sw, sh = config.lambda_w, config.lambda_h
-            ow = oh = 0.0
-        else:  # AHCLS — Hoyer shifts, same formula as the dense path
-            r = config.rank
-
-            def hoyer(lam, a):
-                sr = float(np.sqrt(r))
-                beta = ((1.0 - a) * sr + a) ** 2 / r
-                return lam * beta, lam * (1.0 - beta)
-
-            sw, ow = hoyer(config.lambda_w, config.alpha_w)
-            sh, oh = hoyer(config.lambda_h, config.alpha_h)
+        sw, sh, ow, oh = _als_family_shifts(config)
         return (
             lambda coo: (),
             lambda coo, aux, W, H: als_family_update_sparse(
@@ -1017,6 +1002,17 @@ def prepare_sparse(
         raise ValueError(
             f"strategy must be 'auto', 'ell', 'densified' or 'scatter', "
             f"got {strategy!r}"
+        )
+    if strategy in ("ell", "scatter") and config.v_storage != "float32":
+        # These engines keep V's values at the compute dtype and would
+        # silently ignore the requested low-precision storage.
+        raise ValueError(
+            f"v_storage={config.v_storage!r} is only honored by the "
+            f"'densified' sparse engine (and the dense path); the "
+            f"resolved strategy is {strategy!r}, which would run "
+            "full-precision. Pass strategy='densified' (raise "
+            "NMFTPU_DENSIFY_BUDGET_BYTES if the matrix exceeds the "
+            "densify budget) or v_storage='float32'."
         )
 
     n_pad = n

@@ -94,3 +94,34 @@ def test_resume_at_budget_returns_factors_unchanged(tmp_path, rng):
     assert res.num_iterations == 0
     np.testing.assert_allclose(np.asarray(res.W), W0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(res.H), H0, rtol=1e-6)
+    # the evaluate-only pass reports REAL errors and does not claim a
+    # convergence it never tested (code-review r2)
+    assert not res.converged
+    expect = np.linalg.norm(V - W0 @ H0)
+    np.testing.assert_allclose(res.frobenius_error, expect, rtol=5e-4)
+    assert np.isfinite(res.rmsd) and np.isfinite(res.error)
+
+
+def test_resume_at_budget_sharded_and_sparse(tmp_path, rng):
+    """The zero-remaining evaluate-only pass works on the sparse and
+    sharded drivers too (not just the dense path)."""
+    from nmftpu.parallel import make_grid_mesh
+    from nmftpu.sparse_ops import compute_sparse
+
+    V, W0, H0 = _problem(rng, 40, 32, 4)
+    V[V < 1.0] = 0.0
+    V[:, 0] += 0.5
+    sp = hs.from_dense(V)
+    cfg = NmfConfig(rank=4, num_iterations=10)
+    ckpt.save(str(tmp_path / "ck"), W0, H0, iteration=10, config=cfg)
+    expect = np.linalg.norm(V - W0 @ H0)
+
+    res = ckpt.resume(str(tmp_path / "ck"), sp, cfg)
+    assert res.num_iterations == 0 and not res.converged
+    np.testing.assert_allclose(res.frobenius_error, expect, rtol=5e-4)
+
+    mesh = make_grid_mesh((2, 4))
+    res = ckpt.resume(str(tmp_path / "ck"), sp, cfg, mesh=mesh, chunk=256)
+    assert res.num_iterations == 0 and not res.converged
+    np.testing.assert_allclose(res.frobenius_error, expect, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(res.W), W0, rtol=1e-5, atol=1e-7)

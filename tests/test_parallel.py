@@ -446,3 +446,46 @@ def test_plan_unpermuted_factors_feed_sharded_topk(rng, mesh):
     assert (mapped >= 0).all()  # pad columns never enter the top-k
     for got, want in zip(mapped, np.asarray(i_ref)):
         assert set(got) == set(want)
+
+
+def test_sharded_mean_columns_init_matches_single_device(rng, mesh):
+    """Regression: MEAN_COLUMNS samples on EARLIER item shards gave
+    negative local indices, which JAX wraps NumPy-style before
+    mode="drop" — every such sample was double-counted at a wrong
+    column. Mesh-native W must equal the single-device oracle."""
+    import jax.numpy as jnp
+    from nmftpu.parallel.init_sharded import build_sharded_data_init
+    from nmftpu.parallel.sharded_coo import partition_sparse
+    from nmftpu import sparse_ops as so
+    from nmftpu import sparse as hs
+    from nmftpu.config import Initialization
+
+    n, m, r = 40, 48, 4
+    dense, sp = _spmat(rng, n, m, density=0.5)
+    cfg = NmfConfig(
+        rank=r, init_method=Initialization.MEAN_COLUMNS,
+        num_iterations=1, seed=3,
+    )
+    scoo, row_perm, col_perm = partition_sparse(
+        sp, tuple(mesh.devices.shape), chunk=256, seed=cfg.seed,
+        out_shardings=factor_shardings(mesh)["tile"],
+    )
+    init = build_sharded_data_init(cfg, mesh, scoo)
+    key = jax.random.PRNGKey(123)
+    W_sh, _ = init(key, scoo)
+
+    # single-device oracle on the permuted matrix with the same subkey
+    Vp = np.zeros((n, m), np.float32)
+    Vp[row_perm[:, None], col_perm[None, :]] = dense
+    coo1 = so.device_put_sparse(hs.from_dense(Vp), chunk=256)
+    _, _, kk = jax.random.split(key, 3)
+    q = int(min(max(5, m // max(r, 1)), m))
+    cols = jax.random.randint(kk, (r, q), 0, m)
+    A = jnp.zeros((m, r), jnp.float32).at[
+        cols.reshape(-1), jnp.repeat(jnp.arange(r), q)
+    ].add(1.0 / q)
+    W_ref = np.asarray(so.project_columns(coo1, A))
+
+    np.testing.assert_allclose(
+        np.asarray(W_sh)[:n], W_ref, rtol=1e-4, atol=1e-6
+    )

@@ -165,3 +165,34 @@ def test_candidate_k_tuning(rng):
                                  method="approx", candidate_k=64)
     assert recall(i_big) >= recall(i_small)
     assert recall(i_big) > 0.9
+
+
+def test_exclude_lists_padding_does_not_wrap(rng):
+    """Regression: JAX normalizes negative scatter indices BEFORE
+    mode="drop", so the -1 padding used to wrap to (last user, last
+    block column) and silently mask a real item. A user with NO seen
+    items (all their entries are padding) must get the exact
+    unexcluded top-k."""
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+    from nmftpu.sparse import SparseCSR
+
+    n, m, r = 2, 8, 3
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    # user 0 has seen items, user 1 has none -> every block of user 1
+    # is pure -1 padding
+    seen = np.array([0, 5])
+    indptr = np.array([0, 2, 2], np.int64)
+    csr = SparseCSR(indptr, seen.astype(np.int64),
+                    np.ones(2, np.float32), (n, m))
+    lists = build_block_exclusion(np.arange(n), csr, m, block=4)
+    _, idx = topk_mips_blocked(W, H, k=3, block=4, exclude_lists=lists)
+
+    full = W @ H
+    expect_u1 = np.argsort(-full[1])[:3]  # nothing excluded for user 1
+    np.testing.assert_array_equal(np.asarray(idx)[1], expect_u1)
+    masked = full[0].copy()
+    masked[seen] = -np.inf
+    np.testing.assert_array_equal(
+        np.asarray(idx)[0], np.argsort(-masked)[:3]
+    )

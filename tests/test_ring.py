@@ -228,3 +228,47 @@ def test_ring_data_init_e2e(rng, method):
     assert np.isfinite(res.frobenius_error)
     recon = np.linalg.norm(dense - np.asarray(res.W) @ np.asarray(res.H))
     np.testing.assert_allclose(recon, res.frobenius_error, rtol=5e-2)
+
+
+def test_ring_mean_columns_init_matches_single_device(rng):
+    """Regression for the negative-local-index wrap (see the grid twin in
+    test_parallel): ring MEAN_COLUMNS W must equal the single-device
+    oracle on the permuted matrix."""
+    import jax.numpy as jnp
+    from nmftpu import sparse_ops as so
+    from nmftpu.parallel.ring import (
+        build_ring_data_init, make_ring_mesh, partition_for_ring,
+        ring_shardings,
+    )
+
+    n, m, r = 36, 40, 3
+    dense, _, _ = _problem(rng, n, m, r)
+    sp = hs.from_dense(dense)
+    p = 4
+    mesh = make_ring_mesh(jax.devices()[:p])
+    cfg = NmfConfig(
+        rank=r, init_method=Initialization.MEAN_COLUMNS,
+        num_iterations=1, seed=7,
+    )
+    scoo, row_perm, col_perm = partition_for_ring(
+        sp, p, chunk=64, seed=cfg.seed,
+        out_shardings=ring_shardings(mesh)["tiles"],
+    )
+    init = build_ring_data_init(cfg, mesh, scoo)
+    key = jax.random.PRNGKey(123)
+    W_sh, _ = init(key, scoo)
+
+    Vp = np.zeros((n, m), np.float32)
+    Vp[row_perm[:, None], col_perm[None, :]] = dense
+    coo1 = so.device_put_sparse(hs.from_dense(Vp), chunk=64)
+    _, _, kk = jax.random.split(key, 3)
+    q = int(min(max(5, m // max(r, 1)), m))
+    cols = jax.random.randint(kk, (r, q), 0, m)
+    A = jnp.zeros((m, r), jnp.float32).at[
+        cols.reshape(-1), jnp.repeat(jnp.arange(r), q)
+    ].add(1.0 / q)
+    W_ref = np.asarray(so.project_columns(coo1, A))
+
+    np.testing.assert_allclose(
+        np.asarray(W_sh)[:n], W_ref, rtol=1e-4, atol=1e-6
+    )

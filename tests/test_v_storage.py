@@ -362,3 +362,35 @@ def test_weighted_int8_densified_engine(rng):
     np.testing.assert_allclose(
         rq.frobenius_error, rb.frobenius_error, rtol=1e-2
     )
+
+
+def test_v_storage_rejected_on_unsupporting_engines(rng):
+    """ell/scatter and the sparse sharded engines keep V at the compute
+    dtype; a low-precision v_storage request must fail loudly instead of
+    silently running full-precision (code-review r2)."""
+    import pytest
+
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+    from nmftpu.sparse import from_dense
+    from nmftpu.sparse_ops import compute_sparse
+
+    dense = (rng.uniform(0.1, 1.0, (24, 20)) *
+             (rng.uniform(size=(24, 20)) < 0.4)).astype(np.float32)
+    dense[:, 0] += 0.5
+    dense[0, :] += 0.5
+    sp = from_dense(dense)
+
+    for strategy in ("ell", "scatter"):
+        for storage in ("int8", "bfloat16"):
+            cfg = NmfConfig(rank=3, num_iterations=3, v_storage=storage)
+            with pytest.raises(ValueError, match="v_storage"):
+                compute_sparse(sp, cfg, strategy=strategy)
+
+    cfg = NmfConfig(rank=3, num_iterations=3, v_storage="int8")
+    with pytest.raises(ValueError, match="v_storage"):
+        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
+
+    # densified still honors it
+    cfg = NmfConfig(rank=3, num_iterations=3, v_storage="int8")
+    res = compute_sparse(sp, cfg, strategy="densified")
+    assert np.isfinite(res.frobenius_error)
