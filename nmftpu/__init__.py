@@ -41,6 +41,7 @@ _LAZY = {
     "recall_at_k": ("nmftpu.retrieval", "recall_at_k"),
     "transform": ("nmftpu.foldin", "transform"),
     "TransformResult": ("nmftpu.foldin", "TransformResult"),
+    "NMF": ("nmftpu.sklearn_api", "NMF"),
 }
 
 

@@ -1,0 +1,276 @@
+"""scikit-learn-compatible estimator facade over the nmftpu engines.
+
+The reference is consumed through a host-language binding whose calling
+convention its users already know (nmfgpu4R's ``nmf(data, r, ...)`` —
+SURVEY.md C19); the Python world's equivalent muscle memory is
+``sklearn.decomposition.NMF``. This module lets that code run on TPU by
+swapping the import: same constructor surface, same ``fit`` /
+``fit_transform`` / ``transform`` / ``inverse_transform`` methods, same
+fitted attributes (``components_``, ``reconstruction_err_``, ``n_iter_``),
+with the work routed through nmftpu's drivers (dense, sparse engines, or
+a device mesh).
+
+Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
+  * solver="mu" is the native path (bit-comparable to sklearn's MU — see
+    tests/test_sklearn_parity.py); solver="cd" is not implemented.
+  * ``tol`` stops on the drop of the Frobenius error between convergence
+    checks (an absolute threshold on |Δ‖V−WH‖_F|), not sklearn's
+    relative-to-initial-error criterion; ``tol=0`` runs ``max_iter``
+    exactly, matching sklearn.
+  * ``alpha_W``/``alpha_H``/``l1_ratio`` regularization is not mapped —
+    nmftpu exposes penalized objectives through the ACLS/AHCLS/GDCLS
+    algorithms instead (``algorithm=`` extension parameter).
+  * Extra TPU-side parameters (``mesh``, ``strategy``, ``v_storage``,
+    ``num_runs``, ``algorithm``) default to the sklearn-equivalent
+    behavior and are ignored by sklearn-written call sites.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.base import BaseEstimator, TransformerMixin
+
+from nmftpu.config import (
+    Algorithm,
+    Initialization,
+    NmfConfig,
+    Objective,
+    ThresholdType,
+)
+
+_BETA_LOSS = {
+    "frobenius": Objective.FROBENIUS,
+    2: Objective.FROBENIUS,
+    2.0: Objective.FROBENIUS,
+    "kullback-leibler": Objective.KL,
+    1: Objective.KL,
+    1.0: Objective.KL,
+}
+
+_INITS = {
+    None: Initialization.ALL_RANDOM_VALUES,
+    "random": Initialization.ALL_RANDOM_VALUES,
+    "custom": Initialization.COPY_EXISTING,
+    # nmftpu extensions beyond sklearn's init set
+    "kmeans": Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+    "mean_columns": Initialization.MEAN_COLUMNS,
+}
+
+
+def _as_nmftpu_input(X):
+    """numpy/JAX dense, scipy.sparse, or nmftpu sparse -> driver input."""
+    from nmftpu import sparse as hs
+
+    if isinstance(X, hs.SparseMatrix):
+        return X, True
+    if hasattr(X, "tocsr") and hasattr(X, "nnz"):  # scipy.sparse duck type
+        return hs.from_scipy(X), True
+    return np.asarray(X), False
+
+
+class NMF(TransformerMixin, BaseEstimator):
+    """Drop-in ``sklearn.decomposition.NMF`` running on nmftpu engines.
+
+    Parameters follow sklearn where they exist there (``n_components``,
+    ``init``, ``solver``, ``beta_loss``, ``tol``, ``max_iter``,
+    ``random_state``, ``verbose``); the extension parameters select
+    nmftpu machinery:
+
+    algorithm: None (= MU, sklearn's solver="mu") or any nmftpu
+      ``Algorithm``/string ("als", "acls", "ahcls", "gdcls", "nsnmf").
+    mesh: a 2-D ('users','items') ``jax.sharding.Mesh`` — fits run
+      sharded (GSPMD dense path or the sparse sharded engines).
+    strategy: sparse engine ("auto" | "densified" | "ell" | "scatter").
+    v_storage: "float32" | "bfloat16" | "int8" — V's on-device storage
+      (dense + densified paths; see docs/TUNING.md).
+    num_runs: best-of-N random restarts (reference ``numRuns``).
+    """
+
+    def __init__(
+        self,
+        n_components=None,
+        *,
+        init=None,
+        solver="mu",
+        beta_loss="frobenius",
+        tol=1e-4,
+        max_iter=200,
+        random_state=None,
+        alpha_W=0.0,
+        alpha_H="same",
+        l1_ratio=0.0,
+        verbose=0,
+        shuffle=False,
+        algorithm=None,
+        mesh=None,
+        strategy="auto",
+        v_storage="float32",
+        num_runs=1,
+        check_interval=10,
+        dtype="float32",
+        eps=1e-9,
+    ):
+        self.n_components = n_components
+        self.init = init
+        self.solver = solver
+        self.beta_loss = beta_loss
+        self.tol = tol
+        self.max_iter = max_iter
+        self.random_state = random_state
+        self.alpha_W = alpha_W
+        self.alpha_H = alpha_H
+        self.l1_ratio = l1_ratio
+        self.verbose = verbose
+        self.shuffle = shuffle
+        self.algorithm = algorithm
+        self.mesh = mesh
+        self.strategy = strategy
+        self.v_storage = v_storage
+        self.num_runs = num_runs
+        self.check_interval = check_interval
+        self.dtype = dtype
+        self.eps = eps
+
+    # -- parameter translation ------------------------------------------
+
+    def _config(self, X_shape, init_method):
+        if self.solver != "mu":
+            raise NotImplementedError(
+                f"solver={self.solver!r}: nmftpu implements the 'mu' "
+                "solver (sklearn's coordinate-descent 'cd' has no TPU "
+                "analog here); algorithm='als' is the alternating "
+                "least-squares alternative"
+            )
+        if self.beta_loss not in _BETA_LOSS:
+            raise ValueError(
+                f"beta_loss={self.beta_loss!r} is not supported; use "
+                "'frobenius' (2) or 'kullback-leibler' (1)"
+            )
+        if self.alpha_W or (self.alpha_H not in ("same", 0.0, 0)) \
+                or self.l1_ratio:
+            raise NotImplementedError(
+                "alpha_W/alpha_H/l1_ratio regularization is not mapped; "
+                "use the penalized algorithms instead (algorithm='acls' "
+                "with lambda_w/lambda_h, 'ahcls', or 'gdcls' — see "
+                "nmftpu.NmfConfig)"
+            )
+        r = self.n_components
+        if r is None:
+            r = min(X_shape)
+        alg = self.algorithm
+        if alg is None:
+            alg = Algorithm.MU
+        elif not isinstance(alg, Algorithm):
+            alg = Algorithm(alg)
+        seed = self.random_state
+        if seed is None:
+            seed = 0
+        elif not isinstance(seed, (int, np.integer)):
+            raise ValueError(
+                "random_state must be an int seed or None (Generator "
+                "instances are not hashable into device RNG keys)"
+            )
+        return NmfConfig(
+            rank=int(r),
+            algorithm=alg,
+            objective=_BETA_LOSS[self.beta_loss],
+            init_method=init_method,
+            seed=int(seed),
+            num_iterations=int(self.max_iter),
+            num_runs=int(self.num_runs),
+            threshold_value=float(self.tol),
+            threshold_type=ThresholdType.FROBENIUS,
+            check_interval=int(self.check_interval),
+            v_storage=self.v_storage,
+            dtype=self.dtype,
+            eps=float(self.eps),
+            verbosity=min(int(self.verbose), 3),
+        )
+
+    # -- sklearn API -----------------------------------------------------
+
+    def fit_transform(self, X, y=None, W=None, H=None):
+        """Factorize X ≈ W @ H; returns W and stores H as components_."""
+        data, is_sparse = _as_nmftpu_input(X)
+        shape = data.shape
+        if self.init == "custom":
+            if W is None or H is None:
+                raise ValueError("init='custom' requires both W and H")
+            init_method = Initialization.COPY_EXISTING
+        else:
+            if self.init in ("nndsvd", "nndsvda", "nndsvdar"):
+                raise NotImplementedError(
+                    f"init={self.init!r}: SVD-seeded inits are not "
+                    "implemented; 'random', 'kmeans', 'mean_columns' and "
+                    "'custom' are available"
+                )
+            if self.init not in _INITS:
+                raise ValueError(f"unknown init {self.init!r}")
+            init_method = _INITS[self.init]
+        cfg = self._config(shape, init_method)
+
+        if is_sparse:
+            if self.mesh is not None:
+                from nmftpu.parallel import compute_sharded
+
+                res = compute_sharded(data, cfg, mesh=self.mesh,
+                                      W0=W, H0=H)
+            else:
+                from nmftpu.sparse_ops import compute_sparse
+
+                res = compute_sparse(data, cfg, W0=W, H0=H,
+                                     strategy=self.strategy)
+        else:
+            from nmftpu.driver import compute
+
+            res = compute(data, cfg, W0=W, H0=H, mesh=self.mesh)
+
+        self.components_ = np.asarray(res.H)
+        self.n_components_ = self.components_.shape[0]
+        self.n_features_in_ = shape[1]
+        self.n_iter_ = int(res.num_iterations)
+        # sklearn reports sqrt(2·beta_divergence): the Frobenius NORM for
+        # beta=2, sqrt(2·KL) for beta=1 (_beta_divergence square_root=True)
+        if cfg.objective is Objective.KL:
+            self.reconstruction_err_ = float(
+                np.sqrt(2.0 * max(res.kl_error, 0.0))
+            )
+        else:
+            self.reconstruction_err_ = float(res.frobenius_error)
+        self._result = res
+        return np.asarray(res.W)
+
+    def fit(self, X, y=None, **params):
+        self.fit_transform(X, **params)
+        return self
+
+    def transform(self, X):
+        """Project NEW rows onto the fitted components (H frozen) — the
+        fold-in path (nmftpu.foldin.transform, sklearn-parity tested)."""
+        self._check_fitted()
+        from nmftpu.foldin import transform as fold_transform
+
+        data, _ = _as_nmftpu_input(X)
+        obj = ("kl" if _BETA_LOSS[self.beta_loss] is Objective.KL
+               else "frobenius")
+        seed = self.random_state if isinstance(
+            self.random_state, (int, np.integer)) else 0
+        out = fold_transform(
+            data, self.components_, algorithm="mu", objective=obj,
+            num_iterations=int(self.max_iter), seed=int(seed),
+        )
+        return np.asarray(out.W)
+
+    def inverse_transform(self, X=None, *, Xt=None):
+        self._check_fitted()
+        Wt = X if X is not None else Xt
+        if Wt is None:
+            raise ValueError("pass the transformed array")
+        return np.asarray(Wt) @ self.components_
+
+    def _check_fitted(self):
+        if not hasattr(self, "components_"):
+            raise AttributeError(
+                "This NMF instance is not fitted yet; call fit or "
+                "fit_transform first"
+            )
