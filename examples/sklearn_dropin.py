@@ -23,7 +23,8 @@ def main():
     V = np.asarray(inter.matrix.todense(), dtype=np.float32)
 
     model = NMF(n_components=32, init="random", solver="mu",
-                beta_loss="frobenius", max_iter=args.iters or 150,
+                beta_loss="frobenius",
+                max_iter=150 if args.iters is None else args.iters,
                 tol=0.0, random_state=0)
     W = model.fit_transform(V)
     print(f"fit: W {W.shape}, components_ {model.components_.shape}, "

@@ -81,14 +81,43 @@ def nmf(
         **knobs,
     )
 
+    return dispatch(
+        data, config, W0=W0, H0=H0, mesh=mesh, strategy=strategy,
+        callback=callback, interrupt=interrupt,
+    )
+
+
+def dispatch(
+    data,
+    config: NmfConfig,
+    *,
+    W0=None,
+    H0=None,
+    mesh=None,
+    strategy: str = "auto",
+    callback=None,
+    interrupt=None,
+) -> "driver.NmfResult":
+    """Route (data, config) to the right engine: sparse+mesh → the
+    sharded driver (strategy maps to its per-tile engine), sparse →
+    compute_sparse, dense → compute (GSPMD-sharded when mesh given).
+    Shared by `nmf` and the sklearn facade so the routing cannot drift."""
     from nmftpu import sparse as sparse_mod
 
     if isinstance(data, sparse_mod.SparseMatrix):
         if mesh is not None:
             from nmftpu.parallel import compute_sharded
 
+            engine = strategy if strategy in ("ell", "scatter", "ring") \
+                else "auto"
+            if strategy == "densified":
+                raise ValueError(
+                    "strategy='densified' is single-device only; the "
+                    "sharded engines are 'ell', 'scatter', 'ring' "
+                    "(or 'auto')"
+                )
             return compute_sharded(
-                data, config, mesh=mesh, W0=W0, H0=H0,
+                data, config, mesh=mesh, W0=W0, H0=H0, engine=engine,
                 callback=callback, interrupt=interrupt,
             )
         from nmftpu import sparse_ops

@@ -50,7 +50,9 @@ class Objective(str, enum.Enum):
 
 
 class Initialization(str, enum.Enum):
-    """The six initialization strategies (SURVEY.md C8)."""
+    """The six reference initialization strategies (SURVEY.md C8), plus
+    the NNDSVD family (sklearn's default init — deterministic SVD
+    seeding; host-side one-time computation, see init/nndsvd.py)."""
 
     COPY_EXISTING = "copy_existing"
     ALL_RANDOM_VALUES = "all_random_values"
@@ -58,6 +60,9 @@ class Initialization(str, enum.Enum):
     K_MEANS_AND_RANDOM_VALUES = "kmeans_random"
     K_MEANS_AND_NON_NEGATIVE_WTV = "kmeans_nonnegative_wtv"
     K_MEANS_AND_ABSOLUTE_WTV = "kmeans_absolute_wtv"
+    NNDSVD = "nndsvd"
+    NNDSVDA = "nndsvda"
+    NNDSVDAR = "nndsvdar"
 
 
 class ThresholdType(str, enum.Enum):

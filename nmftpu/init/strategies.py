@@ -76,6 +76,22 @@ def initialize_factors(
         return W, H
 
     if method in (
+        Initialization.NNDSVD,
+        Initialization.NNDSVDA,
+        Initialization.NNDSVDAR,
+    ):
+        import numpy as np
+
+        from nmftpu.init.nndsvd import nndsvd_init
+
+        # host-side one-time SVD seeding (deterministic; the 'ar'
+        # variant's fill noise is seeded from the run key)
+        seed = int(jax.random.randint(kk, (), 0, 2**31 - 1))
+        W, H = nndsvd_init(np.asarray(V), rank, variant=method.value,
+                           seed=seed)
+        return jnp.asarray(W, dtype), jnp.asarray(H, dtype)
+
+    if method in (
         Initialization.K_MEANS_AND_RANDOM_VALUES,
         Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
         Initialization.K_MEANS_AND_ABSOLUTE_WTV,

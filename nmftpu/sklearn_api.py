@@ -13,6 +13,16 @@ a device mesh).
 Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
   * solver="mu" is the native path (bit-comparable to sklearn's MU — see
     tests/test_sklearn_parity.py); solver="cd" is not implemented.
+  * ``init`` resolves exactly like sklearn's ``_initialize_nmf``:
+    ``None`` → deterministic ``'nndsvda'`` when the rank permits, else
+    ``'random'``; all NNDSVD variants are implemented
+    (nmftpu/init/nndsvd.py — sign-invariant, so the exact SVD here and
+    sklearn's randomized SVD agree to numerical precision).
+  * ``n_components='auto'``/``None`` resolves like sklearn (a custom H's
+    row count, else ``n_features``) — but nmftpu engines require
+    ``rank <= min(n, m)``, so an overcomplete default on a short-wide
+    matrix raises a clear error instead of fitting; set ``n_components``
+    explicitly there.
   * ``tol`` stops on the drop of the Frobenius error between convergence
     checks (an absolute threshold on |Δ‖V−WH‖_F|), not sklearn's
     relative-to-initial-error criterion; ``tol=0`` runs ``max_iter``
@@ -48,11 +58,14 @@ _BETA_LOSS = {
 }
 
 _INITS = {
-    None: Initialization.ALL_RANDOM_VALUES,
     "random": Initialization.ALL_RANDOM_VALUES,
     "custom": Initialization.COPY_EXISTING,
-    # nmftpu extensions beyond sklearn's init set
-    "kmeans": Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+    "nndsvd": Initialization.NNDSVD,
+    "nndsvda": Initialization.NNDSVDA,
+    "nndsvdar": Initialization.NNDSVDAR,
+    # nmftpu extensions beyond sklearn's init set (same strings as
+    # nmftpu.api.nmf's aliases)
+    "kmeans": Initialization.K_MEANS_AND_RANDOM_VALUES,
     "mean_columns": Initialization.MEAN_COLUMNS,
 }
 
@@ -80,7 +93,9 @@ class NMF(TransformerMixin, BaseEstimator):
       ``Algorithm``/string ("als", "acls", "ahcls", "gdcls", "nsnmf").
     mesh: a 2-D ('users','items') ``jax.sharding.Mesh`` — fits run
       sharded (GSPMD dense path or the sparse sharded engines).
-    strategy: sparse engine ("auto" | "densified" | "ell" | "scatter").
+    strategy: sparse engine ("auto" | "densified" | "ell" | "scatter";
+      with a mesh, "ell"/"scatter"/"ring" select the per-tile sharded
+      engine and "densified" is rejected — single-device only).
     v_storage: "float32" | "bfloat16" | "int8" — V's on-device storage
       (dense + densified paths; see docs/TUNING.md).
     num_runs: best-of-N random restarts (reference ``numRuns``).
@@ -88,7 +103,7 @@ class NMF(TransformerMixin, BaseEstimator):
 
     def __init__(
         self,
-        n_components=None,
+        n_components="auto",
         *,
         init=None,
         solver="mu",
@@ -133,7 +148,20 @@ class NMF(TransformerMixin, BaseEstimator):
 
     # -- parameter translation ------------------------------------------
 
-    def _config(self, X_shape, init_method):
+    def _resolve_rank(self, X_shape, W, H):
+        """sklearn's n_components semantics: 'auto' (the 1.x default)
+        infers from a provided custom H (or W), else uses n_features;
+        None is the legacy alias for n_features."""
+        r = self.n_components
+        if r is None or (isinstance(r, str) and r == "auto"):
+            if H is not None:
+                return int(np.asarray(H).shape[0])
+            if W is not None:
+                return int(np.asarray(W).shape[1])
+            return int(X_shape[1])
+        return int(r)
+
+    def _config(self, r, init_method):
         if self.solver != "mu":
             raise NotImplementedError(
                 f"solver={self.solver!r}: nmftpu implements the 'mu' "
@@ -154,9 +182,6 @@ class NMF(TransformerMixin, BaseEstimator):
                 "with lambda_w/lambda_h, 'ahcls', or 'gdcls' — see "
                 "nmftpu.NmfConfig)"
             )
-        r = self.n_components
-        if r is None:
-            r = min(X_shape)
         alg = self.algorithm
         if alg is None:
             alg = Algorithm.MU
@@ -193,37 +218,37 @@ class NMF(TransformerMixin, BaseEstimator):
         """Factorize X ≈ W @ H; returns W and stores H as components_."""
         data, is_sparse = _as_nmftpu_input(X)
         shape = data.shape
+        r = self._resolve_rank(shape, W, H)
         if self.init == "custom":
             if W is None or H is None:
                 raise ValueError("init='custom' requires both W and H")
             init_method = Initialization.COPY_EXISTING
         else:
-            if self.init in ("nndsvd", "nndsvda", "nndsvdar"):
-                raise NotImplementedError(
-                    f"init={self.init!r}: SVD-seeded inits are not "
-                    "implemented; 'random', 'kmeans', 'mean_columns' and "
-                    "'custom' are available"
+            if W is not None or H is not None:
+                import warnings
+
+                warnings.warn(
+                    "When init != 'custom', provided W or H are ignored",
+                    RuntimeWarning, stacklevel=2,
                 )
-            if self.init not in _INITS:
-                raise ValueError(f"unknown init {self.init!r}")
-            init_method = _INITS[self.init]
-        cfg = self._config(shape, init_method)
-
-        if is_sparse:
-            if self.mesh is not None:
-                from nmftpu.parallel import compute_sharded
-
-                res = compute_sharded(data, cfg, mesh=self.mesh,
-                                      W0=W, H0=H)
+                W = H = None
+            if self.init is None:
+                # sklearn's default: deterministic NNDSVDa seeding when
+                # the rank permits, else random (_initialize_nmf)
+                init_method = (
+                    Initialization.NNDSVDA if r <= min(shape)
+                    else Initialization.ALL_RANDOM_VALUES
+                )
+            elif self.init in _INITS:
+                init_method = _INITS[self.init]
             else:
-                from nmftpu.sparse_ops import compute_sparse
+                raise ValueError(f"unknown init {self.init!r}")
+        cfg = self._config(r, init_method)
 
-                res = compute_sparse(data, cfg, W0=W, H0=H,
-                                     strategy=self.strategy)
-        else:
-            from nmftpu.driver import compute
+        from nmftpu.api import dispatch
 
-            res = compute(data, cfg, W0=W, H0=H, mesh=self.mesh)
+        res = dispatch(data, cfg, W0=W, H0=H, mesh=self.mesh,
+                       strategy=self.strategy)
 
         self.components_ = np.asarray(res.H)
         self.n_components_ = self.components_.shape[0]
@@ -237,7 +262,6 @@ class NMF(TransformerMixin, BaseEstimator):
             )
         else:
             self.reconstruction_err_ = float(res.frobenius_error)
-        self._result = res
         return np.asarray(res.W)
 
     def fit(self, X, y=None, **params):
@@ -255,9 +279,18 @@ class NMF(TransformerMixin, BaseEstimator):
                else "frobenius")
         seed = self.random_state if isinstance(
             self.random_state, (int, np.integer)) else 0
+        # fold-in supports mu and one-shot als; the penalized algorithms
+        # fall back to the mu projection (their H-side penalties do not
+        # apply to a W-only solve)
+        alg = "als" if self.algorithm in ("als", Algorithm.ALS) else "mu"
+        kwargs = {}
+        if alg == "mu":
+            kwargs["objective"] = obj
+            kwargs["num_iterations"] = int(self.max_iter)
+            kwargs["eps"] = float(self.eps) if self.eps else 1e-12
         out = fold_transform(
-            data, self.components_, algorithm="mu", objective=obj,
-            num_iterations=int(self.max_iter), seed=int(seed),
+            data, self.components_, algorithm=alg, seed=int(seed),
+            **kwargs,
         )
         return np.asarray(out.W)
 

@@ -544,6 +544,33 @@ def sparse_initialize_factors(
         return W, rand(kh, (rank, m))
 
     if method in (
+        Initialization.NNDSVD,
+        Initialization.NNDSVDA,
+        Initialization.NNDSVDAR,
+    ):
+        from nmftpu.init.nndsvd import nndsvd_init
+
+        # host-side one-time truncated SVD (scipy svds — V stays sparse)
+        try:
+            import scipy.sparse as sps
+
+            k = coo.nnz  # strip the chunk padding
+            host = sps.coo_matrix(
+                (np.asarray(coo.values)[:k],
+                 (np.asarray(coo.rows)[:k], np.asarray(coo.cols)[:k])),
+                shape=(n, m),
+            ).tocsr()
+        except ImportError:
+            k = coo.nnz
+            host = np.zeros((n, m), np.float64)
+            host[np.asarray(coo.rows)[:k], np.asarray(coo.cols)[:k]] = (
+                np.asarray(coo.values)[:k]
+            )
+        seed = int(jax.random.randint(kk, (), 0, 2**31 - 1))
+        W, H = nndsvd_init(host, rank, variant=method.value, seed=seed)
+        return jnp.asarray(W, dtype), jnp.asarray(H, dtype)
+
+    if method in (
         Initialization.K_MEANS_AND_RANDOM_VALUES,
         Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
         Initialization.K_MEANS_AND_ABSOLUTE_WTV,

@@ -43,11 +43,11 @@ def test_fit_transform_matches_sklearn(rng, beta):
 def test_fit_and_fitted_attributes(rng):
     V, _, _ = _problem(rng)
     est = NMF(n_components=4, max_iter=20, tol=0.0, random_state=1)
-    assert est.fit(V) is est
+    W = est.fit_transform(V)
     assert est.components_.shape == (4, 30)
     assert est.n_features_in_ == 30
     assert np.isfinite(est.reconstruction_err_)
-    recon = est.inverse_transform(est._result.W)
+    recon = est.inverse_transform(W)
     assert recon.shape == V.shape
 
 
@@ -110,8 +110,6 @@ def test_parameter_translation_errors(rng):
         NMF(n_components=3, beta_loss="itakura-saito").fit(V)
     with pytest.raises(NotImplementedError, match="acls"):
         NMF(n_components=3, alpha_W=0.1).fit(V)
-    with pytest.raises(NotImplementedError, match="nndsvd"):
-        NMF(n_components=3, init="nndsvd").fit(V)
     with pytest.raises(ValueError, match="custom"):
         NMF(n_components=3, init="custom").fit(V)
     with pytest.raises(AttributeError, match="not fitted"):
@@ -142,3 +140,120 @@ def test_extension_algorithm_als(rng):
     assert (W >= 0).all()
     rel = est.reconstruction_err_ / np.linalg.norm(V)
     assert rel < 0.05
+
+
+def test_nndsvd_init_matches_sklearn(rng):
+    """Our exact-SVD NNDSVD matches sklearn's randomized-SVD version to
+    numerical precision (the per-component +/- part selection makes
+    NNDSVD invariant to the SVD's sign ambiguity)."""
+    from sklearn.decomposition._nmf import _initialize_nmf
+
+    from nmftpu.init.nndsvd import nndsvd_init
+
+    V, _, _ = _problem(rng, n=30, m=24, r=6)
+    for variant in ("nndsvd", "nndsvda"):
+        W_sk, H_sk = _initialize_nmf(V, 6, init=variant, random_state=0)
+        W, H = nndsvd_init(V, 6, variant=variant)
+        # sklearn uses randomized SVD (approximate); ours is exact LAPACK
+        np.testing.assert_allclose(W, W_sk, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(H, H_sk, rtol=2e-3, atol=2e-4)
+    # sparse input path (scipy svds), same math
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    Vs = V.copy(); Vs[Vs < np.quantile(Vs, 0.6)] = 0.0
+    W_sk, H_sk = _initialize_nmf(
+        scipy_sparse.csr_matrix(Vs), 4, init="nndsvd", random_state=0
+    )
+    W, H = nndsvd_init(scipy_sparse.csr_matrix(Vs), 4, variant="nndsvd")
+    # truncated ARPACK vs randomized SVD drift more on the sparse
+    # spectrum tail; the seeding is equivalent, not bit-identical
+    np.testing.assert_allclose(W, W_sk, rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(H, H_sk, rtol=2e-2, atol=1e-2)
+
+
+def test_default_construction_matches_sklearn_end_to_end(rng):
+    """NMF(n_components=r) with all other params DEFAULT follows sklearn's
+    default pipeline (nndsvda init + mu). The SVD backends differ
+    (exact LAPACK vs randomized), so factors are equivalent-quality
+    rather than bit-identical: the reconstruction errors must agree."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    V, _, _ = _problem(rng)
+    iters = 50
+    sk = SkNMF(n_components=5, solver="mu", max_iter=iters, tol=0.0)
+    sk.fit_transform(V.copy())
+    est = NMF(n_components=5, max_iter=iters, tol=0.0,
+              dtype="float64", eps=0.0)
+    est.fit_transform(V)
+    np.testing.assert_allclose(est.reconstruction_err_,
+                               sk.reconstruction_err_, rtol=2e-3)
+
+
+def test_auto_n_components_resolution(rng):
+    """'auto' (the sklearn 1.x default) infers the rank from a custom H,
+    else n_features; a tall matrix fits with the n_features default."""
+    V, W0, H0 = _problem(rng, n=40, m=8, r=3)
+    est = NMF(init="custom", max_iter=5, tol=0.0, dtype="float64")
+    est.fit(V, W=W0[:, :3], H=H0[:3, :8])
+    assert est.n_components_ == 3
+    est2 = NMF(max_iter=5, tol=0.0)
+    est2.fit(V)  # auto -> n_features = 8 <= min handled
+    assert est2.n_components_ == 8
+    # overcomplete default on a short-wide matrix fails LOUDLY
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rank"):
+        NMF(max_iter=5).fit(V.T[:6])
+
+
+def test_ignored_custom_factors_warn(rng):
+    V, W0, H0 = _problem(rng)
+    est = NMF(n_components=5, init="random", max_iter=5, tol=0.0)
+    with pytest.warns(RuntimeWarning, match="ignored"):
+        est.fit(V, W=W0, H=H0)
+
+
+def test_mesh_strategy_forwarding(rng):
+    """strategy= selects the sharded per-tile engine when a mesh is
+    given; 'densified' is rejected on meshes."""
+    from nmftpu.parallel import make_grid_mesh
+    from nmftpu.sparse import from_dense
+
+    V, _, _ = _problem(rng, dtype=np.float32)
+    V[V < 0.8] = 0.0
+    V[:, 0] += 0.5
+    V[0, :] += 0.5
+    sp = from_dense(V)
+    mesh = make_grid_mesh((2, 4))
+    for strat in ("scatter", "ring"):
+        est = NMF(n_components=3, max_iter=10, tol=0.0, mesh=mesh,
+                  strategy=strat, init="random", random_state=0)
+        est.fit(sp)
+        assert np.isfinite(est.reconstruction_err_)
+    with pytest.raises(ValueError, match="densified"):
+        NMF(n_components=3, max_iter=5, mesh=mesh,
+            strategy="densified", init="random").fit(sp)
+
+
+def test_nndsvd_inits_via_core_api(rng):
+    """The NNDSVD family is first-class in the core API too (dense and
+    sparse drivers), not just the facade."""
+    import nmftpu
+    from nmftpu.sparse import from_dense
+
+    V, _, _ = _problem(rng, dtype=np.float32)
+    for init in ("nndsvd", "nndsvda", "nndsvdar"):
+        res = nmftpu.nmf(V, 4, init=init, num_iterations=10)
+        assert np.isfinite(res.frobenius_error)
+    Vs = V.copy(); Vs[Vs < np.quantile(Vs, 0.6)] = 0.0
+    Vs[:, 0] += 0.5; Vs[0, :] += 0.5
+    res = nmftpu.nmf(from_dense(Vs), 4, init="nndsvda", num_iterations=10)
+    assert np.isfinite(res.frobenius_error)
+    # deterministic: same call twice -> identical factors
+    r2 = nmftpu.nmf(from_dense(Vs), 4, init="nndsvda", num_iterations=10)
+    np.testing.assert_array_equal(np.asarray(res.W), np.asarray(r2.W))
+    # sharded driver routes nndsvd through the single-device init
+    # fallback then shards (host SVD is init-time-only)
+    from nmftpu.parallel import make_grid_mesh
+
+    rm = nmftpu.nmf(from_dense(Vs), 4, init="nndsvda", num_iterations=10,
+                    mesh=make_grid_mesh((2, 4)))
+    assert np.isfinite(rm.frobenius_error)
