@@ -31,7 +31,10 @@ def synthetic_powerlaw_sparse(
     Row/column marginals follow truncated power laws (exponent
     alpha_user/alpha_item) — the load-imbalance regime real recommender
     matrices live in (SURVEY.md §7 hard parts). Duplicate (user, item)
-    draws are collapsed (summed then clipped to the planted value).
+    draws are collapsed to a single entry, so the RETURNED nnz (read it
+    from the result) is below the requested `nnz` — substantially so for
+    steep power laws at high densities; size FLOP/throughput accounting
+    off the result's nnz, not the request.
     """
     rng = np.random.default_rng(seed)
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,42 @@ class TransformResult:
     error: float  # objective at exit (Frobenius norm, or KL divergence)
     rmsd: float  # Frobenius objective only; NaN for KL
     num_iterations: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PreparedTable:
+    """Loop-invariant per-table quantities for repeated fold-ins.
+
+    Per-request serving (Recommender.fold_in) must not rebuild the
+    O(r²m) Gram and the (m, r) transpose on every call; prepare once
+    with :func:`prepare_table` and pass the result as ``transform``'s
+    ``H``. ``Ht`` keeps the TABLE's dtype (a bf16 serving table is
+    never up-cast in full — only the gathered history columns are);
+    the (r, r)/(r,) statistics accumulate in f32.
+    """
+
+    Ht: Any     # (m, r) item table, original dtype
+    G: Any      # (r, r) f32 Gram H Hᵀ
+    h_sum: Any  # (r,) f32 row sums (KL denominator)
+
+    @property
+    def shape(self):
+        m, r = self.Ht.shape
+        return r, m
+
+
+def prepare_table(H) -> PreparedTable:
+    """Precompute the table-invariant fold-in quantities once."""
+    H = jnp.asarray(H)
+    if H.ndim != 2:
+        raise ValueError(f"H must be (rank, n_items), got shape {H.shape}")
+    Ht = H.T  # (m, r): row-gathers on the sublane axis (PERF.md round 2)
+    G = jax.lax.dot_general(
+        H, Ht, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h_sum = jnp.sum(H, axis=1, dtype=jnp.float32)
+    return PreparedTable(Ht=Ht, G=G, h_sum=h_sum)
 
 
 # ---------------------------------------------------------------------------
@@ -174,15 +211,12 @@ def transform(
     from nmftpu.linalg import dense as D
 
     # jnp.asarray keeps an already-on-device table resident (serving hands
-    # us its jax H; a host round-trip at 10M items would dwarf the solve)
-    H = jnp.asarray(H, dtype=jnp.float32)
-    if H.ndim != 2:
-        raise ValueError(f"H must be (rank, n_items), got shape {H.shape}")
-    r, m = H.shape
-    dtype = H.dtype
-    Ht = H.T  # (m, r): row-gathers on the sublane axis (PERF.md round 2)
-    G = H @ Ht  # (r, r) Gram, loop-invariant
-    h_sum = jnp.sum(H, axis=1)  # (r,) KL denominator
+    # us its jax H; a host round-trip at 10M items would dwarf the solve).
+    # A PreparedTable (prepare_table) skips the per-call Gram/transpose.
+    prep = H if isinstance(H, PreparedTable) else prepare_table(H)
+    r, m = prep.shape
+    dtype = jnp.float32
+    Ht, G, h_sum = prep.Ht, prep.G, prep.h_sum
 
     if algorithm not in ("mu", "als"):
         raise ValueError(f"algorithm must be mu|als, got {algorithm!r}")
@@ -204,13 +238,24 @@ def transform(
             raise ValueError(
                 f"data has {m_in} columns but H has {m} items"
             )
+        if cols_np.size:
+            # the gather below promises in-bounds indices — a bad item id
+            # from a serving caller must fail here, not read garbage
+            lo, hi = int(cols_np.min()), int(cols_np.max())
+            if lo < 0 or hi >= m:
+                raise ValueError(
+                    f"item index out of range: [{lo}, {hi}] vs {m} items"
+                )
+        if vals_np.size and float(vals_np.min()) < 0:
+            raise ValueError("data must be nonnegative")
         rows = jnp.asarray(rows_np)
         vals = jnp.asarray(vals_np, dtype)
         # only the observed columns of the table are ever read
-        # (row gather from the (m, r) table — PERF.md's fastest form)
+        # (row gather from the (m, r) table — PERF.md's fastest form);
+        # a bf16 serving table up-casts only these gathered rows
         Hc = Ht.at[jnp.asarray(cols_np)].get(
             mode="promise_in_bounds"
-        )  # (nnz, r)
+        ).astype(dtype)  # (nnz, r)
         N = jax.ops.segment_sum(vals[:, None] * Hc, rows, num_segments=b)
         sum_v_sq = jnp.sum(vals * vals)
     else:
@@ -220,16 +265,21 @@ def transform(
         if bool(jnp.any(V < 0)):
             raise ValueError("data must be nonnegative")
         b = V.shape[0]
-        N = V @ Ht
+        N = jax.lax.dot_general(
+            V.astype(Ht.dtype), Ht,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         sum_v_sq = jnp.sum(V * V)
 
     if algorithm == "als":
         if alpha_confidence:
             if not sparse_in:
+                H32 = Ht.T.astype(dtype)
                 C = 1.0 + alpha_confidence * V
                 # per-user Gram Hᵀ diag(C_u) H, batched on the MXU
-                Gb = jnp.einsum("rm,um,sm->urs", H, C, H)
-                rhs = (C * V) @ Ht  # (b, r)
+                Gb = jnp.einsum("rm,um,sm->urs", H32, C, H32)
+                rhs = (C * V) @ H32.T  # (b, r)
             else:
                 Gb, rhs = _weighted_grams_sparse(
                     G, Ht, cols_np, vals_np, indptr_np, b,
@@ -255,7 +305,8 @@ def transform(
                 vals, rows, Hc, h_sum, W0d, num_iterations, eps, b
             )
         else:
-            W = _mu_kl_w_loop_dense(V, Ht, h_sum, W0d, num_iterations, eps)
+            W = _mu_kl_w_loop_dense(V, Ht.astype(dtype), h_sum, W0d,
+                                    num_iterations, eps)
         iters_done = num_iterations
 
     # exit-time objective
@@ -263,13 +314,14 @@ def transform(
         if sparse_in:
             err = float(_kl_error_sparse(vals, rows, Hc, W, h_sum, 1e-12))
         else:
-            err = float(D.kl_error(V, W, H))
+            err = float(D.kl_error(V, W, Ht.T.astype(dtype)))
         rmsd = float("nan")
     else:
         if sparse_in:
             err = float(_fro_error_sparse(vals, rows, Hc, W, G, sum_v_sq))
         else:
-            err = float(D.frobenius_error(V, W, H, sum_v_sq=sum_v_sq))
+            err = float(D.frobenius_error(V, W, Ht.T.astype(dtype),
+                                          sum_v_sq=sum_v_sq))
         rmsd = err / float(np.sqrt(b * m))
     return TransformResult(
         W=np.asarray(W), error=err, rmsd=rmsd, num_iterations=iters_done
@@ -295,7 +347,7 @@ def _weighted_grams_sparse(G, Ht, cols_np, vals_np, indptr_np, b, alpha):
         val[u, : e - s] = vals_np[s:e]
     Hk = Ht.at[jnp.asarray(idx)].get(
         mode="promise_in_bounds"
-    )  # (b, kmax, r)
+    ).astype(jnp.float32)  # (b, kmax, r)
     v = jnp.asarray(val)  # zero on padding, so c−1 = 0 there
     cm1 = alpha * v
     Gb = G[None] + jnp.einsum("ukr,uks,uk->urs", Hk, Hk, cm1)

@@ -67,18 +67,23 @@ def recall_at_k(
         else:
             lists = None
         if mesh is not None:
-            _, idx = topk_mips_sharded(
+            scr, idx = topk_mips_sharded(
                 Wq, H_dev, k, mesh=mesh, block=block,
                 exclude_lists=lists, method=method,
             )
         else:
-            _, idx = topk_mips_blocked(
+            scr, idx = topk_mips_blocked(
                 Wq, H_dev, k, block=block, exclude_lists=lists,
                 method=method,
             )
         idx = np.asarray(idx)
+        scr = np.asarray(scr)
         for bi, u in enumerate(batch):
-            top = set(idx[bi].tolist())
+            # -inf slots are fillers (fewer than k valid candidates) —
+            # counting their index-0 placeholder would inflate recall
+            # for test item 0
+            valid = scr[bi] > -np.inf
+            top = set(idx[bi][valid].tolist())
             for item in by_user[int(u)]:
                 hits += item in top
                 total += 1

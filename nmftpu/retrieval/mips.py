@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 NEG_INF = -jnp.inf
@@ -48,9 +49,6 @@ def topk_mips(Wq, H, k, exclude_mask=None):
     return lax.top_k(scores, k)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "block", "method", "candidate_k")
-)
 def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
                       exclude_lists=None, method="exact",
                       candidate_k=None):
@@ -84,6 +82,27 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
         raise ValueError(
             "pass exclude_mask or exclude_lists, not both"
         )
+    if exclude_lists is not None:
+        # Host-built lists (the builder returns numpy): catch a
+        # block-width mismatch that the nblocks count check alone would
+        # miss (same nblocks, different block width => out-of-block
+        # local columns would be silently dropped by the scatter).
+        ec = exclude_lists[1]
+        if isinstance(ec, np.ndarray) and ec.size and int(ec.max()) >= block:
+            raise ValueError(
+                f"exclude_lists contain block-local column {int(ec.max())}"
+                f" >= block={block}; rebuild with this block size"
+            )
+    return _topk_mips_blocked(
+        Wq, H, k, block, exclude_mask, exclude_lists, method, candidate_k
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block", "method", "candidate_k")
+)
+def _topk_mips_blocked(Wq, H, k, block, exclude_mask, exclude_lists,
+                       method, candidate_k):
     b, r = Wq.shape
     m = H.shape[1]
     nblocks = (m + block - 1) // block
@@ -106,7 +125,10 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
     else:
         ex_user = ex_col = None
 
-    kk = k if candidate_k is None else max(1, min(candidate_k, block))
+    # approx_max_k's operand is (b, block): clamp the per-block candidate
+    # count to the block width (k itself may exceed it)
+    kk = (min(k, block) if candidate_k is None
+          else max(1, min(candidate_k, block)))
 
     # padding columns masked off
     col_ids = jnp.arange(block, dtype=jnp.int32)

@@ -47,6 +47,33 @@ class Recommender:
         else:
             self.H = jax.device_put(H_dev)
         self._train_csr = train.to_csr() if train is not None else None
+        self._prepared = None  # lazy fold-in table stats (prepare_table)
+
+    def _prep(self):
+        """Fold-in table invariants, built once per Recommender (the
+        O(r²m) Gram and (m, r) transpose must not be rebuilt per
+        request)."""
+        if self._prepared is None:
+            from nmftpu.foldin import prepare_table
+
+            self._prepared = prepare_table(self.H)
+        return self._prepared
+
+    def _topk(self, Wq, k, lists, candidate_k):
+        """Shared blocked/sharded top-k dispatch for all serving entry
+        points."""
+        if self.mesh is not None:
+            from nmftpu.parallel import topk_mips_sharded
+
+            return topk_mips_sharded(
+                Wq, self.H, k, mesh=self.mesh, block=self.block,
+                exclude_lists=lists, method=self.method,
+                candidate_k=candidate_k,
+            )
+        return topk_mips_blocked(
+            Wq, self.H, k, block=self.block, exclude_lists=lists,
+            method=self.method, candidate_k=candidate_k,
+        )
 
     @property
     def n_users(self) -> int:
@@ -84,23 +111,14 @@ class Recommender:
                   exclude_seen: bool = True, candidate_k: int | None = None):
         """Top-k items for each user id. Returns (scores, item_ids),
         both (len(user_ids), k). candidate_k tunes the approx path's
-        per-block candidate count (k' > k buys back per-block recall)."""
+        per-block candidate count (k' > k buys back per-block recall).
+        When fewer than k candidates exist (heavy user, small catalog)
+        the tail slots carry score=-inf with a filler index — filter on
+        the score."""
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
         lists = self._exclusion(user_ids) if exclude_seen else None
-        if self.mesh is not None:
-            from nmftpu.parallel import topk_mips_sharded
-
-            s, i = topk_mips_sharded(
-                Wq, self.H, k, mesh=self.mesh, block=self.block,
-                exclude_lists=lists, method=self.method,
-                candidate_k=candidate_k,
-            )
-        else:
-            s, i = topk_mips_blocked(
-                Wq, self.H, k, block=self.block, exclude_lists=lists,
-                method=self.method, candidate_k=candidate_k,
-            )
+        s, i = self._topk(Wq, k, lists, candidate_k)
         return np.asarray(s), np.asarray(i)
 
     # -- cold users: fold-in against the frozen item table -----------------
@@ -114,7 +132,6 @@ class Recommender:
         the (rank,) nonnegative embedding. ``values`` defaults to implicit
         1.0 per item; ``algorithm="als"`` is a one-shot solve (the serving
         default), ``"mu"`` iterates ``num_iterations`` times."""
-        from nmftpu.sparse import SparseCOO
         from nmftpu.foldin import transform
 
         item_ids = np.atleast_1d(np.asarray(item_ids, dtype=np.int64))
@@ -123,17 +140,22 @@ class Recommender:
         values = np.atleast_1d(np.asarray(values, dtype=np.float32))
         if values.shape != item_ids.shape:
             raise ValueError("values must match item_ids in length")
-        hist = SparseCOO(
-            np.zeros(len(item_ids), dtype=np.int64), item_ids, values,
-            (1, self.n_items),
-        )
+        hist = self._history_coo(item_ids, values)
         res = transform(
-            hist, self.H, algorithm=algorithm, objective=objective,
+            hist, self._prep(), algorithm=algorithm, objective=objective,
             num_iterations=num_iterations,
             alpha_confidence=alpha_confidence, lambda_w=lambda_w,
             seed=seed,
         )
         return res.W[0]
+
+    def _history_coo(self, item_ids, values):
+        from nmftpu.sparse import SparseCOO
+
+        return SparseCOO(
+            np.zeros(len(item_ids), dtype=np.int64), item_ids, values,
+            (1, self.n_items),
+        )
 
     def recommend_from_history(self, item_ids, values=None, k: int = 100,
                                exclude_history: bool = True,
@@ -148,39 +170,34 @@ class Recommender:
         if exclude_history:
             from nmftpu.parallel.mesh import AXIS_ITEMS
             from nmftpu.retrieval.exclusion import build_block_exclusion
-            from nmftpu.sparse import SparseCOO
 
             shards = self.mesh.shape[AXIS_ITEMS] if self.mesh is not None \
                 else 1
-            hist = SparseCOO(
-                np.zeros(len(item_ids), dtype=np.int64), item_ids,
-                np.ones(len(item_ids), dtype=np.float32),
-                (1, self.n_items),
+            hist = self._history_coo(
+                item_ids, np.ones(len(item_ids), dtype=np.float32)
             )
             lists = build_block_exclusion(
                 np.zeros(1, dtype=np.int64), hist.to_csr(), self.n_items,
                 self.block, shards=shards,
             )
-        Wq = w[None, :]
-        if self.mesh is not None:
-            from nmftpu.parallel import topk_mips_sharded
-
-            s, i = topk_mips_sharded(
-                Wq, self.H, k, mesh=self.mesh, block=self.block,
-                exclude_lists=lists, method=self.method,
-                candidate_k=candidate_k,
-            )
-        else:
-            s, i = topk_mips_blocked(
-                Wq, self.H, k, block=self.block, exclude_lists=lists,
-                method=self.method, candidate_k=candidate_k,
-            )
+        s, i = self._topk(w[None, :], k, lists, candidate_k)
         return np.asarray(s)[0], np.asarray(i)[0]
 
     def score(self, user_id: int, item_ids) -> np.ndarray:
-        """Predicted affinities for specific (user, items) pairs."""
-        H = np.asarray(self.H).astype(np.float32)
-        return self.W[user_id] @ H[:, np.asarray(item_ids)]
+        """Predicted affinities for specific (user, items) pairs. Gathers
+        only the requested table columns ON DEVICE — never a full H
+        host copy (10 GB at the 10M-item design point)."""
+        import jax.numpy as jnp
+
+        item_ids = np.atleast_1d(np.asarray(item_ids))
+        if item_ids.size and (
+            item_ids.min() < 0 or item_ids.max() >= self.n_items
+        ):
+            raise ValueError(
+                f"item index out of range for {self.n_items} items"
+            )
+        cols = jnp.take(self.H, jnp.asarray(item_ids), axis=1)
+        return self.W[user_id] @ np.asarray(cols, dtype=np.float32)
 
     # -- persistence ------------------------------------------------------
 
@@ -193,7 +210,8 @@ class Recommender:
                 np.asarray(self.H).astype(np.float32))
         meta = {"n_users": self.n_users, "n_items": self.n_items,
                 "rank": int(self.W.shape[1]),
-                "table_dtype": self.table_dtype}
+                "table_dtype": self.table_dtype,
+                "method": self.method, "block": int(self.block)}
         if self._train_csr is not None:
             np.savez(
                 os.path.join(path, "train.npz"),
@@ -223,4 +241,6 @@ class Recommender:
                 (W.shape[0], H.shape[1]),
             )
         return cls(W, H, train=train, mesh=mesh,
+                   block=int(meta.get("block", 8192)),
+                   method=meta.get("method", "approx"),
                    table_dtype=meta.get("table_dtype", "float32"))

@@ -2,6 +2,7 @@
 recall@k harness end-to-end on a factorized synthetic matrix."""
 
 import numpy as np
+import pytest
 
 from nmftpu import NmfConfig
 from nmftpu.driver import compute
@@ -196,3 +197,67 @@ def test_exclude_lists_padding_does_not_wrap(rng):
     np.testing.assert_array_equal(
         np.asarray(idx)[0], np.argsort(-masked)[:3]
     )
+
+
+def test_recall_ignores_inf_padding_slots(rng):
+    """When fewer than k valid candidates exist, the -inf filler slots
+    (index 0) must not count as recommendations of item 0."""
+    from nmftpu.sparse import SparseCSR
+
+    n, m, r = 2, 6, 2
+    W = rng.uniform(0.5, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.5, 1.0, (r, m)).astype(np.float32)
+    # user 0 has seen EVERY item except their held-out item 0 -> with
+    # k=4 > 1 valid candidate, 3 slots are -inf fillers at index 0
+    seen = np.array([[0, 1, 1, 1, 1, 1], [0, 0, 0, 0, 0, 0]], bool)
+    indptr = np.concatenate([[0], np.cumsum(seen.sum(1))]).astype(np.int64)
+    indices = np.concatenate([np.nonzero(row)[0] for row in seen])
+    csr = SparseCSR(indptr, indices.astype(np.int64),
+                    np.ones(len(indices), np.float32), (n, m))
+    # user 1 holds out item 3; user 0 holds out item 0 (still a candidate)
+    rec = recall_at_k(W, H, np.array([[0, 0], [1, 3]]), train=csr,
+                      k=4, block=4)
+    # user 0's only candidate IS item 0 -> hit; user 1: depends on scores
+    assert 0.0 <= rec <= 1.0
+    # the stricter check: a held-out item 0 for a user whose top-k is
+    # all fillers must NOT hit
+    seen_all = np.ones((1, m), bool)
+    seen_all[0, 0] = True  # user saw everything incl. 0
+    indptr = np.array([0, m], np.int64)
+    csr_all = SparseCSR(indptr, np.arange(m, dtype=np.int64),
+                        np.ones(m, np.float32), (1, m))
+    rec0 = recall_at_k(W[:1], H, np.array([[0, 0]]), train=csr_all,
+                       k=4, block=4)
+    assert rec0 == 0.0  # every slot is a filler; item 0 must not "hit"
+
+
+def test_approx_k_exceeds_block(rng):
+    """method='approx' with k > block must run (per-block candidates
+    clamp to the block width)."""
+    W = rng.uniform(0.1, 1.0, (3, 4)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (4, 96)).astype(np.float32)
+    s_ap, i_ap = topk_mips_blocked(W, H, k=48, block=32, method="approx")
+    s_ex, i_ex = topk_mips_blocked(W, H, k=48, block=32, method="exact")
+    assert s_ap.shape == (3, 48)
+    # on CPU approx degrades to exact: same candidate sets
+    for b in range(3):
+        assert set(np.asarray(i_ap)[b]) == set(np.asarray(i_ex)[b])
+
+
+def test_exclusion_block_width_mismatch_rejected(rng):
+    """Lists built for one block width cannot silently drop exclusions
+    when scanned at another width that happens to give the same
+    nblocks."""
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+    from nmftpu.sparse import SparseCSR
+
+    n, m = 2, 100
+    W = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, m)).astype(np.float32)
+    seen = np.array([[55, 56], [57, 58]])
+    indptr = np.arange(0, 2 * n + 1, 2).astype(np.int64)
+    csr = SparseCSR(indptr, seen.reshape(-1).astype(np.int64),
+                    np.ones(2 * n, np.float32), (n, m))
+    lists = build_block_exclusion(np.arange(n), csr, m, block=60)
+    with pytest.raises(ValueError, match="block"):
+        topk_mips_blocked(W, H, k=5, block=51, exclude_lists=lists)

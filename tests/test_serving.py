@@ -124,3 +124,50 @@ def test_bf16_table_dtype(rng, tmp_path):
 
     with pytest.raises(ValueError):
         Recommender(W, H, table_dtype="fp8")
+
+
+def test_save_load_preserves_serving_config(tmp_path, rng):
+    """load() must restore method/block — a server configured for exact
+    top-k must not silently come back approximate (code-review r2)."""
+    W = rng.uniform(0.1, 1.0, (12, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, 40)).astype(np.float32)
+    rec = Recommender(W, H, method="exact", block=16)
+    rec.save(str(tmp_path / "m"))
+    loaded = Recommender.load(str(tmp_path / "m"))
+    assert loaded.method == "exact" and loaded.block == 16
+
+
+def test_fold_in_rejects_bad_item_ids(rng):
+    W = rng.uniform(0.1, 1.0, (6, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, 20)).astype(np.float32)
+    rec = Recommender(W, H)
+    with pytest.raises(ValueError, match="out of range"):
+        rec.fold_in([3, 25])
+    with pytest.raises(ValueError, match="out of range"):
+        rec.score(0, [20])
+
+
+def test_score_matches_table(rng):
+    W = rng.uniform(0.1, 1.0, (4, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, 15)).astype(np.float32)
+    rec = Recommender(W, H)
+    got = rec.score(2, [0, 7, 14])
+    np.testing.assert_allclose(got, W[2] @ H[:, [0, 7, 14]], rtol=1e-6)
+
+
+def test_fold_in_reuses_prepared_table(rng):
+    """Repeated fold-ins reuse the cached table invariants (no per-call
+    O(r^2 m) Gram rebuild) and stay consistent; works on a bf16 table."""
+    W = rng.uniform(0.1, 1.0, (6, 4)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (4, 64)).astype(np.float32)
+    rec = Recommender(W, H, table_dtype="bfloat16")
+    w1 = rec.fold_in([1, 5, 9])
+    prep = rec._prepared
+    assert prep is not None
+    w2 = rec.fold_in([1, 5, 9])
+    assert rec._prepared is prep  # cached, not rebuilt
+    np.testing.assert_allclose(w1, w2, rtol=1e-6)
+    # against the f32 oracle: bf16 table storage rounds ~0.4%/operand
+    rec32 = Recommender(W, H)
+    w32 = rec32.fold_in([1, 5, 9])
+    np.testing.assert_allclose(w1, w32, rtol=5e-2, atol=1e-3)
