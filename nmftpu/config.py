@@ -111,8 +111,9 @@ class NmfConfig:
     threshold_value: float = 0.0
     check_interval: int = 10
 
-    # Numerics. `eps` guards the multiplicative-update denominators; dtypes
-    # follow the TPU convention of separate storage and accumulation types.
+    # Numerics. `eps` guards the multiplicative-update denominators.
+    # `dtype` is the factor/compute dtype; `v_storage` separately controls
+    # V's on-device storage (accumulations always run at >= f32).
     # `v_storage` controls how dense V is held in HBM for the update loop:
     #   float32  — exact storage (default);
     #   bfloat16 — halves V traffic; MXU-native;
@@ -125,7 +126,6 @@ class NmfConfig:
     # Factors W/H always stay in `dtype`; error checks read the original V.
     eps: float = 1e-9
     dtype: str = "float32"
-    compute_dtype: str = "float32"
     v_storage: str = "float32"
 
     # Update order within one iteration: "WH" (update W first, matches the
@@ -163,6 +163,19 @@ class NmfConfig:
     vectorize_runs: bool = False
 
     def __post_init__(self) -> None:
+        # Coerce raw strings to the enums: these are str-enums, so a
+        # plain string compares EQUAL but fails the `is` dispatch used
+        # throughout the engines — NmfConfig(objective="kullback-leibler")
+        # would silently run Frobenius otherwise.
+        for field, enum_cls in (
+            ("algorithm", Algorithm),
+            ("objective", Objective),
+            ("init_method", Initialization),
+            ("threshold_type", ThresholdType),
+        ):
+            v = getattr(self, field)
+            if not isinstance(v, enum_cls):
+                object.__setattr__(self, field, enum_cls(v))
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")
         if self.num_iterations < 0:
@@ -191,6 +204,17 @@ class NmfConfig:
             raise ValueError(
                 f"KL objective is only supported for MU/NSNMF, "
                 f"got {self.algorithm}"
+            )
+        if self.alpha_confidence > 0.0 and (
+            self.algorithm is not Algorithm.MU
+            or self.objective is not Objective.FROBENIUS
+        ):
+            raise ValueError(
+                "alpha_confidence (implicit-feedback weighting) is "
+                "implemented for the MU algorithm with the Frobenius "
+                f"objective; got {self.algorithm}/{self.objective} — "
+                "running them unweighted silently would fit a different "
+                "model than requested"
             )
         if not 0.0 <= self.theta <= 1.0:
             raise ValueError(f"theta must be in [0, 1], got {self.theta}")

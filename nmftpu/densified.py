@@ -84,24 +84,27 @@ def frobenius_error_int8_densified(Vq, scale, W, H, sum_v_sq,
     `sum_v_sq_int8_densified` for the cancellation to hold."""
     n, m = Vq.shape
     r = W.shape[1]
-    if n % block_rows:
-        block_rows = n
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
 
-    def body(i, acc):
-        start = i * block_rows
+    def panel(start, rows, acc):
         V_blk = lax.dynamic_slice_in_dim(
-            Vq, start, block_rows, 0
+            Vq, start, rows, 0
         ).astype(jnp.bfloat16)
         W_blk = lax.dynamic_slice_in_dim(
-            W, start, block_rows, 0
+            W, start, rows, 0
         ).astype(jnp.bfloat16)
         return acc + jax.lax.dot_general(
             W_blk, V_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    WtV = lax.fori_loop(0, nb, body, jnp.zeros((r, m), jnp.float32))
+    WtV = jnp.zeros((r, m), jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        WtV = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), WtV,
+        )
+    if tail:  # remainder panel — still panel-sized, never full-matrix
+        WtV = panel(nb * block_rows, tail, WtV)
     cross = scale * jnp.sum(WtV * H)
     quad = jnp.sum((W.T @ W) * (H @ H.T))
     return jnp.sqrt(jnp.maximum(sum_v_sq - 2.0 * cross + quad, 0.0))
@@ -111,17 +114,21 @@ def frobenius_error_int8_densified(Vq, scale, W, H, sum_v_sq,
 def sum_v_sq_int8_densified(Vq, scale, block_rows=4096):
     """||scale*Vq||_F^2 blockwise (no full f32 copy of V)."""
     n, m = Vq.shape
-    if n % block_rows:
-        block_rows = n
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
 
-    def body(i, acc):
+    def panel(start, rows, acc):
         blk = lax.dynamic_slice_in_dim(
-            Vq, i * block_rows, block_rows, 0
+            Vq, start, rows, 0
         ).astype(jnp.float32)
         return acc + jnp.sum(blk * blk)
 
-    total = lax.fori_loop(0, nb, body, jnp.asarray(0.0, jnp.float32))
+    total = jnp.asarray(0.0, jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        total = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), total,
+        )
+    if tail:
+        total = panel(nb * block_rows, tail, total)
     return scale * scale * total
 
 
@@ -137,27 +144,17 @@ def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows, scale=None):
 
     Row panels are read with dynamic_slice inside a fori_loop — NEVER
     reshaped/stacked into scan xs, which would materialize a second
-    V-sized buffer (the ML-20M OOM). Requires n % block_rows == 0 (the
-    densify row_multiple contract); falls back to a single-block path
-    otherwise."""
+    V-sized buffer (the ML-20M OOM). A remainder panel (n % block_rows,
+    e.g. on the dense-registry routes where V is not row-padded) is
+    processed by the same panel math — intermediates stay panel-sized."""
     n, m = Vd.shape
     r = Q.shape[1]
-    if n % block_rows:
-        WH = jax.lax.dot_general(
-            Q.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        ratio = Vd.astype(jnp.float32) / (WH + eps)
-        numer = jax.lax.dot_general(
-            ratio.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        return numer if scale is None else numer * scale
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
     Pb = P.astype(jnp.bfloat16)
 
-    def body(i, out):
-        start = i * block_rows
-        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
-        Q_blk = lax.dynamic_slice_in_dim(Q, start, block_rows, 0)
+    def panel(start, rows, out):
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, rows, 0)
+        Q_blk = lax.dynamic_slice_in_dim(Q, start, rows, 0)
         WH = jax.lax.dot_general(
             Q_blk.astype(jnp.bfloat16), Pb,
             (((1,), (0,)), ((), ())),
@@ -171,9 +168,13 @@ def _kl_numer_w_blocked(Vd, Q, P, eps, block_rows, scale=None):
         )
         return lax.dynamic_update_slice_in_dim(out, numer, start, 0)
 
-    out = lax.fori_loop(
-        0, nb, body, jnp.zeros((n, r), jnp.float32)
-    )
+    out = jnp.zeros((n, r), jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        out = lax.fori_loop(
+            0, nb, lambda i, o: panel(i * block_rows, block_rows, o), out,
+        )
+    if tail:
+        out = panel(nb * block_rows, tail, out)
     return out if scale is None else out * scale
 
 
@@ -184,22 +185,12 @@ def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows, scale=None):
     _kl_numer_w_blocked."""
     n, m = Vd.shape
     r = Q.shape[1]
-    if n % block_rows:
-        WH = jax.lax.dot_general(
-            Q.astype(jnp.bfloat16), H.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        ratio = Vd.astype(jnp.float32) / (WH + eps)
-        numer = jax.lax.dot_general(
-            Q.astype(jnp.bfloat16), ratio.astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return numer if scale is None else numer * scale
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
     Hb = H.astype(jnp.bfloat16)
 
-    def body(i, acc):
-        start = i * block_rows
-        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
-        Q_blk = lax.dynamic_slice_in_dim(Q, start, block_rows, 0)
+    def panel(start, rows, acc):
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, rows, 0)
+        Q_blk = lax.dynamic_slice_in_dim(Q, start, rows, 0)
         WH = jax.lax.dot_general(
             Q_blk.astype(jnp.bfloat16), Hb,
             (((1,), (0,)), ((), ())),
@@ -212,9 +203,13 @@ def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows, scale=None):
             preferred_element_type=jnp.float32,
         )
 
-    out = lax.fori_loop(
-        0, nb, body, jnp.zeros((r, m), jnp.float32)
-    )
+    out = jnp.zeros((r, m), jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        out = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), out,
+        )
+    if tail:
+        out = panel(nb * block_rows, tail, out)
     return out if scale is None else out * scale
 
 
@@ -298,12 +293,7 @@ def _big_wtv(W, Vd):
     )
 
 
-def _solve_clamped(gram, rhs, shift, off, eps):
-    r = gram.shape[0]
-    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
-    if off:
-        A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
+_solve_clamped = D.solve_clamped
 
 
 def als_family_update_densified(
@@ -376,22 +366,20 @@ def mu_update_frobenius_weighted_densified(
     """Confidence-weighted MU (c = 1 + alpha*v) against bf16-dense V,
     blockwise over row panels so C⊙WH never materializes at full size.
     Panels are read via dynamic_slice (no V-sized scan xs — see
-    _kl_numer_w_blocked); requires n % block_rows == 0 or falls back to a
-    single panel. `scale` (int8-stored V = scale * Vd): the confidence
+    _kl_numer_w_blocked); a remainder panel runs the same panel math, so
+    intermediates stay panel-sized for any n.
+    `scale` (int8-stored V = scale * Vd): the confidence
     C = 1 + α·scale·Vq is computed per panel in registers — the
     per-entry weight needs no global fold, so int8 storage composes with
     weighting exactly."""
     n, m = Vd.shape
     r = W.shape[1]
-    if n % block_rows:
-        block_rows = n
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
 
-    def panel_cwh(W, H, i):
+    def panel_cwh(W, H, start, rows):
         """Shared per-panel terms: C = 1 + alpha*V, C⊙V and C⊙(WH)."""
-        start = i * block_rows
-        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
-        W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, rows, 0)
+        W_blk = lax.dynamic_slice_in_dim(W, start, rows, 0)
         V32 = V_blk.astype(jnp.float32)
         if scale is not None:
             V32 = V32 * scale
@@ -401,7 +389,7 @@ def mu_update_frobenius_weighted_densified(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return start, W_blk, C * V32, C * WH
+        return W_blk, C * V32, C * WH
 
     # Each half-step computes ONLY its own numerator/denominator: 3 big
     # contractions (WH, CV·partner, CWH·partner) per half, not the 5 a
@@ -410,9 +398,9 @@ def mu_update_frobenius_weighted_densified(
     def w_terms(W, H):
         Hb = H.astype(jnp.bfloat16)
 
-        def body(i, carry):
+        def panel(start, rows, carry):
             nw_out, dw_out = carry
-            start, _, CV, CWH = panel_cwh(W, H, i)
+            _, CV, CWH = panel_cwh(W, H, start, rows)
             nw = jax.lax.dot_general(
                 CV.astype(jnp.bfloat16), Hb,
                 (((1,), (1,)), ((), ())),
@@ -427,16 +415,20 @@ def mu_update_frobenius_weighted_densified(
             dw_out = lax.dynamic_update_slice_in_dim(dw_out, dw, start, 0)
             return (nw_out, dw_out)
 
-        return lax.fori_loop(
-            0, nb, body,
-            (jnp.zeros((n, r), jnp.float32),
-             jnp.zeros((n, r), jnp.float32)),
-        )
+        out = (jnp.zeros((n, r), jnp.float32),
+             jnp.zeros((n, r), jnp.float32))
+        if nb:  # fori_loop(0, 0) still traces its body
+            out = lax.fori_loop(
+                0, nb, lambda i, c: panel(i * block_rows, block_rows, c), out,
+            )
+        if tail:
+            out = panel(nb * block_rows, tail, out)
+        return out
 
     def h_terms(W, H):
-        def body(i, carry):
+        def panel(start, rows, carry):
             nh, dh = carry
-            _, W_blk, CV, CWH = panel_cwh(W, H, i)
+            W_blk, CV, CWH = panel_cwh(W, H, start, rows)
             Wb = W_blk.astype(jnp.bfloat16)
             nh = nh + jax.lax.dot_general(
                 Wb, CV.astype(jnp.bfloat16),
@@ -450,11 +442,15 @@ def mu_update_frobenius_weighted_densified(
             )
             return (nh, dh)
 
-        return lax.fori_loop(
-            0, nb, body,
-            (jnp.zeros((r, m), jnp.float32),
-             jnp.zeros((r, m), jnp.float32)),
-        )
+        out = (jnp.zeros((r, m), jnp.float32),
+             jnp.zeros((r, m), jnp.float32))
+        if nb:  # fori_loop(0, 0) still traces its body
+            out = lax.fori_loop(
+                0, nb, lambda i, c: panel(i * block_rows, block_rows, c), out,
+            )
+        if tail:
+            out = panel(nb * block_rows, tail, out)
+        return out
 
     if order == "WH":
         nw, dw = w_terms(W, H)
@@ -488,15 +484,12 @@ def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096, scale=None):
     via dynamic_slice — no V-sized intermediates). `scale`: int8-stored
     V = scale * Vd (dequantized per panel in registers)."""
     n, m = Vd.shape
-    if n % block_rows:
-        block_rows = n
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
     Hb = H.astype(jnp.bfloat16)
 
-    def body(i, acc):
-        start = i * block_rows
-        V_blk = lax.dynamic_slice_in_dim(Vd, start, block_rows, 0)
-        W_blk = lax.dynamic_slice_in_dim(W, start, block_rows, 0)
+    def panel(start, rows, acc):
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, rows, 0)
+        W_blk = lax.dynamic_slice_in_dim(W, start, rows, 0)
         V32 = V_blk.astype(jnp.float32)
         if scale is not None:
             V32 = V32 * scale
@@ -512,7 +505,14 @@ def kl_error_densified(Vd, W, H, eps=1e-12, block_rows=4096, scale=None):
         )
         return acc + jnp.sum(term - V32 + WH)
 
-    return lax.fori_loop(0, nb, body, jnp.asarray(0.0, jnp.float32))
+    total = jnp.asarray(0.0, jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        total = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), total,
+        )
+    if tail:
+        total = panel(nb * block_rows, tail, total)
+    return total
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
@@ -522,14 +522,19 @@ def sum_v_sq_densified(Vd, block_rows=4096):
     into the reduction; the panel loop caps the intermediate at panel
     size."""
     n, m = Vd.shape
-    if n % block_rows:
-        block_rows = n
-    nb = n // block_rows
+    nb, tail = divmod(n, block_rows)
 
-    def body(i, acc):
+    def panel(start, rows, acc):
         blk = lax.dynamic_slice_in_dim(
-            Vd, i * block_rows, block_rows, 0
+            Vd, start, rows, 0
         ).astype(jnp.float32)
         return acc + jnp.sum(blk * blk)
 
-    return lax.fori_loop(0, nb, body, jnp.asarray(0.0, jnp.float32))
+    total = jnp.asarray(0.0, jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        total = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), total,
+        )
+    if tail:
+        total = panel(nb * block_rows, tail, total)
+    return total

@@ -20,7 +20,7 @@ __all__ = ["compute", "NmfResult", "RunStats"]
 _RUNNER_CACHE: dict[tuple, Callable] = {}
 
 
-def _dense_ops(config: NmfConfig) -> LoopOps:
+def _dense_ops(config: NmfConfig, true_numel: int | None = None) -> LoopOps:
     make_aux, update, effective_h = build_dense_update(config)
     return LoopOps(
         make_aux=make_aux,
@@ -31,17 +31,24 @@ def _dense_ops(config: NmfConfig) -> LoopOps:
         ),
         kl=lambda V, aux, W, He: D.kl_error(V, W, He),
         sum_v_sq=lambda V: jnp.sum(V * V),
-        numel=lambda V: V.shape[0] * V.shape[1],
+        # The mesh path zero-pads V to the mesh shape; the in-loop RMSD
+        # must divide by the TRUE element count (pad rows/cols contribute
+        # zero error) or RMSD thresholds fire early — the same fix the
+        # densified bundle carries.
+        numel=lambda V: (true_numel if true_numel is not None
+                         else V.shape[0] * V.shape[1]),
     )
 
 
-def _get_runner(config: NmfConfig, shape, dtype, callback, interrupt):
+def _get_runner(config: NmfConfig, shape, dtype, callback, interrupt,
+                true_numel=None):
     if callback is not None or interrupt is not None:
-        return build_runner(config, _dense_ops(config), callback, interrupt)
-    key = (config, shape, str(dtype))
+        return build_runner(config, _dense_ops(config, true_numel),
+                            callback, interrupt)
+    key = (config, shape, str(dtype), true_numel)
     runner = _RUNNER_CACHE.get(key)
     if runner is None:
-        runner = build_runner(config, _dense_ops(config), None)
+        runner = build_runner(config, _dense_ops(config, true_numel), None)
         _RUNNER_CACHE[key] = runner
     return runner
 
@@ -93,7 +100,8 @@ def compute(
         V = jax.device_put(V, shardings["V"])
 
     runner = _get_runner(
-        config, V.shape, dtype, callback, interrupt
+        config, V.shape, dtype, callback, interrupt,
+        true_numel=(n * m if (n, m) != V.shape else None),
     )
 
     def init_fn(key):

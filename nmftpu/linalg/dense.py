@@ -355,6 +355,18 @@ def spd_solve(A, rhs):
     return (Linv.T @ Linv) @ rhs
 
 
+def solve_clamped(gram, rhs, shift, off, eps):
+    """ALS-family normal-equation solve: Gram + diagonal shift
+    (+ optional AHCLS off-diagonal 11ᵀ shift), spd_solve, clamp at 0.
+    The one shared implementation for every engine (dense/scatter/ELL/
+    densified/grid/ring) — fix conditioning here, not in five copies."""
+    r = gram.shape[0]
+    A = gram + (shift + eps) * jnp.eye(r, gram.shape[1], dtype=gram.dtype)
+    if off:
+        A = A + off * jnp.ones((r, r), gram.dtype)
+    return jnp.maximum(spd_solve(A, rhs), 0.0)
+
+
 def _solve_h(gram, rhs, eps):
     """Solve (gram + eps*I) H = rhs for H (r x m), symmetric positive shift."""
     r = gram.shape[0]

@@ -91,13 +91,17 @@ def _make_verbose_callback_timed():
     """Verbosity 3: per-check line including wall-clock since the run's
     first check — the reference's full stats record {iteration, error,
     delta, elapsed ms} (SURVEY.md C17)."""
-    state = {"run": None, "t0": 0.0}
+    state = {"run": None, "t0": 0.0, "it": -1}
 
     def cb(run_idx, iteration, error, delta):
         now = time.perf_counter()
-        if state["run"] != int(run_idx):
+        # reset on a new run AND on a non-increasing iteration (the
+        # runner — and therefore this closure — is cached across driver
+        # invocations, so a fresh call re-enters with run 0 again)
+        if state["run"] != int(run_idx) or int(iteration) <= state["it"]:
             state["run"] = int(run_idx)
             state["t0"] = now
+        state["it"] = int(iteration)
         ms = (now - state["t0"]) * 1e3
         print(
             f"[nmftpu] run {int(run_idx)} iter {int(iteration):6d}  "

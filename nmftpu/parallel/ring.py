@@ -176,12 +176,7 @@ class _Ring:
         return lax.ppermute(acc, AXIS_RING, self.fwd)
 
 
-def _solve_clamped(gram, rhs, shift, off, eps):
-    r = gram.shape[0]
-    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
-    if off:
-        A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
+_solve_clamped = D.solve_clamped
 
 
 def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):

@@ -105,12 +105,7 @@ def _upd_h_weighted(local, W, H, alpha, eps):
     return H * (numer / (WtW @ H + alpha * alpha_part + eps))
 
 
-def _solve_clamped(gram, rhs, shift, off, eps):
-    r = gram.shape[0]
-    A = gram + (shift + eps) * jnp.eye(r, gram.shape[1], dtype=gram.dtype)
-    if off:
-        A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
+_solve_clamped = D.solve_clamped
 
 
 def _upd_w_als(local, W, H, shift, off, eps):

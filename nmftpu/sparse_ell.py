@@ -141,15 +141,23 @@ def _gather_rows(Ht, flat_cols):
     )
 
 
+def _acc_dtype(dtype):
+    """Accumulate low-precision (bf16 gather_dtype) segments in f32, but
+    NEVER truncate a float64 run — the x64 contract (config.resolve_dtype)
+    promises no silent downgrade."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _bucket_rowsums(bucket: EllBucket, Ht, chunk: int):
     """Per-segment sum_k v_k * Ht[col_k, :] -> (nseg, r), scatter-free.
     Ht: the (m, r) ROW-major table (H transposed once by the caller)."""
     r = Ht.shape[1]
     nseg = bucket.vals.shape[0]
+    acc = _acc_dtype(Ht.dtype)
 
     def block(v, c):
-        g = _gather_rows(Ht, c.reshape(-1)).astype(jnp.float32)
-        gv = v.reshape(-1, 1).astype(jnp.float32) * g
+        g = _gather_rows(Ht, c.reshape(-1)).astype(acc)
+        gv = v.reshape(-1, 1).astype(acc) * g
         return gv.reshape(v.shape[0], bucket.width, r).sum(axis=1)
 
     if nseg <= chunk:
@@ -180,7 +188,7 @@ def v_ht_ell(ell: EllRows, H, chunk: int = 2048,
     Ht = H.T if gather_dtype is None else H.T.astype(gather_dtype)
     n = ell.shape[0]
     r = H.shape[0]
-    out = jnp.zeros((n, r), jnp.float32)
+    out = jnp.zeros((n, r), _acc_dtype(Ht.dtype))
     for bucket in ell.buckets:
         seg = _bucket_rowsums(bucket, Ht, chunk)
         # out_row is ascending within a bucket (builder emits segments
@@ -203,17 +211,18 @@ def _bucket_sampled_rowsums(bucket: EllBucket, Ht, w_rows, coeff_fns,
     bottleneck. Returns one (nseg, r) array per coeff fn."""
     r = Ht.shape[1]
     nseg, width = bucket.vals.shape
+    acc = _acc_dtype(Ht.dtype)
 
     def block(v, c, wr):
-        g = _gather_rows(Ht, c.reshape(-1)).astype(jnp.float32)
+        g = _gather_rows(Ht, c.reshape(-1)).astype(acc)
         g3 = g.reshape(v.shape[0], width, r)
-        s = jnp.einsum("sr,skr->sk", wr.astype(jnp.float32), g3)
+        s = jnp.einsum("sr,skr->sk", wr.astype(acc), g3)
         outs = []
         for fn in coeff_fns:
-            coef = fn(v.astype(jnp.float32), s)
+            coef = fn(v.astype(acc), s)
             outs.append(jnp.einsum(
                 "sk,skr->sr", coef, g3,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             ))
         return tuple(outs)
 
@@ -246,7 +255,7 @@ def sampled_rowsums_ell(ell: EllRows, W, H, coeff_fns, chunk: int = 2048):
     Ht = H.T
     n = ell.shape[0]
     r = H.shape[0]
-    outs = [jnp.zeros((n, r), jnp.float32) for _ in coeff_fns]
+    outs = [jnp.zeros((n, r), _acc_dtype(Ht.dtype)) for _ in coeff_fns]
     for bucket in ell.buckets:
         w_rows = W[bucket.out_row]
         segs = _bucket_sampled_rowsums(bucket, Ht, w_rows, coeff_fns,
@@ -407,12 +416,7 @@ def mu_update_frobenius_weighted_ell(pair: EllPair, W, H, alpha,
     return W, H
 
 
-def _solve_clamped(gram, rhs, shift, off, eps):
-    r = gram.shape[0]
-    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
-    if off:
-        A = A + off * jnp.ones((r, r), gram.dtype)
-    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
+_solve_clamped = D.solve_clamped
 
 
 def als_family_update_ell(
@@ -524,7 +528,7 @@ def frobenius_error_ell(pair: EllPair, W, H, sum_v_sq=None) -> jax.Array:
 def kl_error_ell(pair: EllPair, W, H, eps=1e-12) -> jax.Array:
     """D_KL(V || WH) with the nonzero log terms sampled via gather-SDDMM."""
     s = sddmm_ell(pair.rows, W, H)
-    total = jnp.asarray(0.0, jnp.float32)
+    total = jnp.asarray(0.0, _acc_dtype(jnp.asarray(W).dtype))
     for orig, samp in zip(pair.rows.buckets, s.buckets):
         v = orig.vals
         wh = samp.vals

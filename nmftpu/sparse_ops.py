@@ -114,20 +114,28 @@ def _chunked(coo: DeviceCOO):
     )
 
 
+def _scatter_acc_dtype(dtype):
+    """Scatter-add accumulators must not run at bf16: thousands of
+    contributions per row/column vanish below the running sum's ulp.
+    Accumulate at >= f32 (f64 stays f64 — the x64 contract)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def wt_v(coo: DeviceCOO, W) -> jax.Array:
     """W^T V -> (r, m): scatter v_k * W[row_k, :] into column col_k."""
     W = jnp.asarray(W)
     m = coo.shape[1]
     r = W.shape[1]
+    acc_dt = _scatter_acc_dtype(W.dtype)
 
     def body(acc, x):
         v, rr, cc = x
         contrib = v[:, None] * W[rr]            # (chunk, r) row gather
-        return acc.at[cc].add(contrib), None
+        return acc.at[cc].add(contrib.astype(acc_dt)), None
 
-    acc0 = jnp.zeros((m, r), W.dtype)
+    acc0 = jnp.zeros((m, r), acc_dt)
     acc, _ = lax.scan(body, acc0, _chunked(coo))
-    return acc.T
+    return acc.T.astype(W.dtype)
 
 
 def v_ht(coo: DeviceCOO, H) -> jax.Array:
@@ -135,15 +143,16 @@ def v_ht(coo: DeviceCOO, H) -> jax.Array:
     H = jnp.asarray(H)
     n = coo.shape[0]
     r = H.shape[0]
+    acc_dt = _scatter_acc_dtype(H.dtype)
 
     def body(acc, x):
         v, rr, cc = x
         contrib = v[:, None] * H[:, cc].T       # (chunk, r) col gather
-        return acc.at[rr].add(contrib), None
+        return acc.at[rr].add(contrib.astype(acc_dt)), None
 
-    acc0 = jnp.zeros((n, r), H.dtype)
+    acc0 = jnp.zeros((n, r), acc_dt)
     acc, _ = lax.scan(body, acc0, _chunked(coo))
-    return acc
+    return acc.astype(H.dtype)
 
 
 def sddmm(coo: DeviceCOO, W, H) -> jax.Array:
@@ -179,7 +188,8 @@ def frobenius_error(coo: DeviceCOO, W, H, sum_v_sq=None) -> jax.Array:
     sum_v_sq - 2 tr(H^T (W^T V)) + tr((W^T W)(H H^T)); the only
     nnz-dependent term is the sparse W^T V."""
     if sum_v_sq is None:
-        sum_v_sq = jnp.sum(coo.values * coo.values)
+        vv = coo.values.astype(_scatter_acc_dtype(coo.values.dtype))
+        sum_v_sq = jnp.sum(vv * vv)
     WtV = wt_v(coo, W)
     cross = jnp.sum(WtV * H)
     quad = jnp.sum((W.T @ W) * (H @ H.T))
@@ -277,10 +287,7 @@ def mu_update_frobenius_weighted_sparse(coo, W, H, alpha, eps=1e-9,
     return W, H
 
 
-def _solve_clamped(gram, rhs, shift, eps):
-    r = gram.shape[0]
-    A = gram + (shift + eps) * jnp.eye(r, dtype=gram.dtype)
-    return jnp.maximum(D.spd_solve(A, rhs), 0.0)
+_solve_clamped = D.solve_clamped
 
 
 def als_family_update_sparse(
@@ -290,16 +297,12 @@ def als_family_update_sparse(
     """Shared ALS/ACLS/AHCLS sparse iteration: normal equations with the
     sparse right-hand sides W^T V / V H^T, diagonal (+optional AHCLS
     off-diagonal) shifts, then clamp."""
-    r = W.shape[1]
-
     def upd_w(W, H):
-        A = H @ H.T + off_w * jnp.ones((r, r), W.dtype)
-        Wt = _solve_clamped(A, v_ht(coo, H).T, shift_w, eps)
+        Wt = _solve_clamped(H @ H.T, v_ht(coo, H).T, shift_w, off_w, eps)
         return Wt.T
 
     def upd_h(W, H):
-        A = W.T @ W + off_h * jnp.ones((r, r), W.dtype)
-        return _solve_clamped(A, wt_v(coo, W), shift_h, eps)
+        return _solve_clamped(W.T @ W, wt_v(coo, W), shift_h, off_h, eps)
 
     if order == "WH":
         W = upd_w(W, H)
@@ -317,7 +320,8 @@ def gdcls_update_sparse(coo, W, H, lambda_tik=0.0, eps=1e-9, order="WH"):
         return W * (v_ht(coo, H) / (W @ (H @ H.T) + eps))
 
     def upd_h(W, H):
-        return _solve_clamped(W.T @ W, wt_v(coo, W), lambda_tik, eps)
+        return _solve_clamped(W.T @ W, wt_v(coo, W), lambda_tik, 0.0,
+                              eps)
 
     if order == "WH":
         W = upd_w(W, H)
@@ -498,11 +502,13 @@ def col_sums(coo: DeviceCOO) -> jax.Array:
     """Per-column sums of V -> (m,)."""
     m = coo.shape[1]
 
+    acc_dt = _scatter_acc_dtype(coo.values.dtype)
+
     def body(acc, x):
         v, _, cc = x
-        return acc.at[cc].add(v), None
+        return acc.at[cc].add(v.astype(acc_dt)), None
 
-    acc, _ = lax.scan(body, jnp.zeros((m,), coo.values.dtype), _chunked(coo))
+    acc, _ = lax.scan(body, jnp.zeros((m,), acc_dt), _chunked(coo))
     return acc
 
 
@@ -607,7 +613,11 @@ def _sparse_ops_bundle(config: NmfConfig) -> LoopOps:
             coo, W, He, svsq
         ),
         kl=lambda coo, aux, W, He: kl_error(coo, W, He),
-        sum_v_sq=lambda coo: jnp.sum(coo.values * coo.values),
+        sum_v_sq=lambda coo: jnp.sum(
+            jnp.square(coo.values.astype(
+                _scatter_acc_dtype(coo.values.dtype)
+            ))
+        ),
         numel=lambda coo: coo.shape[0] * coo.shape[1],
     )
 
@@ -909,6 +919,12 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
 def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                       m: int) -> str:
     if strategy == "auto":
+        if config.dtype == "float64":
+            # scatter is the only engine that holds values AND
+            # accumulates at f64; densified stores bf16 and ELL
+            # accumulates f32 — silent downgrades the x64 contract
+            # (config.resolve_dtype) exists to prevent
+            return "scatter"
         v_bytes = 1 if config.v_storage == "int8" else 2
         if (
             _densified_supported(config)
@@ -978,6 +994,15 @@ class SparsePlan:
                 f"({self.config.v_storage!r} at prepare time vs "
                 f"{config.v_storage!r}); re-run prepare_sparse"
             )
+        if self.strategy in ("ell", "scatter") \
+                and config.v_storage != "float32":
+            # same contract as prepare_sparse: these engines would
+            # silently ignore the low-precision storage request
+            raise ValueError(
+                f"v_storage={config.v_storage!r} is only honored by the "
+                f"'densified' sparse engine; this plan's strategy is "
+                f"{self.strategy!r}"
+            )
 
         cache_key = (config, self.shape, self.strategy, str(self.dtype))
         if callback is not None or interrupt is not None:
@@ -1016,9 +1041,16 @@ def prepare_sparse(
     :class:`SparsePlan`. Strategy resolution and layouts match
     :func:`compute_sparse` (which is now a prepare+run one-shot)."""
     dtype = resolve_dtype(config.dtype)
-    coo = V if isinstance(V, DeviceCOO) else device_put_sparse(
-        V, dtype=dtype
-    )
+    if isinstance(V, DeviceCOO):
+        if V.values.dtype != dtype:
+            raise ValueError(
+                f"DeviceCOO values are {V.values.dtype} but config.dtype "
+                f"is {config.dtype}; re-upload with device_put_sparse("
+                "..., dtype=...) or match the config"
+            )
+        coo = V
+    else:
+        coo = device_put_sparse(V, dtype=dtype)
     n, m = coo.shape
     if config.rank > min(n, m):
         raise ValueError(
