@@ -56,8 +56,10 @@ int32_t nmftpu_set_module_path(const char* path) {
 
 int32_t nmftpu_initialize(void) {
   g_last_error.clear();
+  bool we_initialized = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    we_initialized = true;
   }
   PyGILState_STATE gil = PyGILState_Ensure();
   PyObject* sys_path = PySys_GetObject("path");
@@ -77,12 +79,32 @@ int32_t nmftpu_initialize(void) {
       set_error_from_python();
       rc = NMFTPU_ERROR_PYTHON;
     } else {
+      // bridge returns the reference-style status code (0 = success,
+      // 3 = no device) — propagate it instead of reporting SUCCESS on
+      // a device-less runtime.
+      long code = PyLong_AsLong(res);
+      if (PyErr_Occurred()) {
+        PyErr_Clear();
+        code = 0;  // non-int return: treat as success (legacy bridge)
+      }
       Py_DECREF(res);
-      g_initialized = true;
+      if (code == 0) {
+        g_initialized = true;
+      } else {
+        rc = static_cast<int32_t>(code);
+        g_last_error = "nmftpu.capi_bridge.initialize returned status " +
+                       std::to_string(code);
+      }
     }
     Py_DECREF(mod);
   }
   PyGILState_Release(gil);
+  if (we_initialized) {
+    // Py_InitializeEx leaves the GIL held by THIS thread; release it so
+    // other host threads can enter via PyGILState_Ensure (the ABI is
+    // documented as callable from any thread).
+    (void)PyEval_SaveThread();
+  }
   return rc;
 }
 

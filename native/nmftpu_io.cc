@@ -107,13 +107,6 @@ void* nmio_parse(const char* path, int32_t implicit) {
   const char* p = static_cast<const char*>(map);
   const char* end = p + size;
 
-  // Optional header line (ratings.csv).
-  if (size > 6 && (std::strncmp(p, "userId", 6) == 0 ||
-                   std::strncmp(p, "userid", 6) == 0)) {
-    while (p < end && *p != '\n') ++p;
-    if (p < end) ++p;
-  }
-
   std::vector<int64_t> raw_u, raw_i;
   std::vector<float> ratings;
   std::vector<int64_t> stamps;
@@ -126,14 +119,27 @@ void* nmio_parse(const char* path, int32_t implicit) {
     // Skip blank lines.
     while (p < end && (*p == '\n' || *p == '\r')) ++p;
     if (p >= end) break;
+    // Skip any line not starting with a digit (headers of ANY case,
+    // comments, malformed rows) — fabricating (0,0,0) records here
+    // would inject a phantom raw id 0 and shift the contiguous remap
+    // against the python loader.
+    if (*p < '0' || *p > '9') {
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
     int64_t u = parse_int(p, end);
     skip_sep(p, end);
+    const char* mark = p;
     int64_t it = parse_int(p, end);
+    bool ok = p > mark;
     skip_sep(p, end);
+    mark = p;
     float r = parse_float(p, end);
+    ok = ok && p > mark;
     skip_sep(p, end);
     int64_t t = parse_int(p, end);
     while (p < end && *p != '\n') ++p;  // tolerate trailing columns
+    if (!ok) continue;  // fewer than 3 numeric fields: not a record
     raw_u.push_back(u);
     raw_i.push_back(it);
     ratings.push_back(implicit ? 1.0f : r);

@@ -72,6 +72,12 @@ def main(argv=None):
     test_pairs = None
     train = None
     if args.data.endswith(".npy"):
+        if args.eval_recall:
+            raise SystemExit(
+                "--eval-recall needs an interactions file (u.data / "
+                "ratings.csv) for the per-user train/test split; a dense "
+                ".npy has no interaction records to hold out"
+            )
         data = np.load(args.data)
         print(f"dense matrix {data.shape}")
     else:

@@ -68,11 +68,22 @@ def nmf(
     strategy: sparse engine selection (auto | densified | ell | scatter;
     single-device sparse only).
     """
+    init_method = _coerce(Initialization, init, _INIT_ALIASES)
+    if (W0 is not None or H0 is not None) and \
+            init_method is not Initialization.COPY_EXISTING:
+        import warnings
+
+        warnings.warn(
+            "W0/H0 are ignored unless init='copy' (CopyExisting); the "
+            "run starts from the configured init instead of the given "
+            "warm start",
+            RuntimeWarning, stacklevel=2,
+        )
     config = NmfConfig(
         rank=rank,
         algorithm=_coerce(Algorithm, algorithm),
         objective=_coerce(Objective, objective, _OBJ_ALIASES),
-        init_method=_coerce(Initialization, init, _INIT_ALIASES),
+        init_method=init_method,
         seed=seed,
         num_iterations=num_iterations,
         num_runs=num_runs,
@@ -108,14 +119,18 @@ def dispatch(
         if mesh is not None:
             from nmftpu.parallel import compute_sharded
 
-            engine = strategy if strategy in ("ell", "scatter", "ring") \
-                else "auto"
             if strategy == "densified":
                 raise ValueError(
                     "strategy='densified' is single-device only; the "
                     "sharded engines are 'ell', 'scatter', 'ring' "
                     "(or 'auto')"
                 )
+            if strategy not in ("auto", "ell", "scatter", "ring"):
+                raise ValueError(
+                    f"unknown strategy {strategy!r}; sharded engines are "
+                    "'ell', 'scatter', 'ring' (or 'auto')"
+                )
+            engine = strategy
             return compute_sharded(
                 data, config, mesh=mesh, W0=W0, H0=H0, engine=engine,
                 callback=callback, interrupt=interrupt,

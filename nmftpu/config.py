@@ -205,6 +205,12 @@ class NmfConfig:
                 f"KL objective is only supported for MU/NSNMF, "
                 f"got {self.algorithm}"
             )
+        if self.use_pallas and self.dtype == "float64":
+            raise ValueError(
+                "use_pallas=True cannot honor dtype='float64': the "
+                "Pallas kernels compute in bf16/f32 on the MXU; use the "
+                "XLA paths (use_pallas=False) for double precision"
+            )
         if self.alpha_confidence > 0.0 and (
             self.algorithm is not Algorithm.MU
             or self.objective is not Objective.FROBENIUS

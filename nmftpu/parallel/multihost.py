@@ -47,7 +47,16 @@ def initialize_distributed(
         initialization_timeout = int(os.environ["NMFTPU_INIT_TIMEOUT"])
     if initialization_timeout is not None:
         kwargs["initialization_timeout"] = initialization_timeout
-    jax.distributed.initialize(**kwargs)
+    # honor the documented idempotency: a second call (bring-up script +
+    # library both initializing) must be a no-op, not a RuntimeError
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def is_multiprocess() -> bool:

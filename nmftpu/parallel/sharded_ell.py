@@ -70,50 +70,73 @@ class ShardedEll:
         )
 
 
+def _tile_segments(rows, seg_max, buckets_arr):
+    """Vectorized segment split of one tile's row-sorted triplets:
+    returns (seg_row, seg_off, seg_len, which_bucket), O(nnz) numpy —
+    the same formulation as sparse_ell.build_ell_rows."""
+    if not len(rows):
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    starts = np.flatnonzero(np.diff(rows, prepend=-1)).astype(np.int64)
+    lens = np.diff(np.append(starts, len(rows)))
+    row_ids = rows[starts].astype(np.int64)
+    nseg_row = (lens + seg_max - 1) // seg_max
+    seg_row = np.repeat(row_ids, nseg_row)
+    first = np.repeat(np.cumsum(nseg_row) - nseg_row, nseg_row)
+    k_in_row = np.arange(seg_row.size, dtype=np.int64) - first
+    off = np.repeat(starts, nseg_row) + k_in_row * seg_max
+    seg_len = np.minimum(np.repeat(starts + lens, nseg_row) - off, seg_max)
+    which = np.searchsorted(buckets_arr, seg_len)
+    return seg_row, off, seg_len, which
+
+
 def _tile_ell_arrays(
     tri_by_tile, pu, pi, n_local, dtype, seg_max, buckets
 ):
     """Build per-tile ELL and pad segment counts to the global max.
-    tri_by_tile[(i, j)] = (rows_local, cols_local, vals) sorted by row."""
-    per_tile_buckets = {}
-    widths_present = set()
-    for key, (rows, cols, vals) in tri_by_tile.items():
-        # group by row (already sorted), split into segments
-        segs: dict[int, list] = {w: [] for w in buckets}
-        if len(rows):
-            starts = np.flatnonzero(np.diff(rows, prepend=-1))
-            ends = np.append(starts[1:], len(rows))
-            for s, e in zip(starts, ends):
-                for off in range(s, e, seg_max):
-                    ln = min(seg_max, e - off)
-                    w = next(b for b in buckets if b >= ln)
-                    segs[w].append((rows[s], off, ln))
-        per_tile_buckets[key] = segs
-        for w, lst in segs.items():
-            if lst:
-                widths_present.add(w)
+    tri_by_tile[(i, j)] = (rows_local, cols_local, vals) sorted by row.
 
-    widths = tuple(sorted(widths_present)) or (buckets[0],)
-    max_nseg = {
-        w: max(
-            (len(per_tile_buckets.get((i, j), {}).get(w, []))
-             for i in range(pu) for j in range(pi)),
-            default=0,
-        )
-        for w in widths
+    Padding segments keep out_row NON-DECREASING (repeating the tile's
+    last real row; their values are zero, so the add is a no-op) —
+    the sparse_ell scatter-adds promise indices_are_sorted=True, and a
+    zero-row pad would break that promise on TPU's sorted-scatter path.
+    """
+    buckets_arr = np.asarray(buckets, dtype=np.int64)
+    per_tile = {
+        key: _tile_segments(tri[0], seg_max, buckets_arr)
+        for key, tri in tri_by_tile.items()
     }
+
+    widths_present = sorted({
+        int(buckets[b]) for (sr, off, sl, which) in per_tile.values()
+        for b in np.unique(which)
+    })
+    widths = tuple(widths_present) or (buckets[0],)
+    bucket_index = {int(w): i for i, w in enumerate(buckets)}
+
     out_vals, out_cols, out_rows = [], [], []
     for w in widths:
-        ns = max(max_nseg[w], 1)
+        bi = bucket_index[w]
+        counts = {
+            key: int(np.count_nonzero(which == bi))
+            for key, (_, _, _, which) in per_tile.items()
+        }
+        ns = max(max(counts.values(), default=0), 1)
         va = np.zeros((pu, pi, ns, w), dtype=np.dtype(dtype))
         ca = np.zeros((pu, pi, ns, w), dtype=np.int32)
         ra = np.zeros((pu, pi, ns), dtype=np.int32)
-        for (i, j), segs in per_tile_buckets.items():
-            rows, cols, vals = tri_by_tile[(i, j)]
-            for si, (row, off, ln) in enumerate(segs.get(w, [])):
-                va[i, j, si, :ln] = vals[off:off + ln]
-                ca[i, j, si, :ln] = cols[off:off + ln]
-                ra[i, j, si] = row
+        for (i, j), (seg_row, off, seg_len, which) in per_tile.items():
+            sel = np.flatnonzero(which == bi)
+            nst = sel.size
+            if nst:
+                _, cols, vals = tri_by_tile[(i, j)]
+                pos = off[sel][:, None] + np.arange(w)[None, :]
+                valid = np.arange(w)[None, :] < seg_len[sel][:, None]
+                pos = np.where(valid, pos, 0).clip(0, max(len(vals) - 1, 0))
+                va[i, j, :nst] = np.where(valid, vals[pos], 0)
+                ca[i, j, :nst] = np.where(valid, cols[pos], 0)
+                ra[i, j, :nst] = seg_row[sel]
+                ra[i, j, nst:] = int(seg_row[sel][-1])
         out_vals.append(va)
         out_cols.append(ca)
         out_rows.append(ra)

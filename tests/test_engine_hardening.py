@@ -177,3 +177,52 @@ def test_config_coerces_enum_strings(rng):
     assert res.kl_error is not None and np.isfinite(res.kl_error)
     with pytest.raises(ValueError):
         NmfConfig(rank=3, objective="not-an-objective")
+
+
+def test_use_pallas_rejects_float64():
+    with pytest.raises(ValueError, match="use_pallas"):
+        NmfConfig(rank=3, use_pallas=True, dtype="float64")
+
+
+def test_nmf_warns_on_ignored_warm_start(rng):
+    import nmftpu
+
+    V = _lowrank(rng, 12, 10, 2)
+    W0 = rng.uniform(0.1, 1.0, (12, 2)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (2, 10)).astype(np.float32)
+    with pytest.warns(RuntimeWarning, match="warm start"):
+        nmftpu.nmf(V, 2, W0=W0, H0=H0, num_iterations=3)
+
+
+def test_mesh_unknown_strategy_rejected(rng):
+    import nmftpu
+    from nmftpu.parallel import make_grid_mesh
+
+    dense = _lowrank(rng, 16, 16, 2)
+    dense[dense < np.quantile(dense, 0.5)] = 0.0
+    dense[:, 0] += 0.5
+    dense[0, :] += 0.5
+    with pytest.raises(ValueError, match="strategy"):
+        nmftpu.nmf(hs.from_dense(dense), 2, num_iterations=3,
+                   mesh=make_grid_mesh((2, 4)), strategy="scater")
+
+
+def test_sharded_ell_out_rows_sorted(rng):
+    """Every tile's padded out_row must stay non-decreasing — the ELL
+    scatter-adds promise indices_are_sorted=True to XLA."""
+    from nmftpu.parallel.sharded_ell import partition_sparse_ell
+
+    # skewed rows so tiles have very different segment counts
+    n, m = 60, 64
+    dense = np.zeros((n, m), np.float32)
+    dense[:8, :] = rng.uniform(0.5, 1.0, (8, m))  # heavy rows
+    dense[8:, ::16] = 1.0                         # sparse tail
+    sp = hs.from_dense(dense)
+    op, row_perm, col_perm = partition_sparse_ell(
+        sp, (2, 4), balance=False, seg_max=8, buckets=(2, 4, 8)
+    )
+    for ra in op.r_rows + op.c_rows:
+        a = np.asarray(ra)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                assert (np.diff(a[i, j]) >= 0).all(), (i, j, a[i, j])

@@ -92,3 +92,33 @@ def test_native_parse_speed_sanity(tmp_path, rng):
     np.testing.assert_allclose(
         nat.matrix.todense(), py.matrix.todense(), rtol=1e-6
     )
+
+
+def test_native_skips_nonrecord_lines(tmp_path):
+    """Headers of any case and malformed lines must be SKIPPED, not
+    fabricated as (0,0,0) records (which would inject a phantom raw id
+    0 and shift the contiguous remap against the python loader)."""
+    rows = [(3, 7, 4.0, 11), (3, 9, 2.5, 22), (8, 7, 5.0, 33)]
+    body = "\n".join(f"{u},{i},{r},{t}" for u, i, r, t in rows)
+
+    # mixed-case header: both loaders must skip it and agree
+    p = tmp_path / "ratings.csv"
+    p.write_text("UserId,MovieId,Rating,Timestamp\n" + body + "\n")
+    nat = load_movielens(str(p), use_native=True)
+    py = load_movielens(str(p), use_native=False)
+    assert nat.matrix.nnz == 3
+    np.testing.assert_array_equal(nat.user_ids, [3, 8])
+    np.testing.assert_array_equal(
+        nat.matrix.todense(), py.matrix.todense()
+    )
+
+    # comment/short lines: the native parser skips them (the python
+    # genfromtxt loader ERRORS on such files, so no parity to match) —
+    # it must not fabricate (0,0,0) records
+    p2 = tmp_path / "messy.csv"
+    p2.write_text("UserId,MovieId,Rating,Timestamp\n" + body
+                  + "\n# trailing comment line\n3,\n")
+    nat2 = load_movielens(str(p2), use_native=True)
+    assert nat2.matrix.nnz == 3
+    np.testing.assert_array_equal(nat2.user_ids, [3, 8])
+    np.testing.assert_array_equal(nat2.item_ids, [7, 9])
