@@ -132,30 +132,62 @@ class Recommender:
         the (rank,) nonnegative embedding. ``values`` defaults to implicit
         1.0 per item; ``algorithm="als"`` is a one-shot solve (the serving
         default), ``"mu"`` iterates ``num_iterations`` times."""
+        W = self.fold_in_batch([(item_ids, values)], algorithm=algorithm,
+                               objective=objective,
+                               num_iterations=num_iterations,
+                               alpha_confidence=alpha_confidence,
+                               lambda_w=lambda_w, seed=seed)
+        return W[0]
+
+    def fold_in_batch(self, histories, *, algorithm: str = "als",
+                      objective: str = "frobenius",
+                      num_iterations: int = 50,
+                      alpha_confidence: float = 0.0,
+                      lambda_w: float = 1e-6, seed: int = 0) -> np.ndarray:
+        """Embed MANY cold users in one device call: the fold-in solve is
+        batched (one gathered-columns GEMM / one vmapped r×r solve for
+        the whole batch), so per-request overhead is paid once.
+        ``histories``: iterable of ``item_ids`` arrays or
+        ``(item_ids, values)`` pairs. Returns (b, rank)."""
         from nmftpu.foldin import transform
 
-        item_ids = np.atleast_1d(np.asarray(item_ids, dtype=np.int64))
-        if values is None:
-            values = np.ones(len(item_ids), dtype=np.float32)
-        values = np.atleast_1d(np.asarray(values, dtype=np.float32))
-        if values.shape != item_ids.shape:
-            raise ValueError("values must match item_ids in length")
-        hist = self._history_coo(item_ids, values)
+        csr = self._histories_csr(histories)
         res = transform(
-            hist, self._prep(), algorithm=algorithm, objective=objective,
+            csr, self._prep(), algorithm=algorithm, objective=objective,
             num_iterations=num_iterations,
             alpha_confidence=alpha_confidence, lambda_w=lambda_w,
             seed=seed,
         )
-        return res.W[0]
+        return res.W
 
-    def _history_coo(self, item_ids, values):
-        from nmftpu.sparse import SparseCOO
+    def _histories_csr(self, histories):
+        """Normalize per-user histories into a (b, n_items) SparseCSR."""
+        from nmftpu.sparse import SparseCSR
 
-        return SparseCOO(
-            np.zeros(len(item_ids), dtype=np.int64), item_ids, values,
-            (1, self.n_items),
-        )
+        ids_list, val_list = [], []
+        for h in histories:
+            if isinstance(h, tuple):
+                ids, vals = h
+            else:
+                ids, vals = h, None
+            ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+            if vals is None:
+                vals = np.ones(len(ids), dtype=np.float32)
+            vals = np.atleast_1d(np.asarray(vals, dtype=np.float32))
+            if vals.shape != ids.shape:
+                raise ValueError("values must match item_ids in length")
+            # CSR wants sorted columns per row
+            o = np.argsort(ids, kind="stable")
+            ids_list.append(ids[o])
+            val_list.append(vals[o])
+        counts = np.array([len(x) for x in ids_list], dtype=np.int64)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        indices = (np.concatenate(ids_list) if ids_list
+                   else np.zeros(0, np.int64))
+        data = (np.concatenate(val_list) if val_list
+                else np.zeros(0, np.float32))
+        return SparseCSR(indptr, indices, data,
+                         (len(ids_list), self.n_items))
 
     def recommend_from_history(self, item_ids, values=None, k: int = 100,
                                exclude_history: bool = True,
@@ -164,8 +196,20 @@ class Recommender:
         """Top-k items for an unseen user described only by their history:
         fold-in embedding + the same blocked MIPS path as `recommend`.
         Returns (scores, item_ids), both shape (k,)."""
-        item_ids = np.atleast_1d(np.asarray(item_ids, dtype=np.int64))
-        w = self.fold_in(item_ids, values, **fold_in_kwargs)
+        s, i = self.recommend_from_history_batch(
+            [(item_ids, values)], k=k, exclude_history=exclude_history,
+            candidate_k=candidate_k, **fold_in_kwargs,
+        )
+        return s[0], i[0]
+
+    def recommend_from_history_batch(self, histories, k: int = 100,
+                                     exclude_history: bool = True,
+                                     candidate_k: int | None = None,
+                                     **fold_in_kwargs):
+        """Batched cold-user serving: one fold-in solve + ONE blocked
+        top-k scan for the whole batch (b users amortize the table
+        read). Returns (scores, item_ids), both (b, k)."""
+        Wq = self.fold_in_batch(histories, **fold_in_kwargs)
         lists = None
         if exclude_history:
             from nmftpu.parallel.mesh import AXIS_ITEMS
@@ -173,15 +217,14 @@ class Recommender:
 
             shards = self.mesh.shape[AXIS_ITEMS] if self.mesh is not None \
                 else 1
-            hist = self._history_coo(
-                item_ids, np.ones(len(item_ids), dtype=np.float32)
-            )
+            csr = self._histories_csr(histories)
             lists = build_block_exclusion(
-                np.zeros(1, dtype=np.int64), hist.to_csr(), self.n_items,
-                self.block, shards=shards,
+                np.arange(csr.shape[0], dtype=np.int64), csr,
+                self.n_items, self.block, shards=shards,
             )
-        s, i = self._topk(w[None, :], k, lists, candidate_k)
-        return np.asarray(s)[0], np.asarray(i)[0]
+        s, i = self._topk(np.asarray(Wq, np.float32), k, lists,
+                          candidate_k)
+        return np.asarray(s), np.asarray(i)
 
     def score(self, user_id: int, item_ids) -> np.ndarray:
         """Predicted affinities for specific (user, items) pairs. Gathers

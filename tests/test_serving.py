@@ -171,3 +171,47 @@ def test_fold_in_reuses_prepared_table(rng):
     rec32 = Recommender(W, H)
     w32 = rec32.fold_in([1, 5, 9])
     np.testing.assert_allclose(w1, w32, rtol=5e-2, atol=1e-3)
+
+
+def test_batched_cold_user_serving(rng):
+    """fold_in_batch / recommend_from_history_batch: one device call for
+    the whole batch, per-row parity with the single-user path, per-user
+    history exclusion."""
+    n, m, r = 10, 40, 4
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    rec = Recommender(W, H, block=8, method="exact")
+
+    hists = [
+        np.array([1, 5, 9]),
+        (np.array([2, 30]), np.array([2.0, 4.5], np.float32)),
+        np.array([7]),
+    ]
+    Wb = rec.fold_in_batch(hists)
+    assert Wb.shape == (3, r) and (Wb >= 0).all()
+    for u, h in enumerate(hists):
+        ids, vals = h if isinstance(h, tuple) else (h, None)
+        w1 = rec.fold_in(ids, vals)
+        np.testing.assert_allclose(Wb[u], w1, rtol=1e-5, atol=1e-7)
+
+    sb, ib = rec.recommend_from_history_batch(hists, k=5)
+    assert sb.shape == (3, 5)
+    for u, h in enumerate(hists):
+        ids = h[0] if isinstance(h, tuple) else h
+        # excluded history never surfaces
+        assert not set(np.asarray(ids).tolist()) & set(ib[u].tolist())
+        s1, i1 = rec.recommend_from_history(
+            ids, h[1] if isinstance(h, tuple) else None, k=5
+        )
+        np.testing.assert_array_equal(ib[u], i1)
+
+
+def test_batched_fold_in_unsorted_history(rng):
+    """Histories arrive in arbitrary item order; the CSR build sorts
+    columns per row (the table gather and exclusion builder expect it)."""
+    W = rng.uniform(0.1, 1.0, (6, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, 25)).astype(np.float32)
+    rec = Recommender(W, H, block=8)
+    a = rec.fold_in(np.array([20, 3, 11]), np.array([1.0, 2.0, 3.0]))
+    b = rec.fold_in(np.array([3, 11, 20]), np.array([2.0, 3.0, 1.0]))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
