@@ -61,9 +61,10 @@ class PreparedTable:
     the (r, r)/(r,) statistics accumulate in f32.
     """
 
-    Ht: Any     # (m, r) item table, original dtype
-    G: Any      # (r, r) f32 Gram H Hᵀ
-    h_sum: Any  # (r,) f32 row sums (KL denominator)
+    Ht: Any     # (m, r) item table, original dtype (int8 with `scale`)
+    G: Any      # (r, r) f32 Gram H Hᵀ (scale folded in)
+    h_sum: Any  # (r,) f32 row sums (KL denominator; scale folded in)
+    scale: float | None = None  # int8 tables: true H = scale * Ht.T
 
     @property
     def shape(self):
@@ -71,17 +72,36 @@ class PreparedTable:
         return r, m
 
 
-def prepare_table(H) -> PreparedTable:
-    """Precompute the table-invariant fold-in quantities once."""
+def prepare_table(H, scale: float | None = None) -> PreparedTable:
+    """Precompute the table-invariant fold-in quantities once.
+
+    scale: for an int8-quantized table (true H = scale * H_int8) —
+    the Gram/row-sum statistics fold the scale in, and gathers up-cast
+    + scale only the observed columns."""
     H = jnp.asarray(H)
     if H.ndim != 2:
         raise ValueError(f"H must be (rank, n_items), got shape {H.shape}")
     Ht = H.T  # (m, r): row-gathers on the sublane axis (PERF.md round 2)
+    if jnp.issubdtype(H.dtype, jnp.integer):
+        if scale is None:
+            raise ValueError("an integer table needs its quantization "
+                             "scale")
+        Hb = H.astype(jnp.bfloat16)  # int8 -> bf16 exact
+        G = jax.lax.dot_general(
+            Hb, Hb.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * scale)
+        h_sum = jnp.sum(H, axis=1, dtype=jnp.float32) * scale
+        return PreparedTable(Ht=Ht, G=G, h_sum=h_sum, scale=float(scale))
     G = jax.lax.dot_general(
         H, Ht, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     h_sum = jnp.sum(H, axis=1, dtype=jnp.float32)
+    if scale is not None:
+        G = G * (scale * scale)
+        h_sum = h_sum * scale
+        return PreparedTable(Ht=Ht, G=G, h_sum=h_sum, scale=float(scale))
     return PreparedTable(Ht=Ht, G=G, h_sum=h_sum)
 
 
@@ -252,13 +272,21 @@ def transform(
         vals = jnp.asarray(vals_np, dtype)
         # only the observed columns of the table are ever read
         # (row gather from the (m, r) table — PERF.md's fastest form);
-        # a bf16 serving table up-casts only these gathered rows
+        # a bf16/int8 serving table up-casts only these gathered rows
         Hc = Ht.at[jnp.asarray(cols_np)].get(
             mode="promise_in_bounds"
         ).astype(dtype)  # (nnz, r)
+        if prep.scale is not None:
+            Hc = Hc * prep.scale
         N = jax.ops.segment_sum(vals[:, None] * Hc, rows, num_segments=b)
         sum_v_sq = jnp.sum(vals * vals)
     else:
+        if prep.scale is not None:
+            raise ValueError(
+                "dense fold-in against a quantized table is not "
+                "supported — pass sparse data (serving histories), or "
+                "dequantize the table first"
+            )
         V = jnp.asarray(np.asarray(data, dtype=np.float32))
         if V.ndim != 2 or V.shape[1] != m:
             raise ValueError(f"data must be (b, {m}), got {V.shape}")
@@ -283,7 +311,7 @@ def transform(
             else:
                 Gb, rhs = _weighted_grams_sparse(
                     G, Ht, cols_np, vals_np, indptr_np, b,
-                    alpha_confidence,
+                    alpha_confidence, h_scale=prep.scale,
                 )
             shift = (lambda_w + eps) * jnp.eye(r, dtype=dtype)
             W = jax.vmap(lambda A, y: D.spd_solve(A + shift, y))(
@@ -328,7 +356,8 @@ def transform(
     )
 
 
-def _weighted_grams_sparse(G, Ht, cols_np, vals_np, indptr_np, b, alpha):
+def _weighted_grams_sparse(G, Ht, cols_np, vals_np, indptr_np, b, alpha,
+                           h_scale=None):
     """Batched per-user weighted Grams from CSR structure.
 
     Pads each user's items to the batch max (fold-in batches are small and
@@ -348,6 +377,8 @@ def _weighted_grams_sparse(G, Ht, cols_np, vals_np, indptr_np, b, alpha):
     Hk = Ht.at[jnp.asarray(idx)].get(
         mode="promise_in_bounds"
     ).astype(jnp.float32)  # (b, kmax, r)
+    if h_scale is not None:
+        Hk = Hk * h_scale
     v = jnp.asarray(val)  # zero on padding, so c−1 = 0 there
     cm1 = alpha * v
     Gb = G[None] + jnp.einsum("ukr,uks,uk->urs", Hk, Hk, cm1)

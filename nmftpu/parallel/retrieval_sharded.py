@@ -19,7 +19,7 @@ from nmftpu.retrieval.mips import topk_mips_blocked
 
 def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
                       exclude_lists=None, method="exact",
-                      candidate_k=None):
+                      candidate_k=None, h_scale=None):
     """Top-k over an items-sharded table H (r, m).
 
     Wq: (b, r) queries (replicated); H sharded P(None, 'items');
@@ -43,7 +43,7 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
         s, idx = topk_mips_blocked(
             Wq, H_loc, k, block=min(block, m_loc), exclude_mask=mask_loc,
             exclude_lists=lists_loc, method=method,
-            candidate_k=candidate_k,
+            candidate_k=candidate_k, h_scale=h_scale,
         )
         shard = lax.axis_index(AXIS_ITEMS)
         gidx = idx + shard * m_loc

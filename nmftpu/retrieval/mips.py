@@ -20,13 +20,23 @@ from jax import lax
 NEG_INF = -jnp.inf
 
 
-def _score_dot(Wq, Hblk):
+def _score_dot(Wq, Hblk, h_scale=None):
     """Scoring GEMM with f32 accumulation at the TABLE's dtype: a bf16
     item table (`Recommender(table_dtype="bfloat16")`) halves both the
     per-chip table footprint and the scan's HBM read traffic — the exact
     path's bandwidth bill — while the f32 accumulation keeps top-k
     ordering stable (only the ~0.4% per-operand storage rounding
-    remains)."""
+    remains). An int8 table (quarter footprint: 4x the items per chip)
+    carries a per-table `h_scale`: int8->bf16 is exact, and the uniform
+    positive scale folds into the f32 scores AFTER the dot (order-
+    preserving)."""
+    if jnp.issubdtype(Hblk.dtype, jnp.integer):
+        out = lax.dot_general(
+            Wq.astype(jnp.bfloat16), Hblk.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out * h_scale if h_scale is not None else out
     return lax.dot_general(
         Wq.astype(Hblk.dtype), Hblk,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -35,7 +45,7 @@ def _score_dot(Wq, Hblk):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def topk_mips(Wq, H, k, exclude_mask=None):
+def topk_mips(Wq, H, k, exclude_mask=None, h_scale=None):
     """Exact top-k inner products for a batch of query embeddings.
 
     Wq: (b, r) query (user) embeddings; H: (r, m) item table (f32 or
@@ -43,7 +53,7 @@ def topk_mips(Wq, H, k, exclude_mask=None):
     entries (e.g. training interactions) are excluded from the
     candidates. Returns (scores (b, k), indices (b, k)).
     """
-    scores = _score_dot(Wq, H)                       # (b, m) — MXU
+    scores = _score_dot(Wq, H, h_scale)              # (b, m) — MXU
     if exclude_mask is not None:
         scores = jnp.where(exclude_mask, NEG_INF, scores)
     return lax.top_k(scores, k)
@@ -51,7 +61,7 @@ def topk_mips(Wq, H, k, exclude_mask=None):
 
 def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
                       exclude_lists=None, method="exact",
-                      candidate_k=None):
+                      candidate_k=None, h_scale=None):
     """Memory-bounded top-k: stream item blocks, keep a running top-k.
 
     Peak memory is (b, block + k) scores instead of (b, m) — required when
@@ -94,7 +104,8 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
                 f" >= block={block}; rebuild with this block size"
             )
     return _topk_mips_blocked(
-        Wq, H, k, block, exclude_mask, exclude_lists, method, candidate_k
+        Wq, H, k, block, exclude_mask, exclude_lists, method,
+        candidate_k, h_scale,
     )
 
 
@@ -102,7 +113,7 @@ def topk_mips_blocked(Wq, H, k, block=4096, exclude_mask=None,
     jax.jit, static_argnames=("k", "block", "method", "candidate_k")
 )
 def _topk_mips_blocked(Wq, H, k, block, exclude_mask, exclude_lists,
-                       method, candidate_k):
+                       method, candidate_k, h_scale=None):
     b, r = Wq.shape
     m = H.shape[1]
     nblocks = (m + block - 1) // block
@@ -136,7 +147,7 @@ def _topk_mips_blocked(Wq, H, k, block, exclude_mask, exclude_lists,
     def body(blk_idx, carry):
         best_s, best_i = carry           # (b, k) running top-k
         Hblk = lax.dynamic_slice_in_dim(Hp, blk_idx * block, block, axis=1)
-        s = _score_dot(Wq, Hblk)         # (b, block) f32
+        s = _score_dot(Wq, Hblk, h_scale)  # (b, block) f32
         base = blk_idx * block
         ids = (base + col_ids).astype(jnp.int32)
         valid = ids[None, :] < m

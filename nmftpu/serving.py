@@ -27,19 +27,32 @@ class Recommender:
         import jax
         import jax.numpy as jnp
 
-        if table_dtype not in ("float32", "bfloat16"):
+        if table_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
-                f"table_dtype must be float32|bfloat16, got {table_dtype!r}"
+                f"table_dtype must be float32|bfloat16|int8, "
+                f"got {table_dtype!r}"
             )
         self.W = np.asarray(W)  # queries stay f32 (row-gathered, small)
         self.mesh = mesh
         self.block = block
         self.method = method  # "approx": TPU approx_max_k serving path
         self.table_dtype = table_dtype
-        # the ITEM table is the scanned operand: bf16 halves its per-chip
-        # footprint (2x more items per chip at the 10M scale) and the
-        # exact path's HBM read traffic; scores accumulate f32 either way
-        H_dev = jnp.asarray(np.asarray(H), dtype=jnp.dtype(table_dtype))
+        # the ITEM table is the scanned operand: bf16 halves / int8
+        # quarters its per-chip footprint (2x/4x the items per chip at
+        # the 10M scale) and the exact path's HBM read traffic; scores
+        # accumulate f32 either way. int8 uses one symmetric per-table
+        # scale (true H = scale * Hq) folded into the f32 scores after
+        # the dot — order-preserving.
+        self._h_scale = None
+        if table_dtype == "int8":
+            Hf = np.asarray(H, dtype=np.float32)
+            self._h_scale = float(max(np.abs(Hf).max() / 127.0, 1e-30))
+            H_dev = jnp.asarray(
+                np.clip(np.round(Hf / self._h_scale), -127, 127)
+                .astype(np.int8)
+            )
+        else:
+            H_dev = jnp.asarray(np.asarray(H), dtype=jnp.dtype(table_dtype))
         if mesh is not None:
             from nmftpu.parallel import factor_shardings
 
@@ -56,7 +69,7 @@ class Recommender:
         if self._prepared is None:
             from nmftpu.foldin import prepare_table
 
-            self._prepared = prepare_table(self.H)
+            self._prepared = prepare_table(self.H, scale=self._h_scale)
         return self._prepared
 
     def _topk(self, Wq, k, lists, candidate_k):
@@ -68,11 +81,12 @@ class Recommender:
             return topk_mips_sharded(
                 Wq, self.H, k, mesh=self.mesh, block=self.block,
                 exclude_lists=lists, method=self.method,
-                candidate_k=candidate_k,
+                candidate_k=candidate_k, h_scale=self._h_scale,
             )
         return topk_mips_blocked(
             Wq, self.H, k, block=self.block, exclude_lists=lists,
             method=self.method, candidate_k=candidate_k,
+            h_scale=self._h_scale,
         )
 
     @property
@@ -240,7 +254,10 @@ class Recommender:
                 f"item index out of range for {self.n_items} items"
             )
         cols = jnp.take(self.H, jnp.asarray(item_ids), axis=1)
-        return self.W[user_id] @ np.asarray(cols, dtype=np.float32)
+        cols = np.asarray(cols, dtype=np.float32)
+        if self._h_scale is not None:
+            cols = cols * self._h_scale
+        return self.W[user_id] @ cols
 
     # -- persistence ------------------------------------------------------
 
@@ -248,9 +265,12 @@ class Recommender:
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "W.npy"), self.W)
         # H persists f32 (ml_dtypes .npy files are not portable);
-        # table_dtype is re-applied at load
-        np.save(os.path.join(path, "H.npy"),
-                np.asarray(self.H).astype(np.float32))
+        # table_dtype is re-applied at load (int8 dequantizes first so
+        # the reload re-quantizes from true values, not quantized ones)
+        Hf = np.asarray(self.H).astype(np.float32)
+        if self._h_scale is not None:
+            Hf = Hf * self._h_scale
+        np.save(os.path.join(path, "H.npy"), Hf)
         meta = {"n_users": self.n_users, "n_items": self.n_items,
                 "rank": int(self.W.shape[1]),
                 "table_dtype": self.table_dtype,

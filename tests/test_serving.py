@@ -215,3 +215,67 @@ def test_batched_fold_in_unsorted_history(rng):
     a = rec.fold_in(np.array([20, 3, 11]), np.array([1.0, 2.0, 3.0]))
     b = rec.fold_in(np.array([3, 11, 20]), np.array([2.0, 3.0, 1.0]))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_int8_table_dtype(rng, tmp_path):
+    """table_dtype='int8': quarter-footprint item table, order-stable
+    scoring (one symmetric scale folded into the f32 scores), fold-in
+    through the scaled PreparedTable, save/load round-trip."""
+    n, m, r = 12, 200, 6
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    ref = Recommender(W, H, block=64, method="exact")
+    q = Recommender(W, H, block=64, method="exact", table_dtype="int8")
+    assert np.asarray(q.H).dtype == np.int8
+
+    s_ref, i_ref = ref.recommend(np.arange(n), k=10)
+    s_q, i_q = q.recommend(np.arange(n), k=10)
+    # per-entry quantization <= 0.4% of max: near-total top-10 overlap
+    overlap = np.mean([
+        len(set(i_ref[u].tolist()) & set(i_q[u].tolist())) / 10
+        for u in range(n)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(s_q, s_ref, rtol=3e-2, atol=1e-2)
+
+    # scores and fold-in match the f32 table closely
+    np.testing.assert_allclose(
+        q.score(3, [0, 5, 99]), ref.score(3, [0, 5, 99]),
+        rtol=2e-2, atol=1e-2,
+    )
+    hist = np.array([4, 80, 150])
+    np.testing.assert_allclose(
+        q.fold_in(hist), ref.fold_in(hist), rtol=5e-2, atol=1e-2
+    )
+    # weighted fold-in exercises the scaled per-user Grams
+    np.testing.assert_allclose(
+        q.fold_in(hist, alpha_confidence=4.0),
+        ref.fold_in(hist, alpha_confidence=4.0), rtol=5e-2, atol=1e-2,
+    )
+
+    q.save(str(tmp_path / "q"))
+    q2 = Recommender.load(str(tmp_path / "q"))
+    assert q2.table_dtype == "int8"
+    np.testing.assert_allclose(
+        np.asarray(q2.H).astype(np.float32) * q2._h_scale,
+        np.asarray(q.H).astype(np.float32) * q._h_scale,
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_int8_table_sharded(rng):
+    from nmftpu.parallel import make_grid_mesh
+
+    n, m, r = 8, 160, 4
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    ref = Recommender(W, H, block=32, method="exact")
+    q = Recommender(W, H, block=32, method="exact", table_dtype="int8",
+                    mesh=make_grid_mesh((2, 4)))
+    s_ref, i_ref = ref.recommend(np.arange(n), k=8)
+    s_q, i_q = q.recommend(np.arange(n), k=8)
+    overlap = np.mean([
+        len(set(i_ref[u].tolist()) & set(i_q[u].tolist())) / 8
+        for u in range(n)
+    ])
+    assert overlap >= 0.9, overlap
