@@ -176,6 +176,12 @@ class NmfConfig:
             v = getattr(self, field)
             if not isinstance(v, enum_cls):
                 object.__setattr__(self, field, enum_cls(v))
+        # Canonicalize the dtype name so aliases ("double", "f8",
+        # np.float64) cannot bypass the string-compared dtype rules
+        # (f64 engine routing, the use_pallas guard, plan dtype keys).
+        import jax.numpy as _jnp
+
+        object.__setattr__(self, "dtype", _jnp.dtype(self.dtype).name)
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")
         if self.num_iterations < 0:

@@ -252,6 +252,13 @@ def transform(
         )
 
     sparse_in = isinstance(data, SparseMatrix)
+    b_in = data.shape[0] if hasattr(data, "shape") else len(data)
+    if b_in == 0:  # empty batch (e.g. an empty serving request)
+        return TransformResult(
+            W=np.zeros((0, r), np.float32), error=0.0,
+            rmsd=float("nan") if objective == "kl" else 0.0,
+            num_iterations=0,
+        )
     if sparse_in:
         rows_np, cols_np, vals_np, indptr_np, (b, m_in) = _flat_nnz(data)
         if m_in != m:

@@ -31,12 +31,22 @@ def _score_dot(Wq, Hblk, h_scale=None):
     positive scale folds into the f32 scores AFTER the dot (order-
     preserving)."""
     if jnp.issubdtype(Hblk.dtype, jnp.integer):
+        if h_scale is None:
+            raise ValueError(
+                "an integer item table needs its quantization scale "
+                "(h_scale) — raw int scores would be off by the factor"
+            )
         out = lax.dot_general(
             Wq.astype(jnp.bfloat16), Hblk.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return out * h_scale if h_scale is not None else out
+        return out * h_scale
+    if h_scale is not None:
+        raise ValueError(
+            "h_scale is only meaningful with an integer (quantized) "
+            "item table; it would be silently dropped here"
+        )
     return lax.dot_general(
         Wq.astype(Hblk.dtype), Hblk,
         dimension_numbers=(((1,), (0,)), ((), ())),

@@ -162,10 +162,20 @@ class Recommender:
         batched (one gathered-columns GEMM / one vmapped r×r solve for
         the whole batch), so per-request overhead is paid once.
         ``histories``: iterable of ``item_ids`` arrays or
-        ``(item_ids, values)`` pairs. Returns (b, rank)."""
+        ``(item_ids, values)`` 2-tuples (array-like ids). Returns
+        (b, rank)."""
+        csr = self._histories_csr(histories)
+        return self._fold_in_csr(
+            csr, algorithm=algorithm, objective=objective,
+            num_iterations=num_iterations,
+            alpha_confidence=alpha_confidence, lambda_w=lambda_w,
+            seed=seed,
+        )
+
+    def _fold_in_csr(self, csr, *, algorithm, objective, num_iterations,
+                     alpha_confidence, lambda_w, seed):
         from nmftpu.foldin import transform
 
-        csr = self._histories_csr(histories)
         res = transform(
             csr, self._prep(), algorithm=algorithm, objective=objective,
             num_iterations=num_iterations,
@@ -181,6 +191,16 @@ class Recommender:
         ids_list, val_list = [], []
         for h in histories:
             if isinstance(h, tuple):
+                # a tuple is the (item_ids, values) pair form — require
+                # array-like ids so a plain tuple of item ids cannot be
+                # silently misread as one weighted item
+                if len(h) != 2 or np.isscalar(h[0]) \
+                        or isinstance(h[0], (int, np.integer)):
+                    raise ValueError(
+                        "a tuple history must be (item_ids, values) "
+                        "with array-like item_ids; pass bare ids as a "
+                        "list/array, not a tuple"
+                    )
                 ids, vals = h
             else:
                 ids, vals = h, None
@@ -223,7 +243,14 @@ class Recommender:
         """Batched cold-user serving: one fold-in solve + ONE blocked
         top-k scan for the whole batch (b users amortize the table
         read). Returns (scores, item_ids), both (b, k)."""
-        Wq = self.fold_in_batch(histories, **fold_in_kwargs)
+        # materialize ONCE: `histories` may be a generator, and both the
+        # fold-in and the exclusion lists need the same CSR
+        csr = self._histories_csr(histories)
+        kw = {"algorithm": "als", "objective": "frobenius",
+              "num_iterations": 50, "alpha_confidence": 0.0,
+              "lambda_w": 1e-6, "seed": 0}
+        kw.update(fold_in_kwargs)
+        Wq = self._fold_in_csr(csr, **kw)
         lists = None
         if exclude_history:
             from nmftpu.parallel.mesh import AXIS_ITEMS
@@ -231,7 +258,6 @@ class Recommender:
 
             shards = self.mesh.shape[AXIS_ITEMS] if self.mesh is not None \
                 else 1
-            csr = self._histories_csr(histories)
             lists = build_block_exclusion(
                 np.arange(csr.shape[0], dtype=np.int64), csr,
                 self.n_items, self.block, shards=shards,

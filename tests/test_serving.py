@@ -279,3 +279,53 @@ def test_int8_table_sharded(rng):
         for u in range(n)
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_history_batch_edge_cases(rng):
+    """Generators are materialized once (exclusion still applies), tuple
+    id-lists are rejected loudly, empty batches return (0, r)."""
+    W = rng.uniform(0.1, 1.0, (6, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, 30)).astype(np.float32)
+    rec = Recommender(W, H, block=8, method="exact")
+    hists = [np.array([1, 9]), np.array([4])]
+
+    sb, ib = rec.recommend_from_history_batch(
+        (h for h in hists), k=5  # generator input
+    )
+    assert not {1, 9} & set(ib[0].tolist())
+    assert 4 not in ib[1].tolist()
+
+    with pytest.raises(ValueError, match="tuple history"):
+        rec.fold_in_batch([(3, 7)])  # plain tuple of ids, ambiguous
+
+    We = rec.fold_in_batch([])
+    assert We.shape == (0, 3)
+
+
+def test_score_scale_consistency(rng):
+    """h_scale must accompany an integer table and only an integer
+    table."""
+    from nmftpu.retrieval import topk_mips_blocked
+
+    W = rng.uniform(0.1, 1.0, (2, 3)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (3, 16)).astype(np.float32)
+    Hq = np.round(H / 0.01).astype(np.int8)
+    with pytest.raises(ValueError, match="h_scale"):
+        topk_mips_blocked(W, H, k=3, block=8, h_scale=0.5)
+    with pytest.raises(ValueError, match="scale"):
+        topk_mips_blocked(W, Hq, k=3, block=8)
+    s, i = topk_mips_blocked(W, Hq, k=3, block=8, h_scale=0.01)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_config_dtype_aliases(rng):
+    """dtype aliases normalize so string-compared rules can't be
+    bypassed (e.g. use_pallas + 'double')."""
+    import pytest as _p
+
+    from nmftpu import NmfConfig
+
+    cfg = NmfConfig(rank=2, dtype="f4")
+    assert cfg.dtype == "float32"
+    with _p.raises(ValueError, match="use_pallas"):
+        NmfConfig(rank=2, use_pallas=True, dtype="double")
