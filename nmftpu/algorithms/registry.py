@@ -321,12 +321,27 @@ def build_dense_update(config: NmfConfig):
             return H
 
     elif alg is Algorithm.ALS:
+        if config.alpha_confidence > 0.0:
+            # iALS: exact per-row weighted solves (config validation
+            # pins v_storage to float32 here)
+            alpha = config.alpha_confidence
+            lw, lh = config.lambda_w, config.lambda_h
 
-        def make_aux(V):
-            return ()
+            def make_aux(V):
+                return ()
 
-        def update(V, aux, W, H):
-            return D.als_update(V, W, H, eps=eps, order=order)
+            def update(V, aux, W, H):
+                return D.als_update_weighted(
+                    V, W, H, alpha, lambda_w=lw, lambda_h=lh, eps=eps,
+                    order=order,
+                )
+        else:
+
+            def make_aux(V):
+                return ()
+
+            def update(V, aux, W, H):
+                return D.als_update(V, W, H, eps=eps, order=order)
 
         def effective_h(aux, H):
             return H

@@ -218,15 +218,24 @@ class NmfConfig:
                 "XLA paths (use_pallas=False) for double precision"
             )
         if self.alpha_confidence > 0.0 and (
-            self.algorithm is not Algorithm.MU
+            self.algorithm not in (Algorithm.MU, Algorithm.ALS)
             or self.objective is not Objective.FROBENIUS
         ):
             raise ValueError(
                 "alpha_confidence (implicit-feedback weighting) is "
-                "implemented for the MU algorithm with the Frobenius "
-                f"objective; got {self.algorithm}/{self.objective} — "
-                "running them unweighted silently would fit a different "
-                "model than requested"
+                "implemented for the MU algorithm (multiplicative) and "
+                "the ALS algorithm (exact iALS solves) under the "
+                f"Frobenius objective; got {self.algorithm}/"
+                f"{self.objective} — running them unweighted silently "
+                "would fit a different model than requested"
+            )
+        if (self.alpha_confidence > 0.0 and self.algorithm is Algorithm.ALS
+                and self.v_storage != "float32"):
+            raise ValueError(
+                "weighted ALS (iALS) keeps V at full precision (the "
+                "per-row Grams read exact values); v_storage low-"
+                "precision storage is supported with the weighted MU "
+                "algorithm instead"
             )
         if not 0.0 <= self.theta <= 1.0:
             raise ValueError(f"theta must be in [0, 1], got {self.theta}")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +373,97 @@ def _solve_h(gram, rhs, eps):
     r = gram.shape[0]
     A = gram + eps * jnp.eye(r, dtype=gram.dtype)
     return spd_solve(A, rhs)
+
+
+def _batched_solve_clamped(Gb, rhs, shift, eps):
+    """Per-row solves (b, r, r) x (b, r) -> clamp(>=0) (b, r).
+
+    The eps ridge is SCALE-AWARE (eps · mean diagonal per row): weighted
+    Grams can be huge (c up to 1+α·v) AND numerically singular (e.g. a
+    constant init makes H C Hᵀ rank-1), where an absolute 1e-9 shift
+    underflows f32 Cholesky into NaNs; relative eps keeps the solve
+    finite without meaningfully perturbing well-posed rows."""
+    r = Gb.shape[-1]
+    diag_mean = jnp.trace(Gb, axis1=-2, axis2=-1)[:, None, None] / r
+    # the relative floor must clear Cholesky's cancellation noise
+    # (~machine-eps * scale), or a rank-deficient Gram (constant init!)
+    # produces a negative pivot -> NaN factors
+    rel_floor = 100.0 * jnp.finfo(Gb.dtype).eps
+    ridge = shift + eps + jnp.maximum(eps, rel_floor) * diag_mean
+    A = Gb + ridge * jnp.eye(r, dtype=Gb.dtype)[None]
+    sol = jax.vmap(spd_solve)(A, rhs[..., None])[..., 0]
+    return jnp.maximum(sol, 0.0)
+
+
+def als_update_weighted(V, W, H, alpha, lambda_w=0.0, lambda_h=0.0,
+                        eps=1e-9, order="WH", block=1024):
+    """Confidence-weighted ALS (iALS, Hu–Koren–Volinsky) with the
+    library's weighting convention C = 1 + alpha * V: each half-step
+    solves every row's EXACT weighted normal equations
+
+        (H C_u Hᵀ + (λ+eps) I) w_u = H (c_u ⊙ v_u)
+
+    (and the column dual for H), then clamps at 0 — the same objective
+    ‖√C ⊙ (V − WH)‖² + λ‖·‖² as `mu_update_frobenius_weighted`, but an
+    exact alternating minimizer instead of multiplicative steps.
+
+    Per-row Grams are built panel-blocked (`block` rows/cols at a time:
+    one (block, r, r) einsum on the MXU + one batched Cholesky), so the
+    O(n r²) Gram storage never materializes at full size. Cost per
+    half-step: O(n m r² / panel-free) FLOPs on dense V — for sparse
+    inputs use the sparse-aware twin (sparse_ops.als_update_weighted_
+    sparse), which pays O(nnz r²) instead.
+    """
+    n, m = V.shape
+    r = W.shape[1]
+
+    def upd_w(W, H):
+        Ht = H.T
+
+        def panel(start, rows, out):
+            Vp = lax.dynamic_slice_in_dim(V, start, rows, 0)
+            Cp = 1.0 + alpha * Vp
+            Gb = jnp.einsum("rm,um,sm->urs", H, Cp, H)
+            rhs = (Cp * Vp) @ Ht
+            Wp = _batched_solve_clamped(Gb, rhs, lambda_w, eps)
+            return lax.dynamic_update_slice_in_dim(out, Wp, start, 0)
+
+        nb, tail = divmod(n, block)
+        out = jnp.zeros((n, r), V.dtype)
+        if nb:
+            out = lax.fori_loop(
+                0, nb, lambda i, o: panel(i * block, block, o), out
+            )
+        if tail:
+            out = panel(nb * block, tail, out)
+        return out
+
+    def upd_h(W, H):
+        def panel(start, cols, out):
+            Vp = lax.dynamic_slice_in_dim(V, start, cols, 1)
+            Cp = 1.0 + alpha * Vp
+            Gb = jnp.einsum("nr,nu,ns->urs", W, Cp, W)
+            rhs = (Cp * Vp).T @ W                       # (cols, r)
+            Hp = _batched_solve_clamped(Gb, rhs, lambda_h, eps)
+            return lax.dynamic_update_slice_in_dim(out, Hp.T, start, 1)
+
+        nb, tail = divmod(m, block)
+        out = jnp.zeros((r, m), V.dtype)
+        if nb:
+            out = lax.fori_loop(
+                0, nb, lambda i, o: panel(i * block, block, o), out
+            )
+        if tail:
+            out = panel(nb * block, tail, out)
+        return out
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
 
 
 def als_update(V, W, H, eps=1e-9, order="WH"):

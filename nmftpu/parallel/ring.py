@@ -317,6 +317,12 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         return no_aux, update, ident_h
 
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if config.alpha_confidence > 0.0:
+            raise NotImplementedError(
+                "weighted ALS (iALS) is single-device for now "
+                "(strategy='scatter'); on meshes use the weighted MU "
+                "algorithm"
+            )
         from nmftpu.sparse_ops import _als_family_shifts
 
         sw, sh, ow, oh = _als_family_shifts(config)

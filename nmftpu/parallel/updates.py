@@ -178,6 +178,12 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
         return (lambda scoo: ()), update, ident_h
 
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+        if config.alpha_confidence > 0.0:
+            raise NotImplementedError(
+                "weighted ALS (iALS) is single-device for now "
+                "(strategy='scatter'); on meshes use the weighted MU "
+                "algorithm"
+            )
         from nmftpu.sparse_ops import _als_family_shifts
 
         sw, sh, ow, oh = _als_family_shifts(config)

@@ -313,6 +313,84 @@ def als_family_update_sparse(
     return W, H
 
 
+def _weighted_row_grams(coo, Ht32, alpha, n_rows, by_cols=False,
+                        sub=4096):
+    """(n_rows, r, r) f32: per-row Σ_nz αv · t_c t_cᵀ from the gathered
+    table rows (t = H column / W row). The sparse-aware iALS Gram delta:
+    only the OBSERVED entries carry c−1 = αv, so the cost is O(nnz·r²)
+    instead of the dense O(n·m·r²). Outer products run in `sub`-sized
+    slices so the (sub, r, r) intermediate stays bounded."""
+    r = Ht32.shape[1]
+    acc0 = jnp.zeros((n_rows, r, r), jnp.float32)
+    sub = min(sub, coo.chunk)
+    T = coo.chunk // sub
+
+    def body(acc, x):
+        v, rr, cc = x
+        idx, tbl = (cc, rr) if by_cols else (rr, cc)
+
+        def sbody(i, acc):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, i * sub, sub, 0)
+            t = Ht32[sl(tbl)]                                 # (sub, r)
+            w = (alpha * sl(v)).astype(jnp.float32)
+            outer = jnp.einsum("k,kr,kq->krq", w, t, t)
+            return acc.at[sl(idx)].add(outer)
+
+        return lax.fori_loop(0, T, sbody, acc), None
+
+    acc, _ = lax.scan(body, acc0, _chunked(coo))
+    return acc
+
+
+def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
+                               lambda_h=0.0, eps=1e-9, order="WH"):
+    """Sparse-aware confidence-weighted ALS (iALS): minimizes
+    ‖√C ⊙ (V − WH)‖² + λ‖·‖² with C = 1 + αV, like
+    `mu_update_frobenius_weighted`, but each half-step solves every
+    row's exact weighted normal equations
+
+        (H Hᵀ + Σ_{i∈u} αv_ui h_i h_iᵀ + (λ+eps)I) w_u = H (c_u ⊙ v_u)
+
+    Unobserved entries have c = 1, so they contribute only through the
+    shared Gram — the classic implicit-feedback shortcut: O(nnz·r²) for
+    the Gram deltas + O((n+m)·r³) for the batched Cholesky solves.
+
+    Memory: the per-row Gram deltas materialize (n, r, r) + (m, r, r)
+    f32 (panel-free v1) — e.g. 2.3 GB at n=138k, r=64. The driver
+    validates this against NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES.
+    """
+    n, m = coo.shape
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    r = W.shape[1]
+
+    def upd_w(W, H):
+        Ht32 = H.T.astype(jnp.float32)
+        G = (H @ H.T).astype(jnp.float32)
+        dG = _weighted_row_grams(coo, Ht32, alpha, n)
+        cv = coo.with_values(coo.values * (1.0 + alpha * coo.values))
+        rhs = v_ht(cv, H).astype(jnp.float32)              # (n, r)
+        Wn = D._batched_solve_clamped(G[None] + dG, rhs, lambda_w, eps)
+        return Wn.astype(W.dtype)
+
+    def upd_h(W, H):
+        W32 = W.astype(jnp.float32)
+        G = (W.T @ W).astype(jnp.float32)
+        dG = _weighted_row_grams(coo, W32, alpha, m, by_cols=True)
+        cv = coo.with_values(coo.values * (1.0 + alpha * coo.values))
+        rhs = wt_v(cv, W).T.astype(jnp.float32)            # (m, r)
+        Hn = D._batched_solve_clamped(G[None] + dG, rhs, lambda_h, eps)
+        return Hn.T.astype(H.dtype)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
 def gdcls_update_sparse(coo, W, H, lambda_tik=0.0, eps=1e-9, order="WH"):
     """GDCLS sparse: MU step for W, Tikhonov LS for H."""
 
@@ -405,6 +483,18 @@ def build_sparse_update(config: NmfConfig):
             lambda coo: (),
             lambda coo, aux, W, H: mu_update_kl_sparse(
                 coo, W, H, eps=eps, order=order
+            ),
+            ident_h,
+        )
+
+    if alg is Algorithm.ALS and config.alpha_confidence > 0.0:
+        a = config.alpha_confidence
+        lw, lh = config.lambda_w, config.lambda_h
+        return (
+            lambda coo: (),
+            lambda coo, aux, W, H: als_update_weighted_sparse(
+                coo, W, H, a, lambda_w=lw, lambda_h=lh, eps=eps,
+                order=order,
             ),
             ident_h,
         )
@@ -919,6 +1009,11 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
 def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                       m: int) -> str:
     if strategy == "auto":
+        if (config.algorithm is Algorithm.ALS
+                and config.alpha_confidence > 0.0):
+            # iALS is sparse-aware by construction (O(nnz·r²) Gram
+            # deltas) — only the scatter engine implements it
+            return "scatter"
         if config.dtype == "float64":
             # scatter is the only engine that holds values AND
             # accumulates at f64; densified stores bf16 and ELL
@@ -994,6 +1089,14 @@ class SparsePlan:
                 f"({self.config.v_storage!r} at prepare time vs "
                 f"{config.v_storage!r}); re-run prepare_sparse"
             )
+        if (config.algorithm is Algorithm.ALS
+                and config.alpha_confidence > 0.0
+                and self.strategy != "scatter"):
+            raise ValueError(
+                "weighted ALS (iALS) runs on the 'scatter' engine; this "
+                f"plan's strategy is {self.strategy!r} — re-run "
+                "prepare_sparse with strategy='scatter'"
+            )
         if self.strategy in ("ell", "scatter") \
                 and config.v_storage != "float32":
             # same contract as prepare_sparse: these engines would
@@ -1062,6 +1165,27 @@ def prepare_sparse(
             f"strategy must be 'auto', 'ell', 'densified' or 'scatter', "
             f"got {strategy!r}"
         )
+    if (config.algorithm is Algorithm.ALS
+            and config.alpha_confidence > 0.0):
+        if strategy != "scatter":
+            raise ValueError(
+                "weighted ALS (iALS) is implemented on the 'scatter' "
+                f"sparse engine (strategy resolved to {strategy!r}); "
+                "use strategy='auto'/'scatter', or the weighted MU "
+                "algorithm for the densified/ELL engines"
+            )
+        budget = int(_os.environ.get(
+            "NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES", 8 * 1024**3
+        ))
+        need = (n + m) * config.rank * config.rank * 4
+        if need > budget:
+            raise ValueError(
+                f"weighted ALS per-row Grams need ~{need / 2**30:.1f} "
+                f"GiB ((n+m)·r² f32) — over the "
+                f"{budget / 2**30:.1f} GiB budget "
+                "(NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES). Lower the rank "
+                "or use the weighted MU algorithm."
+            )
     if strategy in ("ell", "scatter") and config.v_storage != "float32":
         # These engines keep V's values at the compute dtype and would
         # silently ignore the requested low-precision storage.

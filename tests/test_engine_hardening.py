@@ -99,12 +99,14 @@ def test_ell_float64_is_exact(rng):
     np.testing.assert_allclose(out, dense @ H.T, rtol=1e-13)
 
 
-def test_alpha_confidence_requires_mu_frobenius():
+def test_alpha_confidence_requires_mu_or_als_frobenius():
     with pytest.raises(ValueError, match="alpha_confidence"):
-        NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=1.0)
+        NmfConfig(rank=3, algorithm=Algorithm.ACLS, alpha_confidence=1.0)
     with pytest.raises(ValueError, match="alpha_confidence"):
         NmfConfig(rank=3, objective=Objective.KL, alpha_confidence=1.0)
-    NmfConfig(rank=3, alpha_confidence=1.0)  # MU + Frobenius: fine
+    NmfConfig(rank=3, alpha_confidence=1.0)  # weighted MU
+    NmfConfig(rank=3, algorithm=Algorithm.ALS,
+              alpha_confidence=1.0)  # iALS
 
 
 def test_plan_run_revalidates_v_storage(rng):

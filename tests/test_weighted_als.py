@@ -1,0 +1,161 @@
+"""Weighted ALS (iALS): exact per-row weighted normal-equation solves
+under the C = 1 + alpha*V confidence objective (the same model as
+weighted MU, optimized exactly)."""
+
+import numpy as np
+import pytest
+
+from nmftpu import Algorithm, NmfConfig
+from nmftpu import sparse as hs
+from nmftpu.driver import compute
+from nmftpu.linalg import dense as D
+from nmftpu.sparse_ops import compute_sparse, prepare_sparse
+
+
+def _implicit(rng, n=30, m=24, r=3):
+    Wt = rng.uniform(0.1, 1.0, (n, r))
+    Ht = rng.uniform(0.1, 1.0, (r, m))
+    V = (Wt @ Ht > np.quantile(Wt @ Ht, 0.7)).astype(np.float32)
+    V[:, 0] = 1.0
+    V[0, :] = 1.0
+    return V
+
+
+def _oracle_half_step_w(V, W, H, alpha, lam, eps, dtype=np.float64):
+    """Direct numpy per-row weighted solve (the iALS definition), with
+    the library's scale-aware ridge (see _batched_solve_clamped)."""
+    n, r = W.shape
+    out = np.zeros_like(W, dtype=np.float64)
+    rel_floor = 100.0 * np.finfo(dtype).eps
+    for u in range(n):
+        c = 1.0 + alpha * V[u]
+        G = (H * c) @ H.T
+        ridge = lam + eps + max(eps, rel_floor) * np.trace(G) / r
+        A = G + ridge * np.eye(r)
+        y = H @ (c * V[u])
+        out[u] = np.maximum(np.linalg.solve(A, y), 0.0)
+    return out
+
+
+def test_dense_half_step_matches_oracle(rng):
+    V = _implicit(rng).astype(np.float64)
+    W = rng.uniform(0.1, 1.0, (30, 3))
+    H = rng.uniform(0.1, 1.0, (3, 24))
+    alpha, lam, eps = 8.0, 0.05, 1e-9
+    W1, H1 = D.als_update_weighted(
+        V, W, H, alpha, lambda_w=lam, lambda_h=lam, eps=eps,
+        order="WH", block=7,  # force panels + tail
+    )
+    W_ref = _oracle_half_step_w(V, W, H, alpha, lam, eps)
+    np.testing.assert_allclose(np.asarray(W1), W_ref, rtol=1e-8)
+    # H half-step against the dual oracle (transpose the problem)
+    H_ref = _oracle_half_step_w(V.T, H.T, W_ref.T, alpha, lam, eps).T
+    np.testing.assert_allclose(np.asarray(H1), H_ref, rtol=1e-8)
+
+
+def test_sparse_matches_dense(rng):
+    """Sparse-aware Gram deltas == the dense formulation (unobserved
+    entries carry c = 1)."""
+    V = _implicit(rng, 40, 32, 4)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 32)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=Algorithm.ALS, alpha_confidence=6.0,
+        lambda_w=0.1, lambda_h=0.1, num_iterations=8,
+        init_method="copy_existing", check_interval=4,
+    )
+    rd = compute(V, cfg, W0=W0, H0=H0)
+    rs = compute_sparse(hs.from_dense(V), cfg, W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        np.asarray(rs.W), np.asarray(rd.W), rtol=5e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        rs.frobenius_error, rd.frobenius_error, rtol=1e-4
+    )
+
+
+def test_weighted_objective_beats_mu_per_iteration(rng):
+    """The exact solver reaches a lower weighted objective than the
+    multiplicative steps in the same iteration budget."""
+    V = _implicit(rng, 50, 40, 4)
+    alpha = 10.0
+
+    def weighted_obj(res):
+        R = V - np.asarray(res.W) @ np.asarray(res.H)
+        C = 1.0 + alpha * V
+        return float(np.sum(C * R * R))
+
+    kw = dict(W0=np.full((50, 4), 0.5, np.float32),
+              H0=np.full((4, 40), 0.5, np.float32))
+    cfg = lambda alg: NmfConfig(
+        rank=4, algorithm=alg, alpha_confidence=alpha, lambda_w=1e-4,
+        lambda_h=1e-4, num_iterations=5, init_method="copy_existing",
+        check_interval=5,
+    )
+    o_als = weighted_obj(compute(V, cfg(Algorithm.ALS), **kw))
+    o_mu = weighted_obj(compute(V, cfg(Algorithm.MU), **kw))
+    assert o_als <= o_mu * 1.01, (o_als, o_mu)
+
+
+def test_routing_and_guards(rng):
+    V = _implicit(rng, 24, 20, 3)
+    sp = hs.from_dense(V)
+    cfg = NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=4.0,
+                    num_iterations=3)
+    plan = prepare_sparse(sp, cfg)
+    assert plan.strategy == "scatter"  # auto routes iALS to scatter
+    with pytest.raises(ValueError, match="iALS"):
+        prepare_sparse(sp, cfg, strategy="ell")
+    with pytest.raises(ValueError, match="weighted"):
+        NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=1.0,
+                  v_storage="int8")
+    # mesh engines refuse rather than silently dropping the weighting
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    with pytest.raises(NotImplementedError, match="iALS"):
+        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
+    # budget guard
+    import os
+
+    os.environ["NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES"] = "10"
+    try:
+        with pytest.raises(ValueError, match="budget"):
+            prepare_sparse(sp, cfg)
+    finally:
+        del os.environ["NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES"]
+
+
+def test_foldin_consistency(rng):
+    """The weighted-ALS fold-in solves the SAME per-row normal equations
+    as a training W half-step against the frozen H (order='WH' leaves
+    the returned W one half-step stale, so compare to a fresh solve)."""
+    from nmftpu.foldin import transform
+
+    V = _implicit(rng, 30, 24, 3)
+    cfg = NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=5.0,
+                    lambda_w=0.1, lambda_h=0.1, num_iterations=30,
+                    seed=2, check_interval=10)
+    res = compute(V, cfg)
+    H = np.asarray(res.H)
+    out = transform(hs.from_dense(V[:5]), H,
+                    algorithm="als", alpha_confidence=5.0, lambda_w=0.1)
+    W_ref = _oracle_half_step_w(
+        V[:5].astype(np.float64), np.zeros((5, 3)), H, 5.0, 0.1, 1e-9
+    )
+    np.testing.assert_allclose(out.W, W_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_degenerate_init_stays_finite(rng):
+    """Constant init makes the weighted Gram exactly rank-1; the
+    scale-aware ridge must keep the f32 Cholesky finite (used to NaN)."""
+    V = _implicit(rng, 60, 48, 6)
+    W0 = np.full((60, 6), 0.5, np.float32)
+    H0 = np.full((6, 48), 0.5, np.float32)
+    cfg = NmfConfig(rank=6, algorithm=Algorithm.ALS, alpha_confidence=40.0,
+                    lambda_w=1e-4, lambda_h=1e-4, num_iterations=5,
+                    init_method="copy_existing", check_interval=5)
+    for data in (V, hs.from_dense(V)):
+        res = (compute(data, cfg, W0=W0, H0=H0) if isinstance(data, np.ndarray)
+               else compute_sparse(data, cfg, W0=W0, H0=H0))
+        assert np.isfinite(res.frobenius_error)
+        assert not np.isnan(np.asarray(res.W)).any()
