@@ -232,6 +232,31 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         gram = lax.psum(H @ H.T, AXIS_RING)
         return _solve_clamped(gram, rhs.T, shift, off, eps).T
 
+    def w_als_weighted(vals, rows, cols, W, H, alpha, lam):
+        """Ring iALS W half: the per-row weighted Gram deltas rotate
+        with the H blocks (the (bn, r, r) accumulator rides rotate_w's
+        shape-agnostic carry), the base Gram is a psum."""
+        from nmftpu.sparse_ops import _weighted_row_grams
+
+        bn = W.shape[0]
+        dG, _ = ring.rotate_w(
+            vals, rows, cols, H,
+            lambda l, h: _weighted_row_grams(
+                l, h.T.astype(jnp.float32), alpha, bn
+            ),
+        )
+        rhs, _ = ring.rotate_w(
+            vals, rows, cols, H,
+            lambda l, h: v_ht(
+                l.with_values(l.values * (1.0 + alpha * l.values)), h
+            ),
+        )
+        G = lax.psum((H @ H.T).astype(jnp.float32), AXIS_RING)
+        out = D._batched_solve_clamped(
+            G[None] + dG, rhs.astype(jnp.float32), lam, eps
+        )
+        return out.astype(W.dtype)
+
     # ---- H half-steps (ring reduce) ----------------------------------
     def h_fro(vals, rows, cols, W, H, WT=None):
         Wt = WT(W) if WT is not None else W
@@ -268,6 +293,31 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         rhs = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, W))
         gram = lax.psum(W.T @ W, AXIS_RING)
         return _solve_clamped(gram, rhs, shift, off, eps)
+
+    def h_als_weighted(vals, rows, cols, W, H, alpha, lam):
+        """Ring iALS H half: per-column Gram deltas need only the
+        RESIDENT W block per contribution, so they ride the plain ring
+        reduce ((bm, r, r) accumulators travel the ring)."""
+        from nmftpu.sparse_ops import _weighted_row_grams
+
+        bm = H.shape[1]
+        W32 = W.astype(jnp.float32)
+        dG = ring.reduce_h(
+            vals, rows, cols,
+            lambda l: _weighted_row_grams(l, W32, alpha, bm,
+                                          by_cols=True),
+        )
+        rhs = ring.reduce_h(
+            vals, rows, cols,
+            lambda l: wt_v(
+                l.with_values(l.values * (1.0 + alpha * l.values)), W
+            ),
+        )
+        G = lax.psum((W.T @ W).astype(jnp.float32), AXIS_RING)
+        out = D._batched_solve_clamped(
+            G[None] + dG, rhs.T.astype(jnp.float32), lam, eps
+        )
+        return out.T.astype(H.dtype)
 
     # ---- assemble ----------------------------------------------------
     def make_step(upd_w, upd_h, with_s=False):
@@ -316,13 +366,16 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
             update = make_step(w_kl, h_kl)
         return no_aux, update, ident_h
 
+    if alg is Algorithm.ALS and config.alpha_confidence > 0.0:
+        a = config.alpha_confidence
+        lw, lh = config.lambda_w, config.lambda_h
+        update = make_step(
+            lambda v, r_, c, W, H: w_als_weighted(v, r_, c, W, H, a, lw),
+            lambda v, r_, c, W, H: h_als_weighted(v, r_, c, W, H, a, lh),
+        )
+        return no_aux, update, ident_h
+
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if config.alpha_confidence > 0.0:
-            raise NotImplementedError(
-                "weighted ALS (iALS) is single-device for now "
-                "(strategy='scatter'); on meshes use the weighted MU "
-                "algorithm"
-            )
         from nmftpu.sparse_ops import _als_family_shifts
 
         sw, sh, ow, oh = _als_family_shifts(config)
@@ -341,8 +394,6 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         return no_aux, update, ident_h
 
     if alg is Algorithm.NSNMF:
-        from nmftpu.linalg import dense as D
-
         theta = config.theta
         rank = config.rank
 

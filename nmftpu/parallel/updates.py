@@ -105,6 +105,41 @@ def _upd_h_weighted(local, W, H, alpha, eps):
     return H * (numer / (WtW @ H + alpha * alpha_part + eps))
 
 
+def _upd_w_als_weighted(local, W, H, alpha, lam, eps):
+    """Sharded iALS W half-step: per-row weighted Grams from the LOCAL
+    tile's nonzeros (sparse_ops._weighted_row_grams), psum'd over the
+    items axis so every W shard sees its rows' full Σ αv h hᵀ; the base
+    Gram and c⊙v right-hand sides follow the plain-ALS psum pattern.
+    Per-device memory: (block_rows, r, r) f32."""
+    from nmftpu.sparse_ops import _weighted_row_grams
+
+    G = lax.psum((H @ H.T).astype(jnp.float32), AXIS_ITEMS)
+    dG = lax.psum(
+        _weighted_row_grams(local, H.T.astype(jnp.float32), alpha,
+                            W.shape[0]),
+        AXIS_ITEMS,
+    )
+    cv = local.with_values(local.values * (1.0 + alpha * local.values))
+    rhs = lax.psum(v_ht(cv, H), AXIS_ITEMS).astype(jnp.float32)
+    out = D._batched_solve_clamped(G[None] + dG, rhs, lam, eps)
+    return out.astype(W.dtype)
+
+
+def _upd_h_als_weighted(local, W, H, alpha, lam, eps):
+    from nmftpu.sparse_ops import _weighted_row_grams
+
+    G = lax.psum((W.T @ W).astype(jnp.float32), AXIS_USERS)
+    dG = lax.psum(
+        _weighted_row_grams(local, W.astype(jnp.float32), alpha,
+                            H.shape[1], by_cols=True),
+        AXIS_USERS,
+    )
+    cv = local.with_values(local.values * (1.0 + alpha * local.values))
+    rhs = lax.psum(wt_v(cv, W), AXIS_USERS).T.astype(jnp.float32)
+    out = D._batched_solve_clamped(G[None] + dG, rhs, lam, eps)
+    return out.T.astype(H.dtype)
+
+
 _solve_clamped = D.solve_clamped
 
 
@@ -177,13 +212,16 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
             )
         return (lambda scoo: ()), update, ident_h
 
+    if alg is Algorithm.ALS and config.alpha_confidence > 0.0:
+        a = config.alpha_confidence
+        lw, lh = config.lambda_w, config.lambda_h
+        update = make_step(
+            lambda l, W, H: _upd_w_als_weighted(l, W, H, a, lw, eps),
+            lambda l, W, H: _upd_h_als_weighted(l, W, H, a, lh, eps),
+        )
+        return (lambda scoo: ()), update, ident_h
+
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
-        if config.alpha_confidence > 0.0:
-            raise NotImplementedError(
-                "weighted ALS (iALS) is single-device for now "
-                "(strategy='scatter'); on meshes use the weighted MU "
-                "algorithm"
-            )
         from nmftpu.sparse_ops import _als_family_shifts
 
         sw, sh, ow, oh = _als_family_shifts(config)

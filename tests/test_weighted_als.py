@@ -109,11 +109,6 @@ def test_routing_and_guards(rng):
     with pytest.raises(ValueError, match="weighted"):
         NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=1.0,
                   v_storage="int8")
-    # mesh engines refuse rather than silently dropping the weighting
-    from nmftpu.parallel import compute_sharded, make_grid_mesh
-
-    with pytest.raises(NotImplementedError, match="iALS"):
-        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
     # budget guard
     import os
 
@@ -159,3 +154,29 @@ def test_degenerate_init_stays_finite(rng):
                else compute_sparse(data, cfg, W0=W0, H0=H0))
         assert np.isfinite(res.frobenius_error)
         assert not np.isnan(np.asarray(res.W)).any()
+
+
+@pytest.mark.parametrize("engine", ["scatter", "ring"])
+def test_sharded_ials_matches_single_device(rng, engine):
+    """Grid (psum'd per-row Gram deltas) and ring (rotating/reducing
+    (b, r, r) accumulators) iALS match the single-device scatter run."""
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    V = _implicit(rng, 40, 32, 4)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 32)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=Algorithm.ALS, alpha_confidence=6.0,
+        lambda_w=0.1, lambda_h=0.1, num_iterations=6,
+        init_method="copy_existing", check_interval=3,
+    )
+    ref = compute_sparse(hs.from_dense(V), cfg, W0=W0, H0=H0)
+    res = compute_sharded(hs.from_dense(V), cfg,
+                          mesh=make_grid_mesh((2, 4)), engine=engine,
+                          W0=W0, H0=H0)
+    np.testing.assert_allclose(
+        res.frobenius_error, ref.frobenius_error, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.W), np.asarray(ref.W), rtol=2e-3, atol=1e-4
+    )
