@@ -99,6 +99,9 @@ class NMF(TransformerMixin, BaseEstimator):
     v_storage: "float32" | "bfloat16" | "int8" — V's on-device storage
       (dense + densified paths; see docs/TUNING.md).
     num_runs: best-of-N random restarts (reference ``numRuns``).
+    alpha_confidence: implicit-feedback weighting c = 1 + alpha*v —
+      weighted MU with the default algorithm, exact iALS with
+      ``algorithm="als"`` (lambda_w/lambda_h are its ridge).
     """
 
     def __init__(
@@ -124,6 +127,9 @@ class NMF(TransformerMixin, BaseEstimator):
         check_interval=10,
         dtype="float32",
         eps=1e-9,
+        alpha_confidence=0.0,
+        lambda_w=0.0,
+        lambda_h=0.0,
     ):
         self.n_components = n_components
         self.init = init
@@ -145,6 +151,9 @@ class NMF(TransformerMixin, BaseEstimator):
         self.check_interval = check_interval
         self.dtype = dtype
         self.eps = eps
+        self.alpha_confidence = alpha_confidence
+        self.lambda_w = lambda_w
+        self.lambda_h = lambda_h
 
     # -- parameter translation ------------------------------------------
 
@@ -206,6 +215,9 @@ class NMF(TransformerMixin, BaseEstimator):
             threshold_value=float(self.tol),
             threshold_type=ThresholdType.FROBENIUS,
             check_interval=int(self.check_interval),
+            alpha_confidence=float(self.alpha_confidence),
+            lambda_w=float(self.lambda_w),
+            lambda_h=float(self.lambda_h),
             v_storage=self.v_storage,
             dtype=self.dtype,
             eps=float(self.eps),

@@ -257,3 +257,18 @@ def test_nndsvd_inits_via_core_api(rng):
     rm = nmftpu.nmf(from_dense(Vs), 4, init="nndsvda", num_iterations=10,
                     mesh=make_grid_mesh((2, 4)))
     assert np.isfinite(rm.frobenius_error)
+
+
+def test_extension_ials(rng):
+    """alpha_confidence extension: algorithm='als' runs iALS through the
+    facade on implicit data."""
+    W0 = rng.uniform(0.1, 1.0, (40, 4))
+    H0 = rng.uniform(0.1, 1.0, (4, 30))
+    V = ((W0 @ H0) > np.quantile(W0 @ H0, 0.75)).astype(np.float32)
+    V[:, 0] = 1.0
+    V[0, :] = 1.0
+    est = NMF(n_components=4, max_iter=10, tol=0.0, algorithm="als",
+              alpha_confidence=20.0, lambda_w=0.1, lambda_h=0.1,
+              random_state=0)
+    W = est.fit_transform(V)
+    assert (W >= 0).all() and np.isfinite(est.reconstruction_err_)
