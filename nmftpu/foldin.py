@@ -320,14 +320,18 @@ def transform(
                     G, Ht, cols_np, vals_np, indptr_np, b,
                     alpha_confidence, h_scale=prep.scale,
                 )
-            shift = (lambda_w + eps) * jnp.eye(r, dtype=dtype)
-            W = jax.vmap(lambda A, y: D.spd_solve(A + shift, y))(
-                Gb, rhs[:, :, None]
-            )[:, :, 0]
+            # scale-aware ridge (see linalg.dense._batched_solve_clamped):
+            # weighted Grams can be large and near-singular; an absolute
+            # 1e-9 shift sits below f32 Cholesky cancellation noise
+            W = D._batched_solve_clamped(
+                Gb.astype(jnp.float32), rhs.astype(jnp.float32),
+                lambda_w, eps,
+            ).astype(dtype)
         else:
-            A = G + (lambda_w + eps) * jnp.eye(r, dtype=dtype)
-            W = D.spd_solve(A, N.T).T
-        W = jnp.maximum(W, 0.0)
+            A = G.astype(dtype) + (lambda_w + eps) * jnp.eye(
+                r, dtype=dtype
+            )
+            W = jnp.maximum(D.spd_solve(A, N.T).T, 0.0)
         iters_done = 1
     elif objective == "frobenius":
         W0d = _init_w(b, r, seed, W0, dtype)

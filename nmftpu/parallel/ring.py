@@ -233,28 +233,28 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         return _solve_clamped(gram, rhs.T, shift, off, eps).T
 
     def w_als_weighted(vals, rows, cols, W, H, alpha, lam):
-        """Ring iALS W half: the per-row weighted Gram deltas rotate
-        with the H blocks (the (bn, r, r) accumulator rides rotate_w's
-        shape-agnostic carry), the base Gram is a psum."""
+        """Ring iALS W half: ONE rotation carries both the per-row
+        weighted Gram deltas and the c⊙v right-hand sides (flattened
+        into a single (bn, r² + r) accumulator — rotate_w's carry is
+        shape-agnostic); the base Gram is a psum."""
         from nmftpu.sparse_ops import _weighted_row_grams
 
-        bn = W.shape[0]
-        dG, _ = ring.rotate_w(
-            vals, rows, cols, H,
-            lambda l, h: _weighted_row_grams(
+        bn, r = W.shape
+
+        def contrib(l, h):
+            dg = _weighted_row_grams(
                 l, h.T.astype(jnp.float32), alpha, bn
-            ),
-        )
-        rhs, _ = ring.rotate_w(
-            vals, rows, cols, H,
-            lambda l, h: v_ht(
-                l.with_values(l.values * (1.0 + alpha * l.values)), h
-            ),
-        )
+            ).reshape(bn, r * r)
+            cv = l.with_values(l.values * (1.0 + alpha * l.values))
+            return jnp.concatenate(
+                [dg, v_ht(cv, h).astype(jnp.float32)], axis=1
+            )
+
+        both, _ = ring.rotate_w(vals, rows, cols, H, contrib)
+        dG = both[:, : r * r].reshape(bn, r, r)
+        rhs = both[:, r * r:]
         G = lax.psum((H @ H.T).astype(jnp.float32), AXIS_RING)
-        out = D._batched_solve_clamped(
-            G[None] + dG, rhs.astype(jnp.float32), lam, eps
-        )
+        out = D._batched_solve_clamped(G[None] + dG, rhs, lam, eps)
         return out.astype(W.dtype)
 
     # ---- H half-steps (ring reduce) ----------------------------------
@@ -296,27 +296,27 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
 
     def h_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS H half: per-column Gram deltas need only the
-        RESIDENT W block per contribution, so they ride the plain ring
-        reduce ((bm, r, r) accumulators travel the ring)."""
+        RESIDENT W block per contribution, so ONE ring reduce carries
+        the flattened (bm, r² + r) deltas+rhs accumulator."""
         from nmftpu.sparse_ops import _weighted_row_grams
 
-        bm = H.shape[1]
+        r, bm = H.shape
         W32 = W.astype(jnp.float32)
-        dG = ring.reduce_h(
-            vals, rows, cols,
-            lambda l: _weighted_row_grams(l, W32, alpha, bm,
-                                          by_cols=True),
-        )
-        rhs = ring.reduce_h(
-            vals, rows, cols,
-            lambda l: wt_v(
-                l.with_values(l.values * (1.0 + alpha * l.values)), W
-            ),
-        )
+
+        def contrib(l):
+            dg = _weighted_row_grams(
+                l, W32, alpha, bm, by_cols=True
+            ).reshape(bm, r * r)
+            cv = l.with_values(l.values * (1.0 + alpha * l.values))
+            return jnp.concatenate(
+                [dg, wt_v(cv, W).T.astype(jnp.float32)], axis=1
+            )
+
+        both = ring.reduce_h(vals, rows, cols, contrib)
+        dG = both[:, : r * r].reshape(bm, r, r)
+        rhs = both[:, r * r:]
         G = lax.psum((W.T @ W).astype(jnp.float32), AXIS_RING)
-        out = D._batched_solve_clamped(
-            G[None] + dG, rhs.T.astype(jnp.float32), lam, eps
-        )
+        out = D._batched_solve_clamped(G[None] + dG, rhs, lam, eps)
         return out.T.astype(H.dtype)
 
     # ---- assemble ----------------------------------------------------

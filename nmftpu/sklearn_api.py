@@ -300,6 +300,11 @@ class NMF(TransformerMixin, BaseEstimator):
             kwargs["objective"] = obj
             kwargs["num_iterations"] = int(self.max_iter)
             kwargs["eps"] = float(self.eps) if self.eps else 1e-12
+        else:
+            # the projection must solve the SAME weighted/regularized
+            # system the model was fit with (iALS extension params)
+            kwargs["alpha_confidence"] = float(self.alpha_confidence)
+            kwargs["lambda_w"] = float(self.lambda_w)
         out = fold_transform(
             data, self.components_, algorithm=alg, seed=int(seed),
             **kwargs,

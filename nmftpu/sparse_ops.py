@@ -323,20 +323,26 @@ def _weighted_row_grams(coo, Ht32, alpha, n_rows, by_cols=False,
     r = Ht32.shape[1]
     acc0 = jnp.zeros((n_rows, r, r), jnp.float32)
     sub = min(sub, coo.chunk)
-    T = coo.chunk // sub
+    T, tail = divmod(coo.chunk, sub)  # chunk is any 256-multiple — the
+    # tail slice must be processed too or its nonzeros silently vanish
 
     def body(acc, x):
         v, rr, cc = x
         idx, tbl = (cc, rr) if by_cols else (rr, cc)
 
-        def sbody(i, acc):
-            sl = lambda a: lax.dynamic_slice_in_dim(a, i * sub, sub, 0)
-            t = Ht32[sl(tbl)]                                 # (sub, r)
+        def piece(start, size, acc):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, start, size, 0)
+            t = Ht32[sl(tbl)]                                 # (size, r)
             w = (alpha * sl(v)).astype(jnp.float32)
             outer = jnp.einsum("k,kr,kq->krq", w, t, t)
             return acc.at[sl(idx)].add(outer)
 
-        return lax.fori_loop(0, T, sbody, acc), None
+        acc = lax.fori_loop(
+            0, T, lambda i, a: piece(i * sub, sub, a), acc
+        )
+        if tail:
+            acc = piece(T * sub, tail, acc)
+        return acc, None
 
     acc, _ = lax.scan(body, acc0, _chunked(coo))
     return acc
@@ -1006,6 +1012,23 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
     )
 
 
+def _check_weighted_gram_budget(n: int, m: int, rank: int) -> None:
+    """iALS materializes (n, r, r) + (m, r, r) f32 Gram deltas; refuse
+    clearly instead of an opaque device OOM."""
+    budget = int(_os.environ.get(
+        "NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES", 8 * 1024**3
+    ))
+    need = (n + m) * rank * rank * 4
+    if need > budget:
+        raise ValueError(
+            f"weighted ALS per-row Grams need ~{need / 2**30:.1f} "
+            f"GiB ((n+m)\u00b7r\u00b2 f32) \u2014 over the "
+            f"{budget / 2**30:.1f} GiB budget "
+            "(NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES). Lower the rank "
+            "or use the weighted MU algorithm."
+        )
+
+
 def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                       m: int) -> str:
     if strategy == "auto":
@@ -1097,6 +1120,9 @@ class SparsePlan:
                 f"plan's strategy is {self.strategy!r} — re-run "
                 "prepare_sparse with strategy='scatter'"
             )
+        if (config.algorithm is Algorithm.ALS
+                and config.alpha_confidence > 0.0):
+            _check_weighted_gram_budget(n, m, config.rank)
         if self.strategy in ("ell", "scatter") \
                 and config.v_storage != "float32":
             # same contract as prepare_sparse: these engines would
@@ -1174,18 +1200,7 @@ def prepare_sparse(
                 "use strategy='auto'/'scatter', or the weighted MU "
                 "algorithm for the densified/ELL engines"
             )
-        budget = int(_os.environ.get(
-            "NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES", 8 * 1024**3
-        ))
-        need = (n + m) * config.rank * config.rank * 4
-        if need > budget:
-            raise ValueError(
-                f"weighted ALS per-row Grams need ~{need / 2**30:.1f} "
-                f"GiB ((n+m)·r² f32) — over the "
-                f"{budget / 2**30:.1f} GiB budget "
-                "(NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES). Lower the rank "
-                "or use the weighted MU algorithm."
-            )
+        _check_weighted_gram_budget(n, m, config.rank)
     if strategy in ("ell", "scatter") and config.v_storage != "float32":
         # These engines keep V's values at the compute dtype and would
         # silently ignore the requested low-precision storage.

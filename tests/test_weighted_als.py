@@ -134,10 +134,13 @@ def test_foldin_consistency(rng):
     H = np.asarray(res.H)
     out = transform(hs.from_dense(V[:5]), H,
                     algorithm="als", alpha_confidence=5.0, lambda_w=0.1)
+    # the fold-in solve runs f32, so its scale-aware ridge uses the f32
+    # relative floor — mirror it in the oracle
     W_ref = _oracle_half_step_w(
-        V[:5].astype(np.float64), np.zeros((5, 3)), H, 5.0, 0.1, 1e-9
+        V[:5].astype(np.float64), np.zeros((5, 3)), H, 5.0, 0.1, 1e-9,
+        dtype=np.float32,
     )
-    np.testing.assert_allclose(out.W, W_ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(out.W, W_ref, rtol=1e-3, atol=1e-5)
 
 
 def test_degenerate_init_stays_finite(rng):
@@ -180,3 +183,67 @@ def test_sharded_ials_matches_single_device(rng, engine):
     np.testing.assert_allclose(
         np.asarray(res.W), np.asarray(ref.W), rtol=2e-3, atol=1e-4
     )
+
+
+def test_weighted_grams_nonmultiple_chunk(rng):
+    """Sharded tiles carry chunk sizes that are any 256-multiple
+    (partition_sparse rounds the max tile nnz, e.g. 5120): the
+    Gram-delta sub-chunking must process the [T*sub, chunk) tail slice
+    (its nonzeros used to vanish silently)."""
+    import jax.numpy as jnp
+
+    from nmftpu.sparse_ops import DeviceCOO, _weighted_row_grams
+
+    n, m, r = 12, 5200, 3
+    chunk = 5120  # NOT a multiple of the 4096 sub-chunk -> 1024 tail
+    nnz = m
+    cols = np.arange(m, dtype=np.int32)
+    pad = 2 * chunk - nnz
+    coo = DeviceCOO(
+        values=jnp.asarray(np.concatenate([np.ones(nnz, np.float32),
+                                           np.zeros(pad, np.float32)])),
+        rows=jnp.asarray(np.zeros(nnz + pad, np.int32)),
+        cols=jnp.asarray(np.concatenate([cols,
+                                         np.zeros(pad, np.int32)])),
+        shape=(n, m), nnz=nnz, chunk=chunk,
+    )
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    dG = np.asarray(_weighted_row_grams(coo, jnp.asarray(H.T), 2.0, n))
+    expect = 2.0 * H @ H.T  # sum over ALL 5200 columns of row 0
+    np.testing.assert_allclose(dG[0], expect, rtol=1e-4)
+
+
+def test_facade_transform_uses_ials_weights(rng):
+    """An iALS-fitted sklearn facade must project new rows with the SAME
+    weighted, regularized solve it trained with."""
+    from nmftpu.sklearn_api import NMF
+    from nmftpu.foldin import transform
+
+    V = _implicit(rng, 40, 30, 4)
+    est = NMF(n_components=4, max_iter=10, tol=0.0, algorithm="als",
+              alpha_confidence=20.0, lambda_w=0.1, random_state=0)
+    est.fit(V)
+    got = est.transform(hs.from_dense(V[:4]))
+    want = transform(hs.from_dense(V[:4]), est.components_,
+                     algorithm="als", alpha_confidence=20.0,
+                     lambda_w=0.1).W
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_plan_run_checks_gram_budget(rng):
+    import os
+
+    V = _implicit(rng, 24, 20, 3)
+    plain = NmfConfig(rank=3, algorithm=Algorithm.ALS, num_iterations=3)
+    plan = prepare_sparse(hs.from_dense(V), plain, strategy="scatter")
+    import dataclasses
+
+    ials = dataclasses.replace(plain, alpha_confidence=4.0)
+    os.environ["NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES"] = "10"
+    try:
+        with pytest.raises(ValueError, match="budget"):
+            plan.run(config=ials)
+    finally:
+        del os.environ["NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES"]
+    res = plan.run(config=ials)  # under the default budget: runs
+    assert np.isfinite(res.frobenius_error)
