@@ -5,8 +5,10 @@ A brand-new JAX/XLA/Pallas implementation with the capabilities of the
 the reference mount was empty at build time, so component IDs C1..C19 from
 SURVEY.md §2 are cited instead of reference file:line):
 
-* six NMF algorithms — multiplicative updates (Frobenius + KL objectives),
-  ALS, ACLS, AHCLS, GDCLS, nsNMF                       (SURVEY.md C3–C7)
+* the reference's six NMF algorithms — multiplicative updates (Frobenius
+  + KL objectives), ALS, ACLS, AHCLS, GDCLS, nsNMF     (SURVEY.md C3–C7)
+  — plus HALS (sklearn's 'cd', bit-parity) and iALS (implicit-weighted
+  exact solves), beyond the reference
 * six initialization strategies incl. jitted k-means    (SURVEY.md C8)
 * dense and sparse (CSR/CSC/COO) interaction matrices   (SURVEY.md C10–C11)
 * multi-run restarts, threshold convergence without host

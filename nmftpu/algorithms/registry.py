@@ -346,6 +346,19 @@ def build_dense_update(config: NmfConfig):
         def effective_h(aux, H):
             return H
 
+    elif alg is Algorithm.HALS:
+        lw, lh = config.lambda_w, config.lambda_h
+
+        def make_aux(V):
+            return ()
+
+        def update(V, aux, W, H):
+            return D.hals_update(V, W, H, eps=eps, order=order,
+                                 l2_w=lw, l2_h=lh)
+
+        def effective_h(aux, H):
+            return H
+
     elif alg is Algorithm.ACLS:
         lw, lh = config.lambda_w, config.lambda_h
 

@@ -27,6 +27,10 @@ class Algorithm(str, enum.Enum):
                   W, Tikhonov-regularized LS for H with scalar ``lambda_tik``.
     * ``NSNMF`` — non-smooth NMF (Pascual-Montano 2006): smoothing matrix
                   ``S = (1-theta) I + (theta/r) 11^T`` interposed, V ≈ W S H.
+    * ``HALS``  — hierarchical ALS / coordinate descent (Cichocki & Phan;
+                  sklearn's default 'cd' solver) — beyond the reference's
+                  six: cyclic rank-1 column sweeps, typically the fastest
+                  converger under Frobenius.
     """
 
     MU = "mu"
@@ -35,6 +39,7 @@ class Algorithm(str, enum.Enum):
     AHCLS = "ahcls"
     GDCLS = "gdcls"
     NSNMF = "nsnmf"
+    HALS = "hals"
 
 
 class Objective(str, enum.Enum):
@@ -228,6 +233,12 @@ class NmfConfig:
                 f"Frobenius objective; got {self.algorithm}/"
                 f"{self.objective} — running them unweighted silently "
                 "would fit a different model than requested"
+            )
+        if self.algorithm is Algorithm.HALS and self.v_storage != "float32":
+            raise ValueError(
+                "HALS currently runs with v_storage='float32' (the "
+                "column sweeps read exact numerators); use MU or the "
+                "ALS family for low-precision V storage"
             )
         if (self.alpha_confidence > 0.0 and self.algorithm is Algorithm.ALS
                 and self.v_storage != "float32"):

@@ -466,6 +466,61 @@ def als_update_weighted(V, W, H, alpha, lambda_w=0.0, lambda_h=0.0,
     return W, H
 
 
+def _hals_half_sweep(XHt, G, W):
+    """One cyclic HALS sweep over the r columns of W:
+
+        W[:, t] <- max(W[:, t] - (W G[:, t] - XHt[:, t]) / G[t, t], 0)
+
+    sequentially in t (each column sees the already-updated earlier
+    columns) — bit-for-bit the update of sklearn's coordinate-descent
+    solver (`_cdnmf_fast._update_cdnmf_fast` with the identity
+    permutation). XHt (n, r) and the Gram G (r, r) are precomputed, so
+    V is never touched inside the sweep: the same function serves the
+    dense, sparse, and sharded engines."""
+    r = G.shape[0]
+
+    def col(t, W):
+        g_col = lax.dynamic_slice_in_dim(G, t, 1, 1)[:, 0]     # (r,)
+        x_col = lax.dynamic_slice_in_dim(XHt, t, 1, 1)[:, 0]   # (n,)
+        w_col = lax.dynamic_slice_in_dim(W, t, 1, 1)[:, 0]
+        grad = W @ g_col - x_col
+        hess = g_col[t]
+        new = jnp.maximum(w_col - grad / jnp.where(hess != 0, hess, 1.0),
+                          0.0)
+        new = jnp.where(hess != 0, new, w_col)  # sklearn skips hess==0
+        return lax.dynamic_update_slice_in_dim(
+            W, new[:, None], t, 1
+        )
+
+    return lax.fori_loop(0, r, col, W)
+
+
+def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0):
+    """HALS / coordinate descent (Cichocki & Phan; sklearn's DEFAULT
+    'cd' solver): per-iteration, one cyclic rank-1 sweep over W's
+    columns then one over H's rows. Same O(nmr) GEMMs as MU for the
+    numerators plus O((n+m) r²) VPU column work; typically converges in
+    far fewer iterations than MU. Frobenius objective only."""
+    r = W.shape[1]
+    eye = jnp.eye(r, dtype=W.dtype)
+
+    def sweep_w(W, H):
+        G = H @ H.T + l2_w * eye
+        return _hals_half_sweep(V @ H.T, G, W)
+
+    def sweep_h(W, H):
+        G = W.T @ W + l2_h * eye
+        return _hals_half_sweep(V.T @ W, G, H.T).T
+
+    if order == "WH":
+        W = sweep_w(W, H)
+        H = sweep_h(W, H)
+    else:
+        H = sweep_h(W, H)
+        W = sweep_w(W, H)
+    return W, H
+
+
 def als_update(V, W, H, eps=1e-9, order="WH"):
     """ALS iteration: exact LS via normal equations, then clamp to >= 0.
 

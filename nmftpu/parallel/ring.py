@@ -232,6 +232,12 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         gram = lax.psum(H @ H.T, AXIS_RING)
         return _solve_clamped(gram, rhs.T, shift, off, eps).T
 
+    def w_hals(vals, rows, cols, W, H, l2):
+        r = W.shape[1]
+        XHt, _ = ring.rotate_w(vals, rows, cols, H, v_ht)
+        G = lax.psum(H @ H.T, AXIS_RING) + l2 * jnp.eye(r, dtype=W.dtype)
+        return D._hals_half_sweep(XHt, G, W)
+
     def w_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS W half: ONE rotation carries both the per-row
         weighted Gram deltas and the c⊙v right-hand sides (flattened
@@ -293,6 +299,12 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         rhs = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, W))
         gram = lax.psum(W.T @ W, AXIS_RING)
         return _solve_clamped(gram, rhs, shift, off, eps)
+
+    def h_hals(vals, rows, cols, W, H, l2):
+        r = W.shape[1]
+        XtW = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, W)).T
+        G = lax.psum(W.T @ W, AXIS_RING) + l2 * jnp.eye(r, dtype=W.dtype)
+        return D._hals_half_sweep(XtW, G, H.T).T
 
     def h_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS H half: per-column Gram deltas need only the
@@ -364,6 +376,14 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
             update = make_step(w_fro, h_fro)
         else:
             update = make_step(w_kl, h_kl)
+        return no_aux, update, ident_h
+
+    if alg is Algorithm.HALS:
+        lw, lh = config.lambda_w, config.lambda_h
+        update = make_step(
+            lambda v, r_, c, W, H: w_hals(v, r_, c, W, H, lw),
+            lambda v, r_, c, W, H: h_hals(v, r_, c, W, H, lh),
+        )
         return no_aux, update, ident_h
 
     if alg is Algorithm.ALS and config.alpha_confidence > 0.0:

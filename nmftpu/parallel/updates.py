@@ -105,6 +105,23 @@ def _upd_h_weighted(local, W, H, alpha, eps):
     return H * (numer / (WtW @ H + alpha * alpha_part + eps))
 
 
+def _upd_w_hals(local, W, H, l2, eps):
+    """Sharded HALS W sweep: psum the numerator/Gram like plain ALS,
+    then run the shared cyclic column sweep shard-local (W rows are
+    disjoint across the users axis)."""
+    r = W.shape[1]
+    XHt = lax.psum(v_ht(local, H), AXIS_ITEMS)
+    G = lax.psum(H @ H.T, AXIS_ITEMS) + l2 * jnp.eye(r, dtype=W.dtype)
+    return D._hals_half_sweep(XHt, G, W)
+
+
+def _upd_h_hals(local, W, H, l2, eps):
+    r = W.shape[1]
+    XtW = lax.psum(wt_v(local, W), AXIS_USERS).T        # (bc, r)
+    G = lax.psum(W.T @ W, AXIS_USERS) + l2 * jnp.eye(r, dtype=W.dtype)
+    return D._hals_half_sweep(XtW, G, H.T).T
+
+
 def _upd_w_als_weighted(local, W, H, alpha, lam, eps):
     """Sharded iALS W half-step: per-row weighted Grams from the LOCAL
     tile's nonzeros (sparse_ops._weighted_row_grams), psum'd over the
@@ -210,6 +227,14 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
                 lambda l, W, H: _upd_w_kl(l, W, H, eps),
                 lambda l, W, H: _upd_h_kl(l, W, H, eps),
             )
+        return (lambda scoo: ()), update, ident_h
+
+    if alg is Algorithm.HALS:
+        lw, lh = config.lambda_w, config.lambda_h
+        update = make_step(
+            lambda l, W, H: _upd_w_hals(l, W, H, lw, eps),
+            lambda l, W, H: _upd_h_hals(l, W, H, lh, eps),
+        )
         return (lambda scoo: ()), update, ident_h
 
     if alg is Algorithm.ALS and config.alpha_confidence > 0.0:

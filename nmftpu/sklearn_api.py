@@ -11,8 +11,10 @@ with the work routed through nmftpu's drivers (dense, sparse engines, or
 a device mesh).
 
 Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
-  * solver="mu" is the native path (bit-comparable to sklearn's MU — see
-    tests/test_sklearn_parity.py); solver="cd" is not implemented.
+  * solver="mu" (multiplicative) AND solver="cd" (sklearn's DEFAULT:
+    HALS coordinate descent — nmftpu runs the identical cyclic column
+    sweeps, linalg.dense._hals_half_sweep) are both native and
+    factor-parity tested; "cd" is Frobenius-only, as in sklearn.
   * ``init`` resolves exactly like sklearn's ``_initialize_nmf``:
     ``None`` → deterministic ``'nndsvda'`` when the rank permits, else
     ``'random'``; all NNDSVD variants are implemented
@@ -171,13 +173,22 @@ class NMF(TransformerMixin, BaseEstimator):
         return int(r)
 
     def _config(self, r, init_method):
-        if self.solver != "mu":
+        if self.solver not in ("mu", "cd"):
             raise NotImplementedError(
-                f"solver={self.solver!r}: nmftpu implements the 'mu' "
-                "solver (sklearn's coordinate-descent 'cd' has no TPU "
-                "analog here); algorithm='als' is the alternating "
-                "least-squares alternative"
+                f"solver={self.solver!r}: 'mu' and 'cd' (HALS "
+                "coordinate descent, sklearn's default) are implemented"
             )
+        if self.solver == "cd":
+            if _BETA_LOSS[self.beta_loss] is not Objective.FROBENIUS:
+                raise ValueError(
+                    "solver='cd' supports beta_loss='frobenius' only "
+                    "(as in sklearn)"
+                )
+            if self.algorithm not in (None, "hals", Algorithm.HALS):
+                raise ValueError(
+                    "solver='cd' selects the HALS algorithm; do not "
+                    "also pass a conflicting algorithm="
+                )
         if self.beta_loss not in _BETA_LOSS:
             raise ValueError(
                 f"beta_loss={self.beta_loss!r} is not supported; use "
@@ -193,7 +204,8 @@ class NMF(TransformerMixin, BaseEstimator):
             )
         alg = self.algorithm
         if alg is None:
-            alg = Algorithm.MU
+            alg = (Algorithm.HALS if self.solver == "cd"
+                   else Algorithm.MU)
         elif not isinstance(alg, Algorithm):
             alg = Algorithm(alg)
         seed = self.random_state

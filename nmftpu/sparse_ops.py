@@ -397,6 +397,31 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
     return W, H
 
 
+def hals_update_sparse(coo, W, H, eps=1e-9, order="WH", l2_w=0.0,
+                       l2_h=0.0):
+    """HALS on sparse V: the numerators are the usual SpMMs (V stays
+    sparse), the cyclic column sweeps are shared with the dense path
+    (linalg.dense._hals_half_sweep — V is never touched inside)."""
+    r = W.shape[1]
+    eye = jnp.eye(r, dtype=W.dtype)
+
+    def sweep_w(W, H):
+        return D._hals_half_sweep(v_ht(coo, H), H @ H.T + l2_w * eye, W)
+
+    def sweep_h(W, H):
+        return D._hals_half_sweep(
+            wt_v(coo, W).T, W.T @ W + l2_h * eye, H.T
+        ).T
+
+    if order == "WH":
+        W = sweep_w(W, H)
+        H = sweep_h(W, H)
+    else:
+        H = sweep_h(W, H)
+        W = sweep_w(W, H)
+    return W, H
+
+
 def gdcls_update_sparse(coo, W, H, lambda_tik=0.0, eps=1e-9, order="WH"):
     """GDCLS sparse: MU step for W, Tikhonov LS for H."""
 
@@ -512,6 +537,16 @@ def build_sparse_update(config: NmfConfig):
             lambda coo, aux, W, H: als_family_update_sparse(
                 coo, W, H, shift_w=sw, shift_h=sh, off_w=ow, off_h=oh,
                 eps=eps, order=order,
+            ),
+            ident_h,
+        )
+
+    if alg is Algorithm.HALS:
+        lw, lh = config.lambda_w, config.lambda_h
+        return (
+            lambda coo: (),
+            lambda coo, aux, W, H: hals_update_sparse(
+                coo, W, H, eps=eps, order=order, l2_w=lw, l2_h=lh
             ),
             ident_h,
         )
@@ -1037,6 +1072,10 @@ def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
             # iALS is sparse-aware by construction (O(nnz·r²) Gram
             # deltas) — only the scatter engine implements it
             return "scatter"
+        if config.algorithm is Algorithm.HALS:
+            # the cyclic column sweeps read exact numerators: the
+            # scatter engine keeps V at full precision
+            return "scatter"
         if config.dtype == "float64":
             # scatter is the only engine that holds values AND
             # accumulates at f64; densified stores bf16 and ELL
@@ -1201,6 +1240,11 @@ def prepare_sparse(
                 "algorithm for the densified/ELL engines"
             )
         _check_weighted_gram_budget(n, m, config.rank)
+    if config.algorithm is Algorithm.HALS and strategy != "scatter":
+        raise ValueError(
+            "HALS runs on the 'scatter' sparse engine (exact "
+            f"numerators); strategy resolved to {strategy!r}"
+        )
     if strategy in ("ell", "scatter") and config.v_storage != "float32":
         # These engines keep V's values at the compute dtype and would
         # silently ignore the requested low-precision storage.

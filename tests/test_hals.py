@@ -1,0 +1,110 @@
+"""HALS / coordinate descent (sklearn's default 'cd' solver): cyclic
+rank-1 column sweeps, bit-comparable to sklearn's _update_cdnmf_fast."""
+
+import numpy as np
+import pytest
+
+from nmftpu import Algorithm, NmfConfig
+from nmftpu import sparse as hs
+from nmftpu.driver import compute
+from nmftpu.sparse_ops import compute_sparse, prepare_sparse
+
+
+def _problem(rng, n=40, m=30, r=5, dtype=np.float64):
+    V = rng.uniform(0.1, 2.0, (n, m)).astype(dtype)
+    W0 = rng.uniform(0.1, 1.0, (n, r)).astype(dtype)
+    H0 = rng.uniform(0.1, 1.0, (r, m)).astype(dtype)
+    return V, W0, H0
+
+
+def test_hals_matches_sklearn_cd(rng):
+    """Same init + same iterations + cyclic order == sklearn solver='cd'
+    (shuffle=False) to float64 precision."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    V, W0, H0 = _problem(rng)
+    iters = 25
+    sk = SkNMF(n_components=5, init="custom", solver="cd", max_iter=iters,
+               tol=0.0, shuffle=False)
+    W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+
+    cfg = NmfConfig(rank=5, algorithm=Algorithm.HALS,
+                    init_method="copy_existing", num_iterations=iters,
+                    update_order="WH", dtype="float64", eps=0.0)
+    res = compute(V, cfg, W0=W0, H0=H0)
+    np.testing.assert_allclose(np.asarray(res.W), W_sk, rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.H), sk.components_,
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_hals_converges_faster_than_mu(rng):
+    """HALS's selling point: lower Frobenius error than MU at an equal
+    (small) iteration budget."""
+    V, W0, H0 = _problem(rng, dtype=np.float32)
+    kw = dict(W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    mk = lambda alg: NmfConfig(rank=5, algorithm=alg, num_iterations=10,
+                               init_method="copy_existing",
+                               check_interval=5)
+    e_hals = compute(V, mk(Algorithm.HALS), **kw).frobenius_error
+    e_mu = compute(V, mk(Algorithm.MU), **kw).frobenius_error
+    assert e_hals <= e_mu * 1.001, (e_hals, e_mu)
+
+
+def test_hals_sparse_and_sharded_match_dense(rng):
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    V, W0, H0 = _problem(rng, dtype=np.float32)
+    V[V < np.quantile(V, 0.5)] = 0.0
+    V[:, 0] += 0.5
+    V[0, :] += 0.5
+    cfg = NmfConfig(rank=5, algorithm=Algorithm.HALS, num_iterations=8,
+                    init_method="copy_existing", check_interval=4)
+    kw = dict(W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    rd = compute(V, cfg, **kw)
+    plan = prepare_sparse(hs.from_dense(V), cfg)
+    assert plan.strategy == "scatter"
+    rs = compute_sparse(hs.from_dense(V), cfg, **kw)
+    np.testing.assert_allclose(np.asarray(rs.W), np.asarray(rd.W),
+                               rtol=1e-4, atol=1e-5)
+    for engine in ("scatter", "ring"):
+        rm = compute_sharded(hs.from_dense(V), cfg,
+                             mesh=make_grid_mesh((2, 4)), engine=engine,
+                             **kw)
+        np.testing.assert_allclose(
+            rm.frobenius_error, rd.frobenius_error, rtol=2e-4
+        ), engine
+
+
+def test_hals_guards(rng):
+    V, _, _ = _problem(rng, dtype=np.float32)
+    with pytest.raises(ValueError, match="KL"):
+        NmfConfig(rank=3, algorithm=Algorithm.HALS,
+                  objective="kullback-leibler")
+    with pytest.raises(ValueError, match="HALS"):
+        NmfConfig(rank=3, algorithm=Algorithm.HALS, v_storage="int8")
+    with pytest.raises(ValueError, match="scatter"):
+        prepare_sparse(hs.from_dense(np.abs(V)),
+                       NmfConfig(rank=3, algorithm="hals"),
+                       strategy="ell")
+
+
+def test_facade_cd_solver_matches_sklearn(rng):
+    """sklearn code using the DEFAULT solver now runs unchanged."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    from nmftpu.sklearn_api import NMF
+
+    V, W0, H0 = _problem(rng)
+    sk = SkNMF(n_components=5, init="custom", solver="cd", max_iter=20,
+               tol=0.0)
+    W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+    est = NMF(n_components=5, init="custom", solver="cd", max_iter=20,
+              tol=0.0, dtype="float64", eps=0.0)
+    W = est.fit_transform(V, W=W0, H=H0)
+    np.testing.assert_allclose(W, W_sk, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-6, atol=1e-10)
+    with pytest.raises(ValueError, match="cd"):
+        NMF(n_components=3, solver="cd",
+            beta_loss="kullback-leibler").fit(V)

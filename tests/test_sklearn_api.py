@@ -105,7 +105,7 @@ def test_mesh_routing(rng):
 def test_parameter_translation_errors(rng):
     V, _, _ = _problem(rng)
     with pytest.raises(NotImplementedError, match="solver"):
-        NMF(n_components=3, solver="cd").fit(V)
+        NMF(n_components=3, solver="pg").fit(V)  # cd IS implemented now
     with pytest.raises(ValueError, match="beta_loss"):
         NMF(n_components=3, beta_loss="itakura-saito").fit(V)
     with pytest.raises(NotImplementedError, match="acls"):
