@@ -111,7 +111,7 @@ class NMF(TransformerMixin, BaseEstimator):
         n_components="auto",
         *,
         init=None,
-        solver="mu",
+        solver="cd",
         beta_loss="frobenius",
         tol=1e-4,
         max_iter=200,
@@ -178,17 +178,15 @@ class NMF(TransformerMixin, BaseEstimator):
                 f"solver={self.solver!r}: 'mu' and 'cd' (HALS "
                 "coordinate descent, sklearn's default) are implemented"
             )
-        if self.solver == "cd":
-            if _BETA_LOSS[self.beta_loss] is not Objective.FROBENIUS:
-                raise ValueError(
-                    "solver='cd' supports beta_loss='frobenius' only "
-                    "(as in sklearn)"
-                )
-            if self.algorithm not in (None, "hals", Algorithm.HALS):
-                raise ValueError(
-                    "solver='cd' selects the HALS algorithm; do not "
-                    "also pass a conflicting algorithm="
-                )
+        if (self.solver == "cd" and self.algorithm is None
+                and self.alpha_confidence == 0.0
+                and _BETA_LOSS.get(self.beta_loss)
+                is not Objective.FROBENIUS):
+            # sklearn raises for cd + beta_loss != frobenius too
+            raise ValueError(
+                "solver='cd' supports beta_loss='frobenius' only "
+                "(as in sklearn); pass solver='mu' for KL"
+            )
         if self.beta_loss not in _BETA_LOSS:
             raise ValueError(
                 f"beta_loss={self.beta_loss!r} is not supported; use "
@@ -202,10 +200,18 @@ class NMF(TransformerMixin, BaseEstimator):
                 "with lambda_w/lambda_h, 'ahcls', or 'gdcls' — see "
                 "nmftpu.NmfConfig)"
             )
+        # explicit algorithm= (the nmftpu power knob) wins over solver;
+        # otherwise sklearn semantics: 'cd' -> HALS, 'mu' -> MU. The
+        # alpha_confidence extension implies the weighted MU model when
+        # no algorithm is named (HALS has no weighted form).
         alg = self.algorithm
         if alg is None:
-            alg = (Algorithm.HALS if self.solver == "cd"
-                   else Algorithm.MU)
+            if self.alpha_confidence > 0.0:
+                alg = Algorithm.MU
+            elif self.solver == "cd":
+                alg = Algorithm.HALS
+            else:
+                alg = Algorithm.MU
         elif not isinstance(alg, Algorithm):
             alg = Algorithm(alg)
         seed = self.random_state

@@ -172,20 +172,33 @@ def test_nndsvd_init_matches_sklearn(rng):
 
 def test_default_construction_matches_sklearn_end_to_end(rng):
     """NMF(n_components=r) with all other params DEFAULT follows sklearn's
-    default pipeline (nndsvda init + mu). The SVD backends differ
-    (exact LAPACK vs randomized), so factors are equivalent-quality
-    rather than bit-identical: the reconstruction errors must agree."""
+    default pipeline — nndsvda init + the 'cd' (HALS) solver. The SVD
+    backends differ (exact LAPACK vs randomized), so factors are
+    equivalent-quality rather than bit-identical: the reconstruction
+    errors must agree."""
     from sklearn.decomposition import NMF as SkNMF
 
     V, _, _ = _problem(rng)
     iters = 50
-    sk = SkNMF(n_components=5, solver="mu", max_iter=iters, tol=0.0)
+    # random_state seeds sklearn's randomized SVD (otherwise the nndsvda
+    # seeding — and this comparison — varies run to run)
+    sk = SkNMF(n_components=5, max_iter=iters, tol=0.0, random_state=0)
     sk.fit_transform(V.copy())
     est = NMF(n_components=5, max_iter=iters, tol=0.0,
               dtype="float64", eps=0.0)
     est.fit_transform(V)
     np.testing.assert_allclose(est.reconstruction_err_,
                                sk.reconstruction_err_, rtol=2e-3)
+    # and with identical custom inits, the default pipelines match
+    # factor-for-factor (both run the same cyclic CD)
+    W0 = rng.uniform(0.1, 1.0, (40, 5))
+    H0 = rng.uniform(0.1, 1.0, (5, 30))
+    sk2 = SkNMF(n_components=5, init="custom", max_iter=20, tol=0.0)
+    W_sk = sk2.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+    est2 = NMF(n_components=5, init="custom", max_iter=20, tol=0.0,
+               dtype="float64", eps=0.0)
+    W = est2.fit_transform(V, W=W0, H=H0)
+    np.testing.assert_allclose(W, W_sk, rtol=1e-6, atol=1e-10)
 
 
 def test_auto_n_components_resolution(rng):
