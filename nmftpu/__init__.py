@@ -7,7 +7,7 @@ SURVEY.md §2 are cited instead of reference file:line):
 
 * the reference's six NMF algorithms — multiplicative updates (Frobenius
   + KL objectives), ALS, ACLS, AHCLS, GDCLS, nsNMF     (SURVEY.md C3–C7)
-  — plus HALS (sklearn's 'cd', bit-parity) and iALS (implicit-weighted
+  — plus HALS (sklearn's 'cd', f64-roundoff parity) and iALS (implicit-weighted
   exact solves), beyond the reference
 * six initialization strategies incl. jitted k-means    (SURVEY.md C8)
 * dense and sparse (CSR/CSC/COO) interaction matrices   (SURVEY.md C10–C11)

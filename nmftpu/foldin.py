@@ -238,14 +238,18 @@ def transform(
     dtype = jnp.float32
     Ht, G, h_sum = prep.Ht, prep.G, prep.h_sum
 
-    if algorithm not in ("mu", "als"):
-        raise ValueError(f"algorithm must be mu|als, got {algorithm!r}")
+    if algorithm not in ("mu", "als", "hals"):
+        raise ValueError(
+            f"algorithm must be mu|als|hals, got {algorithm!r}"
+        )
     if objective not in ("frobenius", "kl"):
         raise ValueError(
             f"objective must be frobenius|kl, got {objective!r}"
         )
-    if algorithm == "als" and objective == "kl":
-        raise ValueError("als transform supports the frobenius objective")
+    if algorithm in ("als", "hals") and objective == "kl":
+        raise ValueError(
+            f"{algorithm} transform supports the frobenius objective"
+        )
     if alpha_confidence and algorithm != "als":
         raise ValueError(
             "alpha_confidence weighting requires algorithm='als'"
@@ -333,6 +337,19 @@ def transform(
             )
             W = jnp.maximum(D.spd_solve(A, N.T).T, 0.0)
         iters_done = 1
+    elif algorithm == "hals":
+        # W-only cyclic column sweeps against the frozen table — the
+        # projection twin of Algorithm.HALS (sklearn's 'cd' transform):
+        # XHt and the Gram are loop-invariant, so each iteration is one
+        # _hals_half_sweep.
+        W0d = _init_w(b, r, seed, W0, dtype)
+        Gh = G.astype(dtype) + lambda_w * jnp.eye(r, dtype=dtype)
+        Nf = N.astype(dtype)
+        W = jax.lax.fori_loop(
+            0, num_iterations,
+            lambda _, Wc: D._hals_half_sweep(Nf, Gh, Wc), W0d,
+        )
+        iters_done = num_iterations
     elif objective == "frobenius":
         W0d = _init_w(b, r, seed, W0, dtype)
         W = _mu_fro_w_loop(N, G, W0d, num_iterations, eps)

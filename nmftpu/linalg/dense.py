@@ -496,6 +496,8 @@ def _hals_half_sweep(XHt, G, W):
 
 
 def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0):
+    # NOTE: eps is accepted for registry-signature uniformity but unused —
+    # the division is guarded by the hess != 0 branch (sklearn semantics).
     """HALS / coordinate descent (Cichocki & Phan; sklearn's DEFAULT
     'cd' solver): per-iteration, one cyclic rank-1 sweep over W's
     columns then one over H's rows. Same O(nmr) GEMMs as MU for the

@@ -91,8 +91,10 @@ class NMF(TransformerMixin, BaseEstimator):
     ``random_state``, ``verbose``); the extension parameters select
     nmftpu machinery:
 
-    algorithm: None (= MU, sklearn's solver="mu") or any nmftpu
-      ``Algorithm``/string ("als", "acls", "ahcls", "gdcls", "nsnmf").
+    algorithm: None (resolved from ``solver``: 'cd' -> HALS, 'mu' ->
+      MU; weighted runs imply MU) or any nmftpu ``Algorithm``/string
+      ("mu", "hals", "als", "acls", "ahcls", "gdcls", "nsnmf") —
+      explicit algorithm= wins over solver.
     mesh: a 2-D ('users','items') ``jax.sharding.Mesh`` — fits run
       sharded (GSPMD dense path or the sparse sharded engines).
     strategy: sparse engine ("auto" | "densified" | "ell" | "scatter";
@@ -178,19 +180,26 @@ class NMF(TransformerMixin, BaseEstimator):
                 f"solver={self.solver!r}: 'mu' and 'cd' (HALS "
                 "coordinate descent, sklearn's default) are implemented"
             )
+        if self.beta_loss not in _BETA_LOSS:
+            raise ValueError(
+                f"beta_loss={self.beta_loss!r} is not supported; use "
+                "'frobenius' (2) or 'kullback-leibler' (1)"
+            )
         if (self.solver == "cd" and self.algorithm is None
                 and self.alpha_confidence == 0.0
-                and _BETA_LOSS.get(self.beta_loss)
+                and _BETA_LOSS[self.beta_loss]
                 is not Objective.FROBENIUS):
             # sklearn raises for cd + beta_loss != frobenius too
             raise ValueError(
                 "solver='cd' supports beta_loss='frobenius' only "
                 "(as in sklearn); pass solver='mu' for KL"
             )
-        if self.beta_loss not in _BETA_LOSS:
-            raise ValueError(
-                f"beta_loss={self.beta_loss!r} is not supported; use "
-                "'frobenius' (2) or 'kullback-leibler' (1)"
+        if self.shuffle and self.solver == "cd" \
+                and self.algorithm is None:
+            raise NotImplementedError(
+                "shuffle=True (randomized CD coordinate order) is not "
+                "implemented; nmftpu runs the cyclic sweep "
+                "(shuffle=False, sklearn's default)"
             )
         if self.alpha_W or (self.alpha_H not in ("same", 0.0, 0)) \
                 or self.l1_ratio:
@@ -312,9 +321,19 @@ class NMF(TransformerMixin, BaseEstimator):
         # fold-in supports mu and one-shot als; the penalized algorithms
         # fall back to the mu projection (their H-side penalties do not
         # apply to a W-only solve)
-        alg = "als" if self.algorithm in ("als", Algorithm.ALS) else "mu"
+        if self.algorithm in ("als", Algorithm.ALS):
+            alg = "als"
+        elif (self.algorithm in ("hals", Algorithm.HALS)
+              or (self.algorithm is None and self.solver == "cd"
+                  and self.alpha_confidence == 0.0)):
+            alg = "hals"  # project with the solver the model was fit with
+        else:
+            alg = "mu"
         kwargs = {}
-        if alg == "mu":
+        if alg == "hals":
+            kwargs["num_iterations"] = int(self.max_iter)
+            kwargs["lambda_w"] = float(self.lambda_w)
+        elif alg == "mu":
             kwargs["objective"] = obj
             kwargs["num_iterations"] = int(self.max_iter)
             kwargs["eps"] = float(self.eps) if self.eps else 1e-12

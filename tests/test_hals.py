@@ -108,3 +108,33 @@ def test_facade_cd_solver_matches_sklearn(rng):
     with pytest.raises(ValueError, match="cd"):
         NMF(n_components=3, solver="cd",
             beta_loss="kullback-leibler").fit(V)
+
+
+def test_hals_transform_and_guards(rng):
+    """A cd-fitted facade projects new rows with HALS (not an MU
+    fallback); shuffle=True and validation ordering behave."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    from nmftpu.foldin import transform
+    from nmftpu.sklearn_api import NMF
+
+    V, W0, H0 = _problem(rng)
+    est = NMF(n_components=5, init="custom", max_iter=25, tol=0.0,
+              dtype="float64", eps=0.0)  # default solver cd -> HALS
+    est.fit(V, W=W0, H=H0)
+    got = est.transform(V[:6])
+    # oracle: sklearn transform on the same fitted components
+    sk = SkNMF(n_components=5, init="custom", max_iter=25, tol=0.0)
+    sk.fit(V.copy(), W=W0.copy(), H=H0.copy())
+    want = sk.transform(V[:6])
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)
+
+    # direct foldin hals == cd projection semantics
+    out = transform(V[:6], est.components_, algorithm="hals",
+                    num_iterations=25)
+    np.testing.assert_allclose(out.W, got, rtol=1e-5, atol=1e-8)
+
+    with pytest.raises(NotImplementedError, match="shuffle"):
+        NMF(n_components=3, shuffle=True).fit(V)
+    with pytest.raises(ValueError, match="itakura"):
+        NMF(n_components=3, beta_loss="itakura-saito").fit(V)
