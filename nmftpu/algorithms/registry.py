@@ -348,13 +348,14 @@ def build_dense_update(config: NmfConfig):
 
     elif alg is Algorithm.HALS:
         lw, lh = config.lambda_w, config.lambda_h
+        l1w, l1h = config.l1_w, config.l1_h
 
         def make_aux(V):
             return ()
 
         def update(V, aux, W, H):
             return D.hals_update(V, W, H, eps=eps, order=order,
-                                 l2_w=lw, l2_h=lh)
+                                 l2_w=lw, l2_h=lh, l1_w=l1w, l1_h=l1h)
 
         def effective_h(aux, H):
             return H

@@ -140,6 +140,10 @@ class NmfConfig:
     # Algorithm-specific knobs.
     lambda_w: float = 0.0
     lambda_h: float = 0.0
+    # HALS L1 penalties (sklearn cd semantics: subtracted from the
+    # numerators; L2 is lambda_w/lambda_h on the Gram diagonal)
+    l1_w: float = 0.0
+    l1_h: float = 0.0
     alpha_w: float = 0.5
     alpha_h: float = 0.5
     lambda_tik: float = 0.0
@@ -233,6 +237,11 @@ class NmfConfig:
                 f"Frobenius objective; got {self.algorithm}/"
                 f"{self.objective} — running them unweighted silently "
                 "would fit a different model than requested"
+            )
+        if (self.l1_w or self.l1_h) and self.algorithm is not Algorithm.HALS:
+            raise ValueError(
+                "l1_w/l1_h are HALS (coordinate descent) penalties; "
+                f"got algorithm={self.algorithm}"
             )
         if self.algorithm is Algorithm.HALS and self.v_storage != "float32":
             raise ValueError(

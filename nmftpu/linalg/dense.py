@@ -495,9 +495,12 @@ def _hals_half_sweep(XHt, G, W):
     return lax.fori_loop(0, r, col, W)
 
 
-def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0):
+def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0,
+                l1_w=0.0, l1_h=0.0):
     # NOTE: eps is accepted for registry-signature uniformity but unused —
     # the division is guarded by the hess != 0 branch (sklearn semantics).
+    # Regularization follows sklearn's _update_coordinate_descent exactly:
+    # L2 adds to the Gram diagonal, L1 subtracts from the numerator.
     """HALS / coordinate descent (Cichocki & Phan; sklearn's DEFAULT
     'cd' solver): per-iteration, one cyclic rank-1 sweep over W's
     columns then one over H's rows. Same O(nmr) GEMMs as MU for the
@@ -508,11 +511,11 @@ def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0):
 
     def sweep_w(W, H):
         G = H @ H.T + l2_w * eye
-        return _hals_half_sweep(V @ H.T, G, W)
+        return _hals_half_sweep(V @ H.T - l1_w, G, W)
 
     def sweep_h(W, H):
         G = W.T @ W + l2_h * eye
-        return _hals_half_sweep(V.T @ W, G, H.T).T
+        return _hals_half_sweep(V.T @ W - l1_h, G, H.T).T
 
     if order == "WH":
         W = sweep_w(W, H)

@@ -232,11 +232,11 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         gram = lax.psum(H @ H.T, AXIS_RING)
         return _solve_clamped(gram, rhs.T, shift, off, eps).T
 
-    def w_hals(vals, rows, cols, W, H, l2):
+    def w_hals(vals, rows, cols, W, H, l2, l1):
         r = W.shape[1]
         XHt, _ = ring.rotate_w(vals, rows, cols, H, v_ht)
         G = lax.psum(H @ H.T, AXIS_RING) + l2 * jnp.eye(r, dtype=W.dtype)
-        return D._hals_half_sweep(XHt, G, W)
+        return D._hals_half_sweep(XHt - l1, G, W)
 
     def w_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS W half: ONE rotation carries both the per-row
@@ -300,11 +300,11 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         gram = lax.psum(W.T @ W, AXIS_RING)
         return _solve_clamped(gram, rhs, shift, off, eps)
 
-    def h_hals(vals, rows, cols, W, H, l2):
+    def h_hals(vals, rows, cols, W, H, l2, l1):
         r = W.shape[1]
         XtW = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, W)).T
         G = lax.psum(W.T @ W, AXIS_RING) + l2 * jnp.eye(r, dtype=W.dtype)
-        return D._hals_half_sweep(XtW, G, H.T).T
+        return D._hals_half_sweep(XtW - l1, G, H.T).T
 
     def h_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS H half: per-column Gram deltas need only the
@@ -380,9 +380,10 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
 
     if alg is Algorithm.HALS:
         lw, lh = config.lambda_w, config.lambda_h
+        l1w, l1h = config.l1_w, config.l1_h
         update = make_step(
-            lambda v, r_, c, W, H: w_hals(v, r_, c, W, H, lw),
-            lambda v, r_, c, W, H: h_hals(v, r_, c, W, H, lh),
+            lambda v, r_, c, W, H: w_hals(v, r_, c, W, H, lw, l1w),
+            lambda v, r_, c, W, H: h_hals(v, r_, c, W, H, lh, l1h),
         )
         return no_aux, update, ident_h
 

@@ -105,19 +105,19 @@ def _upd_h_weighted(local, W, H, alpha, eps):
     return H * (numer / (WtW @ H + alpha * alpha_part + eps))
 
 
-def _upd_w_hals(local, W, H, l2, eps):
+def _upd_w_hals(local, W, H, l2, l1, eps):
     """Sharded HALS W sweep: psum the numerator/Gram like plain ALS,
     then run the shared cyclic column sweep shard-local (W rows are
     disjoint across the users axis)."""
     r = W.shape[1]
-    XHt = lax.psum(v_ht(local, H), AXIS_ITEMS)
+    XHt = lax.psum(v_ht(local, H), AXIS_ITEMS) - l1
     G = lax.psum(H @ H.T, AXIS_ITEMS) + l2 * jnp.eye(r, dtype=W.dtype)
     return D._hals_half_sweep(XHt, G, W)
 
 
-def _upd_h_hals(local, W, H, l2, eps):
+def _upd_h_hals(local, W, H, l2, l1, eps):
     r = W.shape[1]
-    XtW = lax.psum(wt_v(local, W), AXIS_USERS).T        # (bc, r)
+    XtW = lax.psum(wt_v(local, W), AXIS_USERS).T - l1   # (bc, r)
     G = lax.psum(W.T @ W, AXIS_USERS) + l2 * jnp.eye(r, dtype=W.dtype)
     return D._hals_half_sweep(XtW, G, H.T).T
 
@@ -231,9 +231,10 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
 
     if alg is Algorithm.HALS:
         lw, lh = config.lambda_w, config.lambda_h
+        l1w, l1h = config.l1_w, config.l1_h
         update = make_step(
-            lambda l, W, H: _upd_w_hals(l, W, H, lw, eps),
-            lambda l, W, H: _upd_h_hals(l, W, H, lh, eps),
+            lambda l, W, H: _upd_w_hals(l, W, H, lw, l1w, eps),
+            lambda l, W, H: _upd_h_hals(l, W, H, lh, l1h, eps),
         )
         return (lambda scoo: ()), update, ident_h
 

@@ -29,9 +29,10 @@ Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
     checks (an absolute threshold on |Δ‖V−WH‖_F|), not sklearn's
     relative-to-initial-error criterion; ``tol=0`` runs ``max_iter``
     exactly, matching sklearn.
-  * ``alpha_W``/``alpha_H``/``l1_ratio`` regularization is not mapped —
-    nmftpu exposes penalized objectives through the ACLS/AHCLS/GDCLS
-    algorithms instead (``algorithm=`` extension parameter).
+  * ``alpha_W``/``alpha_H``/``l1_ratio`` regularization is mapped for
+    the default 'cd' solver exactly (sklearn's n_features/n_samples
+    scaling; L2 on the Gram diagonal, L1 off the numerators); for other
+    algorithms use the penalized forms (ACLS/AHCLS/GDCLS).
   * Extra TPU-side parameters (``mesh``, ``strategy``, ``v_storage``,
     ``num_runs``, ``algorithm``) default to the sklearn-equivalent
     behavior and are ignored by sklearn-written call sites.
@@ -174,7 +175,22 @@ class NMF(TransformerMixin, BaseEstimator):
             return int(X_shape[1])
         return int(r)
 
-    def _config(self, r, init_method):
+    def _sklearn_cd_reg(self, shape):
+        """sklearn's alpha_W/alpha_H/l1_ratio -> per-side (l1, l2), with
+        its >=1.0 scaling: W penalties scale by n_features, H penalties
+        by n_samples (see sklearn _compute_regularization)."""
+        n_samples, n_features = shape
+        a_w = float(self.alpha_W)
+        a_h = a_w if self.alpha_H == "same" else float(self.alpha_H)
+        l1r = float(self.l1_ratio)
+        return (
+            n_features * a_w * l1r,            # l1_w
+            n_features * a_w * (1.0 - l1r),    # l2_w
+            n_samples * a_h * l1r,             # l1_h
+            n_samples * a_h * (1.0 - l1r),     # l2_h
+        )
+
+    def _config(self, r, init_method, shape=None):
         if self.solver not in ("mu", "cd"):
             raise NotImplementedError(
                 f"solver={self.solver!r}: 'mu' and 'cd' (HALS "
@@ -201,12 +217,17 @@ class NMF(TransformerMixin, BaseEstimator):
                 "implemented; nmftpu runs the cyclic sweep "
                 "(shuffle=False, sklearn's default)"
             )
-        if self.alpha_W or (self.alpha_H not in ("same", 0.0, 0)) \
-                or self.l1_ratio:
+        has_reg = bool(self.alpha_W) or (
+            self.alpha_H not in ("same", 0.0, 0)
+        )
+        if has_reg and not (self.solver == "cd"
+                            and self.algorithm is None
+                            and self.alpha_confidence == 0.0):
             raise NotImplementedError(
-                "alpha_W/alpha_H/l1_ratio regularization is not mapped; "
-                "use the penalized algorithms instead (algorithm='acls' "
-                "with lambda_w/lambda_h, 'ahcls', or 'gdcls' — see "
+                "alpha_W/alpha_H regularization is mapped for the 'cd' "
+                "solver (HALS) only; for other algorithms use the "
+                "penalized forms (algorithm='acls' with "
+                "lambda_w/lambda_h, 'ahcls', 'gdcls' — see "
                 "nmftpu.NmfConfig)"
             )
         # explicit algorithm= (the nmftpu power knob) wins over solver;
@@ -231,6 +252,14 @@ class NMF(TransformerMixin, BaseEstimator):
                 "random_state must be an int seed or None (Generator "
                 "instances are not hashable into device RNG keys)"
             )
+        lam_w, lam_h = float(self.lambda_w), float(self.lambda_h)
+        l1_w = l1_h = 0.0
+        if alg is Algorithm.HALS and shape is not None and (
+            self.alpha_W or self.alpha_H not in ("same", 0.0, 0)
+        ):
+            l1_w, l2_w, l1_h, l2_h = self._sklearn_cd_reg(shape)
+            lam_w += l2_w
+            lam_h += l2_h
         return NmfConfig(
             rank=int(r),
             algorithm=alg,
@@ -243,8 +272,10 @@ class NMF(TransformerMixin, BaseEstimator):
             threshold_type=ThresholdType.FROBENIUS,
             check_interval=int(self.check_interval),
             alpha_confidence=float(self.alpha_confidence),
-            lambda_w=float(self.lambda_w),
-            lambda_h=float(self.lambda_h),
+            lambda_w=lam_w,
+            lambda_h=lam_h,
+            l1_w=l1_w,
+            l1_h=l1_h,
             v_storage=self.v_storage,
             dtype=self.dtype,
             eps=float(self.eps),
@@ -282,7 +313,7 @@ class NMF(TransformerMixin, BaseEstimator):
                 init_method = _INITS[self.init]
             else:
                 raise ValueError(f"unknown init {self.init!r}")
-        cfg = self._config(r, init_method)
+        cfg = self._config(r, init_method, shape=shape)
 
         from nmftpu.api import dispatch
 

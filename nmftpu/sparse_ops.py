@@ -398,7 +398,7 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
 
 
 def hals_update_sparse(coo, W, H, eps=1e-9, order="WH", l2_w=0.0,
-                       l2_h=0.0):
+                       l2_h=0.0, l1_w=0.0, l1_h=0.0):
     """HALS on sparse V: the numerators are the usual SpMMs (V stays
     sparse), the cyclic column sweeps are shared with the dense path
     (linalg.dense._hals_half_sweep — V is never touched inside)."""
@@ -406,11 +406,13 @@ def hals_update_sparse(coo, W, H, eps=1e-9, order="WH", l2_w=0.0,
     eye = jnp.eye(r, dtype=W.dtype)
 
     def sweep_w(W, H):
-        return D._hals_half_sweep(v_ht(coo, H), H @ H.T + l2_w * eye, W)
+        return D._hals_half_sweep(
+            v_ht(coo, H) - l1_w, H @ H.T + l2_w * eye, W
+        )
 
     def sweep_h(W, H):
         return D._hals_half_sweep(
-            wt_v(coo, W).T, W.T @ W + l2_h * eye, H.T
+            wt_v(coo, W).T - l1_h, W.T @ W + l2_h * eye, H.T
         ).T
 
     if order == "WH":
@@ -543,10 +545,12 @@ def build_sparse_update(config: NmfConfig):
 
     if alg is Algorithm.HALS:
         lw, lh = config.lambda_w, config.lambda_h
+        l1w, l1h = config.l1_w, config.l1_h
         return (
             lambda coo: (),
             lambda coo, aux, W, H: hals_update_sparse(
-                coo, W, H, eps=eps, order=order, l2_w=lw, l2_h=lh
+                coo, W, H, eps=eps, order=order, l2_w=lw, l2_h=lh,
+                l1_w=l1w, l1_h=l1h,
             ),
             ident_h,
         )

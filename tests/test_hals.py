@@ -138,3 +138,56 @@ def test_hals_transform_and_guards(rng):
         NMF(n_components=3, shuffle=True).fit(V)
     with pytest.raises(ValueError, match="itakura"):
         NMF(n_components=3, beta_loss="itakura-saito").fit(V)
+
+
+def test_hals_regularization_matches_sklearn(rng):
+    """sklearn's alpha_W/alpha_H/l1_ratio under solver='cd' map exactly
+    (n_features/n_samples scaling, L2 on the Gram diagonal, L1 off the
+    numerators) — factor parity with regularized sklearn CD."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    from nmftpu.sklearn_api import NMF
+
+    V, W0, H0 = _problem(rng)
+    for aw, ah, l1r in ((0.002, "same", 0.0), (0.001, 0.003, 0.5),
+                        (0.002, 0.0, 1.0)):
+        sk = SkNMF(n_components=5, init="custom", max_iter=15, tol=0.0,
+                   alpha_W=aw, alpha_H=ah, l1_ratio=l1r)
+        W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+        est = NMF(n_components=5, init="custom", max_iter=15, tol=0.0,
+                  alpha_W=aw, alpha_H=ah, l1_ratio=l1r,
+                  dtype="float64", eps=0.0)
+        W = est.fit_transform(V, W=W0, H=H0)
+        np.testing.assert_allclose(W, W_sk, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(est.components_, sk.components_,
+                                   rtol=1e-6, atol=1e-10)
+    # still rejected where unmapped (explicit mu solver)
+    with pytest.raises(NotImplementedError, match="alpha_W"):
+        NMF(n_components=3, solver="mu", alpha_W=0.1).fit(V)
+
+
+def test_hals_l1_engines_match(rng):
+    """l1_w/l1_h penalties agree across dense / scatter / grid / ring."""
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    V, W0, H0 = _problem(rng, dtype=np.float32)
+    V[V < np.quantile(V, 0.5)] = 0.0
+    V[:, 0] += 0.5
+    V[0, :] += 0.5
+    cfg = NmfConfig(rank=5, algorithm=Algorithm.HALS, num_iterations=6,
+                    init_method="copy_existing", check_interval=3,
+                    lambda_w=0.01, lambda_h=0.01, l1_w=0.05, l1_h=0.05)
+    kw = dict(W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    rd = compute(V, cfg, **kw)
+    rs = compute_sparse(hs.from_dense(V), cfg, **kw)
+    np.testing.assert_allclose(np.asarray(rs.W), np.asarray(rd.W),
+                               rtol=1e-4, atol=1e-5)
+    for engine in ("scatter", "ring"):
+        rm = compute_sharded(hs.from_dense(V), cfg,
+                             mesh=make_grid_mesh((2, 4)), engine=engine,
+                             **kw)
+        np.testing.assert_allclose(
+            rm.frobenius_error, rd.frobenius_error, rtol=2e-4
+        )
+    with pytest.raises(ValueError, match="l1_w"):
+        NmfConfig(rank=3, l1_w=0.1)  # HALS-only knob

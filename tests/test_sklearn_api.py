@@ -108,8 +108,10 @@ def test_parameter_translation_errors(rng):
         NMF(n_components=3, solver="pg").fit(V)  # cd IS implemented now
     with pytest.raises(ValueError, match="beta_loss"):
         NMF(n_components=3, beta_loss="itakura-saito").fit(V)
+    # alpha_W under the default 'cd' solver is mapped now; still
+    # rejected where unmapped (mu solver / explicit algorithms)
     with pytest.raises(NotImplementedError, match="acls"):
-        NMF(n_components=3, alpha_W=0.1).fit(V)
+        NMF(n_components=3, solver="mu", alpha_W=0.1).fit(V)
     with pytest.raises(ValueError, match="custom"):
         NMF(n_components=3, init="custom").fit(V)
     with pytest.raises(AttributeError, match="not fitted"):
