@@ -281,6 +281,47 @@ def build_dense_update(config: NmfConfig):
             def update(V, aux, W, H):
                 return D.mu_update_frobenius(V, W, H, eps=eps, order=order)
 
+        elif obj is Objective.BETA and config.v_storage == "float32":
+            beta = config.beta
+
+            def make_aux(V):
+                return ()
+
+            def update(V, aux, W, H):
+                return D.mu_update_beta(V, W, H, beta, eps=eps,
+                                        order=order)
+
+        elif obj is Objective.BETA and config.v_storage == "int8":
+            # int8-stored V under general beta: V enters the numerator
+            # linearly, so the symmetric scale folds in after the
+            # blockwise contraction (same contract as quantized KL).
+            from nmftpu import densified as DF
+            from nmftpu.kernels import quantized as Q
+
+            beta = config.beta
+
+            def make_aux(V):
+                return Q.quantize_v(V)
+
+            def update(V, aux, W, H):
+                return DF.mu_update_beta_densified(
+                    aux[0], W, H, beta, eps=eps, order=order,
+                    scale=aux[1],
+                )
+
+        elif obj is Objective.BETA:  # bf16-stored V
+            from nmftpu import densified as DF
+
+            beta = config.beta
+
+            def make_aux(V):
+                return (V.astype(jnp.bfloat16),)
+
+            def update(V, aux, W, H):
+                return DF.mu_update_beta_densified(
+                    aux[0], W, H, beta, eps=eps, order=order
+                )
+
         elif config.v_storage == "int8":  # KL, int8-stored V
             # Quantized-KL: V held once as int8 + one symmetric scale
             # (quarter traffic), blockwise bf16-GEMM half-steps with the

@@ -24,7 +24,11 @@ _INIT_ALIASES = {
     "kmeans": Initialization.K_MEANS_AND_RANDOM_VALUES,
 }
 
-_OBJ_ALIASES = {"kl": Objective.KL}
+_OBJ_ALIASES = {
+    "kl": Objective.KL,
+    "is": Objective.ITAKURA_SAITO,
+    "beta": Objective.BETA,       # pair with the beta= knob
+}
 
 
 def _coerce(enum_cls, value, aliases=None):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 
 
 class Algorithm(str, enum.Enum):
@@ -47,11 +48,16 @@ class Objective(str, enum.Enum):
 
     The reference's MU is Frobenius-only; KL divergence is additionally
     required by the north star (BASELINE.json `north_star`). Matches
-    sklearn's ``beta_loss`` ∈ {2 → frobenius, 1 → kullback-leibler}.
+    sklearn's ``beta_loss``: 2 → frobenius, 1 → kullback-leibler,
+    0 → itakura-saito, any other float → BETA with ``NmfConfig.beta``
+    (__post_init__ normalizes: BETA with beta=2/1/0 and ITAKURA_SAITO
+    are canonicalized so engine dispatch sees one spelling per loss).
     """
 
     FROBENIUS = "frobenius"
     KL = "kullback-leibler"
+    ITAKURA_SAITO = "itakura-saito"       # sugar: BETA with beta=0
+    BETA = "beta-divergence"              # generalized; uses `beta`
 
 
 class Initialization(str, enum.Enum):
@@ -137,6 +143,13 @@ class NmfConfig:
     # sklearn oracle's loop) or "HW" (classic Lee–Seung presentation).
     update_order: str = "WH"
 
+    # Generalized beta divergence exponent (objective=BETA only; sklearn
+    # beta_loss float). Canonical form after __post_init__: beta=2 ->
+    # FROBENIUS, beta=1 -> KL (the specialized fast paths), anything
+    # else -> BETA with this knob (ITAKURA_SAITO spells BETA, beta=0),
+    # so the engines dispatch on BETA + beta alone.
+    beta: float | None = None
+
     # Algorithm-specific knobs.
     lambda_w: float = 0.0
     lambda_h: float = 0.0
@@ -220,6 +233,51 @@ class NmfConfig:
                 f"KL objective is only supported for MU/NSNMF, "
                 f"got {self.algorithm}"
             )
+        # Normalize the beta-divergence family to one canonical spelling.
+        if self.objective is Objective.ITAKURA_SAITO:
+            if self.beta not in (None, 0.0):
+                raise ValueError(
+                    f"objective='itakura-saito' is beta=0; got beta="
+                    f"{self.beta} — use objective='beta-divergence'"
+                )
+            object.__setattr__(self, "objective", Objective.BETA)
+            object.__setattr__(self, "beta", 0.0)
+        if self.objective is Objective.BETA:
+            if self.beta is None:
+                raise ValueError(
+                    "objective='beta-divergence' requires the beta knob "
+                    "(sklearn beta_loss; e.g. beta=0.5; 0 is "
+                    "Itakura-Saito)"
+                )
+            b = float(self.beta)
+            if not math.isfinite(b):
+                raise ValueError(f"beta must be finite, got {self.beta}")
+            if b == 2.0:
+                object.__setattr__(self, "objective", Objective.FROBENIUS)
+                object.__setattr__(self, "beta", None)
+            elif b == 1.0:
+                object.__setattr__(self, "objective", Objective.KL)
+                object.__setattr__(self, "beta", None)
+            else:
+                object.__setattr__(self, "beta", b)
+        elif self.beta is not None:
+            raise ValueError(
+                f"beta={self.beta} is only meaningful with objective="
+                f"'beta-divergence'; got {self.objective}"
+            )
+        if self.objective is Objective.BETA:
+            if self.algorithm is not Algorithm.MU:
+                raise ValueError(
+                    "the generalized beta objective runs the MU "
+                    f"algorithm only (sklearn solver='mu'); got "
+                    f"{self.algorithm}"
+                )
+            if self.use_pallas:
+                raise ValueError(
+                    "use_pallas has no beta-divergence kernels; use the "
+                    "XLA path (use_pallas=False) for objective="
+                    "'beta-divergence'"
+                )
         if self.use_pallas and self.dtype == "float64":
             raise ValueError(
                 "use_pallas=True cannot honor dtype='float64': the "

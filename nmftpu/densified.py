@@ -213,6 +213,187 @@ def _kl_numer_h_blocked(Vd, Q, H, eps, block_rows, scale=None):
     return out if scale is None else out * scale
 
 
+def _beta_terms_w_blocked(Vd, W, H, beta, eps, block_rows, scale=None):
+    """Blockwise numerator/denominator for the beta-MU W half-step:
+    numer = ((WH)^(b-2) . V) H^T, denom = (WH)^(b-1) H^T, both (n, r),
+    one pass over V per call. Same panel/no-copy contract as
+    _kl_numer_w_blocked; `scale` (int8 storage, V = scale*Vq) enters the
+    numerator linearly so it folds in after the contraction."""
+    n, m = Vd.shape
+    r = W.shape[1]
+    nb, tail = divmod(n, block_rows)
+    Hb = H.astype(jnp.bfloat16)
+
+    def panel(start, rows, out):
+        numer, denom = out
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, rows, 0)
+        W_blk = lax.dynamic_slice_in_dim(W, start, rows, 0)
+        WH = jax.lax.dot_general(
+            W_blk.astype(jnp.bfloat16), Hb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        WH = jnp.where(WH > 0, WH, eps)
+        pwr = WH ** (beta - 2.0)
+        num_blk = jax.lax.dot_general(
+            (pwr * V_blk.astype(jnp.float32)).astype(jnp.bfloat16), Hb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        den_blk = jax.lax.dot_general(
+            (pwr * WH).astype(jnp.bfloat16), Hb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            lax.dynamic_update_slice_in_dim(numer, num_blk, start, 0),
+            lax.dynamic_update_slice_in_dim(denom, den_blk, start, 0),
+        )
+
+    out = (jnp.zeros((n, r), jnp.float32), jnp.zeros((n, r), jnp.float32))
+    if nb:  # fori_loop(0, 0) still traces its body
+        out = lax.fori_loop(
+            0, nb, lambda i, o: panel(i * block_rows, block_rows, o), out,
+        )
+    if tail:
+        out = panel(nb * block_rows, tail, out)
+    numer, denom = out
+    return (numer if scale is None else numer * scale), denom
+
+
+def _beta_terms_h_blocked(Vd, W, H, beta, eps, block_rows, scale=None):
+    """Blockwise numer = W^T ((WH)^(b-2) . V), denom = W^T (WH)^(b-1),
+    both (r, m), accumulated over row panels."""
+    n, m = Vd.shape
+    r = W.shape[1]
+    nb, tail = divmod(n, block_rows)
+    Hb = H.astype(jnp.bfloat16)
+
+    def panel(start, rows, acc):
+        numer, denom = acc
+        V_blk = lax.dynamic_slice_in_dim(Vd, start, rows, 0)
+        W_blk = lax.dynamic_slice_in_dim(W, start, rows, 0)
+        Wb = W_blk.astype(jnp.bfloat16)
+        WH = jax.lax.dot_general(
+            Wb, Hb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        WH = jnp.where(WH > 0, WH, eps)
+        pwr = WH ** (beta - 2.0)
+        numer = numer + jax.lax.dot_general(
+            Wb, (pwr * V_blk.astype(jnp.float32)).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        denom = denom + jax.lax.dot_general(
+            Wb, (pwr * WH).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return numer, denom
+
+    acc = (jnp.zeros((r, m), jnp.float32), jnp.zeros((r, m), jnp.float32))
+    if nb:  # fori_loop(0, 0) still traces its body
+        acc = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), acc,
+        )
+    if tail:
+        acc = panel(nb * block_rows, tail, acc)
+    numer, denom = acc
+    return (numer if scale is None else numer * scale), denom
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beta", "eps", "order", "block_rows")
+)
+def mu_update_beta_densified(
+    Vd, W, H, beta, eps=1e-9, order="WH", block_rows=4096, scale=None
+):
+    """Generalized beta-divergence MU against a dense low-precision V,
+    blockwise over row panels (the dense twin is
+    linalg.dense.mu_update_beta; Fevotte & Idier / sklearn float
+    beta_loss semantics including the gamma exponent and the beta<1
+    stabilization). (WH)^(b-2) is shared between numerator and
+    denominator per panel — one WH materialization per half-step, never
+    at full size."""
+    gamma = D.beta_gamma(beta)
+
+    def finish(X, numer, denom):
+        d = numer / jnp.where(denom > 0, denom, eps)
+        if gamma != 1.0:
+            d = d ** gamma
+        X = X * d
+        if beta < 1.0:
+            X = jnp.where(X < D._STAB_EPS, 0.0, X)
+        return X
+
+    def upd_w(W, H):
+        numer, denom = _beta_terms_w_blocked(
+            Vd, W, H, beta, eps, block_rows, scale
+        )
+        return finish(W, numer, denom)
+
+    def upd_h(W, H):
+        numer, denom = _beta_terms_h_blocked(
+            Vd, W, H, beta, eps, block_rows, scale
+        )
+        return finish(H, numer, denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "eps", "block_rows"))
+def beta_divergence_densified(Vd, W, H, beta, eps=1e-12,
+                              block_rows=4096, scale=None):
+    """D_beta(V || WH) blockwise over row panels (dense twin:
+    linalg.dense.beta_divergence — same zero-entry eps conventions)."""
+    n, m = Vd.shape
+    nb, tail = divmod(n, block_rows)
+    Hb = H.astype(jnp.bfloat16)
+
+    def panel(start, rows, acc):
+        V_blk = lax.dynamic_slice_in_dim(
+            Vd, start, rows, 0
+        ).astype(jnp.float32)
+        if scale is not None:
+            V_blk = V_blk * scale
+        W_blk = lax.dynamic_slice_in_dim(W, start, rows, 0)
+        WH = jax.lax.dot_general(
+            W_blk.astype(jnp.bfloat16), Hb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        WH = jnp.maximum(WH, eps)
+        if beta == 0.0:
+            div = jnp.maximum(V_blk, eps) / WH
+            return acc + jnp.sum(div - jnp.log(div) - 1.0)
+        if beta <= 0.0:
+            Vb = jnp.maximum(V_blk, eps) ** beta
+        else:
+            Vb = jnp.where(V_blk > 0, V_blk, 1.0) ** beta
+            Vb = jnp.where(V_blk > 0, Vb, 0.0)
+        term = (Vb + (beta - 1.0) * WH ** beta
+                - beta * V_blk * WH ** (beta - 1.0))
+        return acc + jnp.sum(term)
+
+    total = jnp.asarray(0.0, jnp.float32)
+    if nb:  # fori_loop(0, 0) still traces its body
+        total = lax.fori_loop(
+            0, nb, lambda i, a: panel(i * block_rows, block_rows, a), total,
+        )
+    if tail:
+        total = panel(nb * block_rows, tail, total)
+    if beta == 0.0:
+        return total
+    return total / (beta * (beta - 1.0))
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))
 def mu_update_kl_densified(
     Vd, W, H, eps=1e-9, order="WH", block_rows=4096, scale=None

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from nmftpu.algorithms import build_dense_update
-from nmftpu.config import NmfConfig, resolve_dtype
+from nmftpu.config import NmfConfig, Objective, resolve_dtype
 from nmftpu.init import initialize_factors
 from nmftpu.linalg import dense as D
 from nmftpu.loop import LoopOps, NmfResult, RunStats, build_runner, execute
@@ -22,6 +22,11 @@ _RUNNER_CACHE: dict[tuple, Callable] = {}
 
 def _dense_ops(config: NmfConfig, true_numel: int | None = None) -> LoopOps:
     make_aux, update, effective_h = build_dense_update(config)
+    if config.objective is Objective.BETA:
+        beta = config.beta
+        divergence = lambda V, aux, W, He: D.beta_divergence(V, W, He, beta)
+    else:
+        divergence = lambda V, aux, W, He: D.kl_error(V, W, He)
     return LoopOps(
         make_aux=make_aux,
         update=update,
@@ -29,7 +34,7 @@ def _dense_ops(config: NmfConfig, true_numel: int | None = None) -> LoopOps:
         frobenius=lambda V, aux, W, He, svsq: D.frobenius_error(
             V, W, He, svsq
         ),
-        kl=lambda V, aux, W, He: D.kl_error(V, W, He),
+        kl=divergence,
         sum_v_sq=lambda V: jnp.sum(V * V),
         # The mesh path zero-pads V to the mesh shape; the in-loop RMSD
         # must divide by the TRUE element count (pad rows/cols contribute

@@ -93,6 +93,75 @@ def mu_update_kl(V, W, H, eps=1e-9, order="WH"):
     return W, H
 
 
+def beta_gamma(beta: float) -> float:
+    """sklearn's MU exponent for the generalized beta divergence
+    (Fevotte & Idier 2011, Thm. 8.8 majorization step): the raw
+    multiplicative ratio is raised to gamma to keep the update a
+    descent step outside beta in [1, 2]."""
+    if beta < 1.0:
+        return 1.0 / (2.0 - beta)
+    if beta > 2.0:
+        return 1.0 / (beta - 1.0)
+    return 1.0
+
+
+# sklearn zeroes factor entries below float64 machine eps after each
+# beta<1 half-step ("necessary for stability"); same constant here so
+# the parity tests agree on the support pattern.
+_STAB_EPS = 2.220446049250313e-16
+
+
+def mu_update_beta(V, W, H, beta, eps=1e-9, order="WH"):
+    """One MU iteration under the generalized beta divergence
+    (Fevotte & Idier; sklearn's solver='mu' with float beta_loss):
+
+        W <- W * ( ((WH)^(b-2) . V) H^T / ((WH)^(b-1) H^T) )^gamma
+
+    and symmetrically for H. beta=2 is Frobenius and beta=1 is KL (the
+    specialized fast paths above); beta=0 is Itakura-Saito. Guards
+    replace exact zeros with eps (sklearn's EPSILON semantics — positive
+    entries pass through untouched, unlike the +eps shift), so float64
+    runs match sklearn's _multiplicative_update_w/_h to roundoff.
+    O(nm) full WH materialization per half-step — the blockwise twin for
+    low-precision / densified V lives in nmftpu.densified.
+    """
+    gamma = beta_gamma(beta)
+
+    def guard(X):
+        return jnp.where(X > 0, X, jnp.asarray(eps, X.dtype))
+
+    def stabilize(X):
+        if beta < 1.0:
+            return jnp.where(X < _STAB_EPS, 0.0, X)
+        return X
+
+    def upd_w(W, H):
+        WH = guard(W @ H)
+        numer = ((WH ** (beta - 2.0)) * V) @ H.T
+        denom = guard((WH ** (beta - 1.0)) @ H.T)
+        d = numer / denom
+        if gamma != 1.0:
+            d = d ** gamma
+        return stabilize(W * d)
+
+    def upd_h(W, H):
+        WH = guard(W @ H)
+        numer = W.T @ ((WH ** (beta - 2.0)) * V)
+        denom = guard(W.T @ (WH ** (beta - 1.0)))
+        d = numer / denom
+        if gamma != 1.0:
+            d = d ** gamma
+        return stabilize(H * d)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
 def mu_update_frobenius_bf16v(Vb, W, H, eps=1e-9, order="WH"):
     """MU (Frobenius) against a bfloat16-stored V: halves the dominant HBM
     traffic; the O(nmr) contractions run bf16 x bf16 -> f32 on the MXU and
@@ -718,3 +787,29 @@ def kl_error(V, W, H, eps=1e-12):
         V > 0, V * (jnp.log(jnp.maximum(V, eps) / jnp.maximum(WH, eps))), 0.0
     )
     return jnp.sum(ratio_term - V + WH)
+
+
+def beta_divergence(V, W, H, beta, eps=1e-12):
+    """Generalized beta divergence D_beta(V || WH), sklearn's
+    _beta_divergence general/IS branches (without the square_root):
+
+      beta=0 (IS):  sum  V/WH - log(V/WH) - 1
+      otherwise:    sum (V^b + (b-1) WH^b - b V WH^(b-1)) / (b (b-1))
+
+    WH is eps-guarded; for beta <= 0 zero entries of V are eps-guarded
+    too (the IS divergence is +inf at V=0 — sklearn reports inf there;
+    we report the finite eps-proxy so best-of-N stays comparable).
+    The specialized beta=1/beta=2 objectives use kl_error /
+    frobenius_error instead.
+    """
+    WH = jnp.maximum(W @ H, eps)
+    if beta == 0.0:
+        div = jnp.maximum(V, eps) / WH
+        return jnp.sum(div - jnp.log(div) - 1.0)
+    if beta <= 0.0:
+        Vb = jnp.maximum(V, eps) ** beta
+    else:
+        Vb = jnp.where(V > 0, V, 1.0) ** beta
+        Vb = jnp.where(V > 0, Vb, 0.0)
+    term = Vb + (beta - 1.0) * WH ** beta - beta * V * WH ** (beta - 1.0)
+    return jnp.sum(term) / (beta * (beta - 1.0))

@@ -63,6 +63,9 @@ class NmfResult:
     error: float
     frobenius_error: float
     rmsd: float
+    # For objective=KL this is D_KL(V || WH); for the generalized beta
+    # objective it is D_beta (the quantity best-of-N minimizes); None
+    # under Frobenius.
     kl_error: float | None
     num_iterations: int
     converged: bool
@@ -140,7 +143,10 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback,
         else -float("inf")
     )
     max_checks = num_iterations // check_interval + 2
-    kl_objective = config.objective is Objective.KL
+    # Non-Frobenius objectives (KL / generalized beta) hand best-of-N
+    # their own divergence through the `kl` slot; convergence deltas
+    # stay on the cheap Gram-trick Frobenius metric either way.
+    kl_objective = config.objective is not Objective.FROBENIUS
     use_rmsd = config.threshold_type is ThresholdType.RMSD
 
     def error_metric(V, aux, W, H, sum_v_sq, numel):
@@ -251,7 +257,7 @@ def _execute_vectorized(V_dev, config, runner, init_fn, numel):
         rmsd=fro_f / np.sqrt(numel),
         kl_error=(
             float(kl[best])
-            if config.objective is Objective.KL else None
+            if config.objective is not Objective.FROBENIUS else None
         ),
         num_iterations=int(it[best]),
         converged=bool(converged[best]),
@@ -311,7 +317,8 @@ def execute(
         error=float(err),
         frobenius_error=fro_f,
         rmsd=fro_f / np.sqrt(numel),
-        kl_error=float(kl) if config.objective is Objective.KL else None,
+        kl_error=(float(kl) if config.objective
+                  is not Objective.FROBENIUS else None),
         num_iterations=int(it),
         converged=bool(converged),
         best_run=best_idx,

@@ -428,6 +428,16 @@ def prepare_sharded(
             f"engine must be 'auto', 'ell', 'scatter' or 'ring', "
             f"got {engine!r}"
         )
+    from nmftpu.config import Objective
+
+    if config.objective is Objective.BETA:
+        raise ValueError(
+            "the generalized beta objective is not implemented on the "
+            "sparse sharded engines (its MU denominator is dense); use "
+            "the dense mesh path (compute(V, cfg, mesh=...)) or the "
+            "single-device densified engine, or beta in {2, 1} "
+            "(Frobenius/KL) which run on every engine"
+        )
     if config.v_storage != "float32":
         # Sharded tiles keep values at the compute dtype; honoring
         # low-precision storage here would require per-tile quantized

@@ -33,6 +33,11 @@ Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
     the default 'cd' solver exactly (sklearn's n_features/n_samples
     scaling; L2 on the Gram diagonal, L1 off the numerators); for other
     algorithms use the penalized forms (ACLS/AHCLS/GDCLS).
+  * ``beta_loss`` is fully covered for solver='mu': the named losses
+    AND any float (generalized beta divergence with sklearn's gamma
+    exponent and beta<1 stabilization — factor parity tested at
+    beta ∈ {0.5, 1.5, 2.5} and 'itakura-saito'). transform() under a
+    general beta is not implemented (fold-in is Frobenius/KL).
   * Extra TPU-side parameters (``mesh``, ``strategy``, ``v_storage``,
     ``num_runs``, ``algorithm``) default to the sklearn-equivalent
     behavior and are ignored by sklearn-written call sites.
@@ -51,14 +56,42 @@ from nmftpu.config import (
     ThresholdType,
 )
 
-_BETA_LOSS = {
-    "frobenius": Objective.FROBENIUS,
-    2: Objective.FROBENIUS,
-    2.0: Objective.FROBENIUS,
-    "kullback-leibler": Objective.KL,
-    1: Objective.KL,
-    1.0: Objective.KL,
+_BETA_LOSS_STRINGS = {
+    "frobenius": 2.0,
+    "kullback-leibler": 1.0,
+    "itakura-saito": 0.0,
 }
+
+
+def _beta_objective(beta_loss):
+    """sklearn beta_loss (string or float) -> (Objective, beta | None).
+
+    Full sklearn coverage: the three named losses plus any finite float
+    (solver='mu'). beta=2/1 select the specialized Frobenius/KL engines;
+    everything else is the generalized beta path (NmfConfig.beta).
+    """
+    if isinstance(beta_loss, str):
+        if beta_loss not in _BETA_LOSS_STRINGS:
+            raise ValueError(
+                f"beta_loss={beta_loss!r} is not supported; use "
+                "'frobenius' (2), 'kullback-leibler' (1), "
+                "'itakura-saito' (0), or a float"
+            )
+        b = _BETA_LOSS_STRINGS[beta_loss]
+    else:
+        try:
+            b = float(beta_loss)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"beta_loss={beta_loss!r} is not supported; use a "
+                "float or one of 'frobenius'/'kullback-leibler'/"
+                "'itakura-saito'"
+            ) from None
+    if b == 2.0:
+        return Objective.FROBENIUS, None
+    if b == 1.0:
+        return Objective.KL, None
+    return Objective.BETA, b
 
 _INITS = {
     "random": Initialization.ALL_RANDOM_VALUES,
@@ -196,19 +229,14 @@ class NMF(TransformerMixin, BaseEstimator):
                 f"solver={self.solver!r}: 'mu' and 'cd' (HALS "
                 "coordinate descent, sklearn's default) are implemented"
             )
-        if self.beta_loss not in _BETA_LOSS:
-            raise ValueError(
-                f"beta_loss={self.beta_loss!r} is not supported; use "
-                "'frobenius' (2) or 'kullback-leibler' (1)"
-            )
+        objective, beta = _beta_objective(self.beta_loss)
         if (self.solver == "cd" and self.algorithm is None
                 and self.alpha_confidence == 0.0
-                and _BETA_LOSS[self.beta_loss]
-                is not Objective.FROBENIUS):
+                and objective is not Objective.FROBENIUS):
             # sklearn raises for cd + beta_loss != frobenius too
             raise ValueError(
                 "solver='cd' supports beta_loss='frobenius' only "
-                "(as in sklearn); pass solver='mu' for KL"
+                "(as in sklearn); pass solver='mu' for other losses"
             )
         if self.shuffle and self.solver == "cd" \
                 and self.algorithm is None:
@@ -263,7 +291,8 @@ class NMF(TransformerMixin, BaseEstimator):
         return NmfConfig(
             rank=int(r),
             algorithm=alg,
-            objective=_BETA_LOSS[self.beta_loss],
+            objective=objective,
+            beta=beta,
             init_method=init_method,
             seed=int(seed),
             num_iterations=int(self.max_iter),
@@ -325,8 +354,9 @@ class NMF(TransformerMixin, BaseEstimator):
         self.n_features_in_ = shape[1]
         self.n_iter_ = int(res.num_iterations)
         # sklearn reports sqrt(2·beta_divergence): the Frobenius NORM for
-        # beta=2, sqrt(2·KL) for beta=1 (_beta_divergence square_root=True)
-        if cfg.objective is Objective.KL:
+        # beta=2, sqrt(2·D) otherwise (_beta_divergence square_root=True;
+        # res.kl_error carries D for both KL and generalized beta)
+        if cfg.objective in (Objective.KL, Objective.BETA):
             self.reconstruction_err_ = float(
                 np.sqrt(2.0 * max(res.kl_error, 0.0))
             )
@@ -345,8 +375,15 @@ class NMF(TransformerMixin, BaseEstimator):
         from nmftpu.foldin import transform as fold_transform
 
         data, _ = _as_nmftpu_input(X)
-        obj = ("kl" if _BETA_LOSS[self.beta_loss] is Objective.KL
-               else "frobenius")
+        t_obj, t_beta = _beta_objective(self.beta_loss)
+        if t_obj is Objective.BETA:
+            raise NotImplementedError(
+                f"transform() under beta_loss={self.beta_loss!r} is not "
+                "implemented (the fold-in projection supports Frobenius "
+                "and KL); refit new rows with fit_transform, or use "
+                "beta_loss in {2, 1}"
+            )
+        obj = "kl" if t_obj is Objective.KL else "frobenius"
         seed = self.random_state if isinstance(
             self.random_state, (int, np.integer)) else 0
         # fold-in supports mu and one-shot als; the penalized algorithms

@@ -816,6 +816,14 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
                     return DF.mu_update_kl_densified(
                         V[0], W, H, eps=eps, order=order, scale=V[1]
                     )
+            elif config.objective is Objective.BETA:
+                _beta = config.beta
+
+                def update_q(V, aux, W, H):
+                    return DF.mu_update_beta_densified(
+                        V[0], W, H, _beta, eps=eps, order=order,
+                        scale=V[1],
+                    )
             elif config.alpha_confidence > 0.0:
                 a = config.alpha_confidence
 
@@ -868,6 +876,15 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
             def effective_h(aux, H):
                 return aux[0] @ H
 
+        if config.objective is Objective.BETA:
+            _bq = config.beta
+            div_q = lambda V, aux, W, He: DF.beta_divergence_densified(
+                V[0], W, He, _bq, scale=V[1]
+            )
+        else:
+            div_q = lambda V, aux, W, He: DF.kl_error_densified(
+                V[0], W, He, scale=V[1]
+            )
         return LoopOps(
             make_aux=make_aux,
             update=update_q,
@@ -875,9 +892,7 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
             frobenius=lambda V, aux, W, He, svsq: (
                 DF.frobenius_error_int8_densified(V[0], V[1], W, He, svsq)
             ),
-            kl=lambda V, aux, W, He: DF.kl_error_densified(
-                V[0], W, He, scale=V[1]
-            ),
+            kl=div_q,
             sum_v_sq=lambda V: DF.sum_v_sq_int8_densified(V[0], V[1]),
             numel=lambda V, _nm=coo.shape: _nm[0] * _nm[1],
         )
@@ -897,6 +912,13 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
             def update(Vd, aux, W, H):
                 return D.mu_update_frobenius_bf16v(
                     Vd, W, H, eps=eps, order=order
+                )
+        elif config.objective is Objective.BETA:
+            _beta = config.beta
+
+            def update(Vd, aux, W, H):
+                return DF.mu_update_beta_densified(
+                    Vd, W, H, _beta, eps=eps, order=order
                 )
         else:
             def update(Vd, aux, W, H):
@@ -939,6 +961,13 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
         def effective_h(aux, H):
             return aux[0] @ H
 
+    if config.objective is Objective.BETA:
+        _bb = config.beta
+        div_b = lambda Vd, aux, W, He: DF.beta_divergence_densified(
+            Vd, W, He, _bb
+        )
+    else:
+        div_b = lambda Vd, aux, W, He: DF.kl_error_densified(Vd, W, He)
     return LoopOps(
         make_aux=make_aux,
         update=update,
@@ -946,7 +975,7 @@ def _densified_ops_bundle(config: NmfConfig, coo: DeviceCOO) -> LoopOps:
         frobenius=lambda Vd, aux, W, He, svsq: DF.frobenius_error_densified(
             Vd, W, He, svsq
         ),
-        kl=lambda Vd, aux, W, He: DF.kl_error_densified(Vd, W, He),
+        kl=div_b,
         # from the bf16-rounded V, consistent with the bf16 cross term in
         # the Gram-trick error (mixing the exact f32 sum with bf16 products
         # would break the cancellation near convergence); blockwise to
@@ -1070,7 +1099,36 @@ def _check_weighted_gram_budget(n: int, m: int, rank: int) -> None:
 
 def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                       m: int) -> str:
+    if config.objective is Objective.BETA and strategy in (
+        "scatter", "ell",
+    ):
+        raise ValueError(
+            f"strategy={strategy!r} cannot run the generalized beta "
+            "objective: the MU denominator (WH)^(beta-1) H^T is dense "
+            "regardless of V's sparsity, so only the 'densified' engine "
+            "(blockwise panels) supports it"
+        )
+    if config.objective is Objective.BETA and config.dtype == "float64":
+        raise ValueError(
+            "the generalized beta objective on sparse V runs the "
+            "densified engine, which stores bf16 panels — incompatible "
+            "with the dtype='float64' exactness contract; use the dense "
+            "driver (nmftpu.driver.compute) for double-precision beta"
+        )
     if strategy == "auto":
+        if config.objective is Objective.BETA:
+            v_bytes_b = 1 if config.v_storage == "int8" else 2
+            if v_bytes_b * n * m > DENSIFY_BUDGET_BYTES:
+                raise ValueError(
+                    "the generalized beta objective needs the densified "
+                    f"engine, but a {n}x{m} dense panel matrix exceeds "
+                    "the densify budget "
+                    f"({DENSIFY_BUDGET_BYTES / 2**30:.1f} GiB; "
+                    "NMFTPU_DENSIFY_BUDGET_BYTES) — shard the problem "
+                    "or use beta in {2, 1} (Frobenius/KL), which run "
+                    "on every sparse engine"
+                )
+            return "densified"
         if (config.algorithm is Algorithm.ALS
                 and config.alpha_confidence > 0.0):
             # iALS is sparse-aware by construction (O(nnz·r²) Gram

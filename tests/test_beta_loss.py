@@ -1,0 +1,176 @@
+"""Generalized beta-divergence objective (sklearn's float beta_loss /
+'itakura-saito'): dense + densified engines, facade mapping, guards."""
+
+import numpy as np
+import pytest
+
+from nmftpu import Algorithm, NmfConfig, Objective
+from nmftpu import sparse as hs
+from nmftpu.driver import compute
+from nmftpu.sparse_ops import compute_sparse
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _problem(rng, n=40, m=30, r=4, dtype=np.float64):
+    # strictly positive V: the IS divergence is +inf at zeros, and
+    # sklearn's own beta<1 guards assume positive data
+    V = (np.abs(rng.normal(size=(n, m))) + 0.1).astype(dtype)
+    W0 = np.abs(rng.normal(size=(n, r))).astype(dtype) + 0.05
+    H0 = np.abs(rng.normal(size=(r, m))).astype(dtype) + 0.05
+    return V, W0, H0
+
+
+@pytest.mark.parametrize("beta_loss", [0.5, 1.5, 2.5, "itakura-saito"])
+def test_beta_mu_matches_sklearn(rng, beta_loss):
+    """Factor parity with sklearn solver='mu' at float beta_loss values
+    spanning all three gamma regimes (beta<1, 1<beta<2, beta>2) and IS."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    from nmftpu.sklearn_api import NMF
+
+    V, W0, H0 = _problem(rng)
+    sk = SkNMF(n_components=4, solver="mu", beta_loss=beta_loss,
+               init="custom", max_iter=12, tol=0.0)
+    W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+    est = NMF(n_components=4, solver="mu", beta_loss=beta_loss,
+              init="custom", max_iter=12, tol=0.0, dtype="float64")
+    W = est.fit_transform(V, W=W0, H=H0)
+    np.testing.assert_allclose(W, W_sk, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-7, atol=1e-10)
+    # sklearn's reconstruction_err_ = sqrt(2 * beta_divergence)
+    np.testing.assert_allclose(
+        est.reconstruction_err_, sk.reconstruction_err_, rtol=1e-5
+    )
+
+
+def test_beta_divergence_value_matches_sklearn(rng):
+    from sklearn.decomposition._nmf import _beta_divergence
+
+    from nmftpu.linalg import dense as D
+
+    V, W0, H0 = _problem(rng)
+    for beta in (0.0, 0.5, 1.5, 2.5, -0.5):
+        ours = float(D.beta_divergence(V, W0, H0, beta))
+        ref = float(_beta_divergence(V, W0, H0, beta))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_beta_config_normalization():
+    cfg = NmfConfig(rank=3, objective="beta-divergence", beta=2.0)
+    assert cfg.objective is Objective.FROBENIUS and cfg.beta is None
+    cfg = NmfConfig(rank=3, objective="beta-divergence", beta=1)
+    assert cfg.objective is Objective.KL and cfg.beta is None
+    cfg = NmfConfig(rank=3, objective="itakura-saito")
+    assert cfg.objective is Objective.BETA and cfg.beta == 0.0
+    with pytest.raises(ValueError, match="requires the beta knob"):
+        NmfConfig(rank=3, objective="beta-divergence")
+    with pytest.raises(ValueError, match="only meaningful"):
+        NmfConfig(rank=3, beta=0.5)
+    with pytest.raises(ValueError, match="MU"):
+        NmfConfig(rank=3, objective="beta-divergence", beta=0.5,
+                  algorithm="als")
+    with pytest.raises(ValueError, match="itakura"):
+        NmfConfig(rank=3, objective="itakura-saito", beta=0.5)
+
+
+def test_beta_densified_matches_dense(rng):
+    """Sparse V routes to the densified engine (auto) and tracks the
+    dense engine within bf16-storage tolerance."""
+    V32, W0, H0 = _problem(rng, dtype=np.float32)
+    V32[V32 < np.quantile(V32, 0.5)] = 0.0
+    V32[:, 0] += 0.5
+    V32[0, :] += 0.5
+    cfg = NmfConfig(rank=4, objective="beta-divergence", beta=1.5,
+                    num_iterations=8, init_method="copy_existing",
+                    check_interval=4)
+    kw = dict(W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    rd = compute(V32, cfg, **kw)
+    rs = compute_sparse(hs.from_dense(V32), cfg, **kw)
+    np.testing.assert_allclose(
+        rs.frobenius_error, rd.frobenius_error, rtol=5e-3
+    )
+    np.testing.assert_allclose(rs.kl_error, rd.kl_error, rtol=5e-3)
+    assert np.asarray(rs.W).shape == np.asarray(rd.W).shape
+    # divergence decreased from the initial factors
+    from nmftpu.linalg import dense as D
+
+    d0 = float(D.beta_divergence(V32, kw["W0"], kw["H0"], 1.5))
+    assert rd.kl_error < d0
+
+
+def test_beta_int8_storage(rng):
+    """int8-stored V under general beta: scale folds into the numerator;
+    the run matches the f32 densified path loosely and decreases D."""
+    V32, W0, H0 = _problem(rng, dtype=np.float32)
+    kw = dict(W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    ref = compute(
+        V32,
+        NmfConfig(rank=4, objective="beta-divergence", beta=1.5,
+                  num_iterations=6, init_method="copy_existing",
+                  check_interval=3),
+        **kw,
+    )
+    rq = compute(
+        V32,
+        NmfConfig(rank=4, objective="beta-divergence", beta=1.5,
+                  num_iterations=6, init_method="copy_existing",
+                  check_interval=3, v_storage="int8"),
+        **kw,
+    )
+    np.testing.assert_allclose(
+        rq.frobenius_error, ref.frobenius_error, rtol=0.05
+    )
+
+
+def test_beta_engine_guards(rng):
+    V32, _, _ = _problem(rng, dtype=np.float32)
+    sp = hs.from_dense(V32)
+    cfg = NmfConfig(rank=3, objective="beta-divergence", beta=0.5,
+                    num_iterations=2)
+    for strategy in ("scatter", "ell"):
+        with pytest.raises(ValueError, match="densified"):
+            compute_sparse(sp, cfg, strategy=strategy)
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    with pytest.raises(ValueError, match="beta"):
+        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
+    from nmftpu.sparse_ops import _resolve_strategy
+
+    cfg64 = NmfConfig(rank=3, objective="beta-divergence", beta=0.5,
+                      dtype="float64")
+    with pytest.raises(ValueError, match="float64"):
+        _resolve_strategy(None, cfg64, "auto", 40, 30)
+
+
+def test_beta_facade_guards(rng):
+    from nmftpu.sklearn_api import NMF
+
+    V, _, _ = _problem(rng)
+    # cd (default) rejects non-frobenius losses like sklearn
+    with pytest.raises(ValueError, match="solver='cd'"):
+        NMF(n_components=3, beta_loss=0.5).fit(V)
+    with pytest.raises(ValueError, match="beta_loss"):
+        NMF(n_components=3, solver="mu", beta_loss="nope").fit(V)
+    est = NMF(n_components=3, solver="mu", beta_loss=1.5, max_iter=5,
+              tol=0.0)
+    est.fit(V)
+    with pytest.raises(NotImplementedError, match="transform"):
+        est.transform(V)
+
+
+def test_beta_api_nmf_entry(rng):
+    """Top-level nmf() accepts the objective strings + beta knob."""
+    import nmftpu
+
+    V32, _, _ = _problem(rng, dtype=np.float32)
+    res = nmftpu.nmf(V32, 3, objective="is", num_iterations=5, seed=1)
+    assert np.isfinite(res.kl_error)
+    res2 = nmftpu.nmf(V32, 3, objective="beta", beta=1.5,
+                      num_iterations=5, seed=1, num_runs=2)
+    assert len(res2.run_errors) == 2
+    assert np.isfinite(res2.kl_error)

@@ -136,7 +136,9 @@ def test_hals_transform_and_guards(rng):
 
     with pytest.raises(NotImplementedError, match="shuffle"):
         NMF(n_components=3, shuffle=True).fit(V)
-    with pytest.raises(ValueError, match="itakura"):
+    # itakura-saito is now a supported loss (solver='mu'); under the
+    # default cd solver it hits sklearn's cd-is-frobenius-only rule
+    with pytest.raises(ValueError, match="solver='cd'"):
         NMF(n_components=3, beta_loss="itakura-saito").fit(V)
 
 

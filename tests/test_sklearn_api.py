@@ -107,7 +107,7 @@ def test_parameter_translation_errors(rng):
     with pytest.raises(NotImplementedError, match="solver"):
         NMF(n_components=3, solver="pg").fit(V)  # cd IS implemented now
     with pytest.raises(ValueError, match="beta_loss"):
-        NMF(n_components=3, beta_loss="itakura-saito").fit(V)
+        NMF(n_components=3, solver="mu", beta_loss="not-a-loss").fit(V)
     # alpha_W under the default 'cd' solver is mapped now; still
     # rejected where unmapped (mu solver / explicit algorithms)
     with pytest.raises(NotImplementedError, match="acls"):
