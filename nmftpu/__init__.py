@@ -44,6 +44,9 @@ _LAZY = {
     "transform": ("nmftpu.foldin", "transform"),
     "TransformResult": ("nmftpu.foldin", "TransformResult"),
     "NMF": ("nmftpu.sklearn_api", "NMF"),
+    "MiniBatchNMF": ("nmftpu.sklearn_api", "MiniBatchNMF"),
+    "OnlineNMF": ("nmftpu.minibatch", "OnlineNMF"),
+    "minibatch_fit": ("nmftpu.minibatch", "minibatch_fit"),
 }
 
 

@@ -1,0 +1,430 @@
+"""Online / mini-batch NMF (the `sklearn.decomposition.MiniBatchNMF`
+algorithm of Fevotte & Idier 2011 + Lefevre, Bach & Fevotte 2011): W is
+updated per mini-batch of rows, H through exponentially-forgotten
+sufficient-statistic accumulators A/B, so the model fits row streams and
+datasets far beyond device memory.
+
+TPU shape of the design: every mini-batch step is a handful of
+(b, m) x (m, r) GEMMs — MXU work at panel size, jitted once per batch
+shape and replayed. V itself is never required on device: `fit` slices
+row panels from the host array (or any indexable source), and
+`OnlineNMF.partial_fit` consumes an arbitrary stream of row batches, so
+the resident state is just H/A/B (3 x r x m) and the current panel. For
+V small enough to live in HBM, the same step functions run inside a
+jitted epoch scan (one dispatch per epoch instead of per batch).
+
+Numerics mirror sklearn's `_multiplicative_update_w/_h` guard-for-guard
+(EPSILON clamps, the gamma MM exponent, the beta<1 / beta<=1 factor
+stabilizations), so float64 runs match MiniBatchNMF to roundoff — see
+tests/test_minibatch.py. Reference behavior: SURVEY.md C3 (MU family)
+extended to the online setting; this has no reference-library
+counterpart (nmfgpu is batch-only).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sklearn's EPSILON (np.finfo(np.float32).eps): guard threshold for the
+# multiplicative-update clamps, independent of the compute dtype.
+EPSILON = 1.1920929e-07
+# sklearn zeroes factor entries below float64 machine eps after beta<1
+# (W) / beta<=1 (H) steps "for stability".
+_STAB_EPS = 2.220446049250313e-16
+
+
+def beta_gamma(beta: float) -> float:
+    if beta < 1.0:
+        return 1.0 / (2.0 - beta)
+    if beta > 2.0:
+        return 1.0 / (beta - 1.0)
+    return 1.0
+
+
+def _ratio_and_denoms(Xb, W, H, beta):
+    """Shared beta-MU pieces on one batch: the elementwise product
+    P = (WH)^(beta-2) . X (sklearn's WH_safe_X) and the guarded WH for
+    the denominator powers. One (b, m) WH materialization — batch-sized,
+    never dataset-sized."""
+    WH = W @ H
+    WH_safe = jnp.maximum(WH, EPSILON) if beta < 2.0 else WH
+    if beta == 1.0:
+        P = Xb / WH_safe
+    elif beta == 0.0:
+        P = Xb / (WH_safe * WH_safe)
+    else:
+        P = (WH_safe ** (beta - 2.0)) * Xb
+    WH_d = jnp.maximum(WH, EPSILON) if beta < 1.0 else WH
+    return P, WH_d
+
+
+def w_mu_step(Xb, W, H, beta=2.0, l1_w=0.0, l2_w=0.0, gamma=1.0):
+    """One multiplicative W update on a row batch (sklearn's
+    _multiplicative_update_w, dense branch, guard-for-guard)."""
+    if beta == 2.0:
+        numer = Xb @ H.T
+        denom = W @ (H @ H.T)
+    else:
+        P, WH_d = _ratio_and_denoms(Xb, W, H, beta)
+        numer = P @ H.T
+        if beta == 1.0:
+            denom = jnp.broadcast_to(
+                jnp.sum(H, axis=1)[None, :], W.shape
+            )
+        else:
+            denom = (WH_d ** (beta - 1.0)) @ H.T
+    if l1_w > 0.0:
+        denom = denom + l1_w
+    if l2_w > 0.0:
+        denom = denom + l2_w * W
+    denom = jnp.where(denom == 0.0, EPSILON, denom)
+    d = numer / denom
+    if gamma != 1.0:
+        d = d ** gamma
+    return W * d
+
+
+def h_online_step(Xb, W, H, A, B, rho, beta=2.0, l1_h=0.0, l2_h=0.0,
+                  gamma=1.0):
+    """Online H update: fold this batch's MU numerator/denominator into
+    the forgetting accumulators (A, B) and re-solve H = (A/B)^gamma
+    (sklearn's _multiplicative_update_h with A/B/rho). Returns
+    (H, A, B)."""
+    if beta == 2.0:
+        numer = W.T @ Xb
+        denom = (W.T @ W) @ H
+    else:
+        P, WH_d = _ratio_and_denoms(Xb, W, H, beta)
+        numer = W.T @ P
+        if beta == 1.0:
+            W_sum = jnp.sum(W, axis=0)
+            W_sum = jnp.where(W_sum == 0.0, 1.0, W_sum)
+            denom = jnp.broadcast_to(W_sum[:, None], H.shape)
+        else:
+            denom = W.T @ (WH_d ** (beta - 1.0))
+    if l1_h > 0.0:
+        denom = denom + l1_h
+    if l2_h > 0.0:
+        denom = denom + l2_h * H
+    denom = jnp.where(denom == 0.0, EPSILON, denom)
+    Hg = H ** (1.0 / gamma) if gamma != 1.0 else H
+    A = rho * A + numer * Hg
+    B = rho * B + denom
+    Hn = A / B
+    if gamma != 1.0:
+        Hn = Hn ** gamma
+    if beta <= 1.0:
+        Hn = jnp.where(Hn < _STAB_EPS, 0.0, Hn)
+    return Hn, A, B
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beta", "l1_w", "l2_w", "gamma", "max_iter", "tol"),
+)
+def solve_w(Xb, H, beta=2.0, l1_w=0.0, l2_w=0.0, gamma=1.0,
+            max_iter=200, tol=1e-4):
+    """Solve for a batch's W with H frozen (sklearn's _solve_W: the
+    transform path and the fresh-restarts path), from the flat
+    sqrt(mean/r) start, stopping on relative W change <= tol."""
+    r = H.shape[0]
+    avg = jnp.sqrt(jnp.mean(Xb) / r)
+    W0 = jnp.full((Xb.shape[0], r), avg, dtype=Xb.dtype)
+
+    def body(carry):
+        W, _, it, _ = carry
+        Wn = w_mu_step(Xb, W, H, beta, l1_w, l2_w, gamma)
+        diff = jnp.linalg.norm(Wn - W) / jnp.maximum(
+            jnp.linalg.norm(Wn), EPSILON
+        )
+        return Wn, W, it + 1, diff
+
+    def cond(carry):
+        _, _, it, diff = carry
+        keep = it < max_iter
+        if tol > 0:
+            keep &= diff > tol
+        return keep
+
+    W, _, _, _ = jax.lax.while_loop(
+        cond, body, (W0, W0, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(jnp.inf, Xb.dtype))
+    )
+    return W
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beta", "l1_w", "l2_w", "l1_h", "l2_h", "gamma", "fresh",
+        "fresh_max_iter", "fresh_tol", "with_cost",
+    ),
+)
+def minibatch_step(Xb, W, H, A, B, rho, beta=2.0, l1_w=0.0, l2_w=0.0,
+                   l1_h=0.0, l2_h=0.0, gamma=1.0, fresh=False,
+                   fresh_max_iter=30, fresh_tol=0.0, with_cost=False):
+    """One full mini-batch step (sklearn's _minibatch_step with
+    update_H=True): W step (warm single MU step, or a fresh solve),
+    beta<1 stabilization, online H/A/B update. Returns
+    (W, H, A, B, cost) — cost is the per-sample regularized batch
+    divergence when with_cost, else 0."""
+    if fresh or W is None:
+        W = solve_w(Xb, H, beta, l1_w, l2_w, gamma,
+                    max_iter=fresh_max_iter, tol=fresh_tol)
+    else:
+        W = w_mu_step(Xb, W, H, beta, l1_w, l2_w, gamma)
+    if beta < 1.0:
+        W = jnp.where(W < _STAB_EPS, 0.0, W)
+    if with_cost:
+        from nmftpu.linalg import dense as D
+
+        if beta == 2.0:
+            cost = 0.5 * D.frobenius_error_sq(Xb, W, H)
+        elif beta == 1.0:
+            cost = D.kl_error(Xb, W, H)
+        else:
+            cost = D.beta_divergence(Xb, W, H, beta)
+        cost = (
+            cost + l1_w * jnp.sum(W) + l1_h * jnp.sum(H)
+            + l2_w * jnp.sum(W * W) + l2_h * jnp.sum(H * H)
+        ) / Xb.shape[0]
+    else:
+        cost = jnp.asarray(0.0, Xb.dtype)
+    H, A, B = h_online_step(Xb, W, H, A, B, rho, beta, l1_h, l2_h, gamma)
+    return W, H, A, B, cost
+
+
+def divergence_blocked(V, W, H, beta, batch=1024, dtype=jnp.float32):
+    """D_beta(V || WH) summed over row panels (the divergence is
+    row-additive for every beta), so V streams through batch-sized
+    panels exactly like the fit loop — used for reconstruction_err_
+    without materializing V or WH."""
+    from nmftpu.linalg import dense as D
+
+    n = V.shape[0]
+    W = jnp.asarray(W, dtype)
+    H = jnp.asarray(H, dtype)
+    total = 0.0
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        Xb = jnp.asarray(V[lo:hi], dtype)
+        Wb = W[lo:hi]
+        if beta == 2.0:
+            d = 0.5 * D.frobenius_error_sq(Xb, Wb, H)
+        elif beta == 1.0:
+            d = D.kl_error(Xb, Wb, H)
+        else:
+            d = D.beta_divergence(Xb, Wb, H, beta)
+        total += float(d)
+    return total
+
+
+class OnlineNMF:
+    """Streaming NMF: feed row batches in any order, read H at any time.
+
+    The TPU-resident state is only (H, A, B) — three (r, m) arrays —
+    so the item axis can be large and the row stream unbounded. Each
+    `partial_fit(Xb)` runs one mini-batch step (fresh W solve, as
+    sklearn's partial_fit); `transform(X)` solves W for new rows with H
+    frozen.
+
+    Parameters follow NmfConfig naming where they overlap; `beta` is the
+    divergence exponent (2 = Frobenius, 1 = KL, 0 = Itakura-Saito, any
+    float). alpha_w/alpha_h/l1_ratio carry sklearn's scaled-penalty
+    semantics (W penalties scale by n_features, H penalties by the
+    batch's row count).
+    """
+
+    def __init__(self, rank, *, beta=2.0, batch_size=1024,
+                 forget_factor=0.7, n_rows_hint=None, alpha_w=0.0,
+                 alpha_h="same", l1_ratio=0.0, fresh_max_iter=30,
+                 transform_max_iter=200, transform_tol=1e-4,
+                 dtype=jnp.float32, seed=0):
+        self.rank = int(rank)
+        self.beta = float(beta)
+        self.gamma = beta_gamma(self.beta)
+        self.batch_size = int(batch_size)
+        self.forget_factor = float(forget_factor)
+        # rho = forget_factor ** (batch_size / n_rows): with no known
+        # total row count (a true stream), default to one batch per
+        # "dataset" i.e. rho = forget_factor itself.
+        n_hint = n_rows_hint if n_rows_hint else batch_size
+        self.rho = self.forget_factor ** (self.batch_size / float(n_hint))
+        self.alpha_w = float(alpha_w)
+        self.alpha_h = (
+            self.alpha_w if alpha_h == "same" else float(alpha_h)
+        )
+        self.l1_ratio = float(l1_ratio)
+        self.fresh_max_iter = int(fresh_max_iter)
+        self.transform_max_iter = int(transform_max_iter)
+        self.transform_tol = float(transform_tol)
+        self.dtype = dtype
+        self.seed = int(seed)
+        self.H = None
+        self._A = None
+        self._B = None
+        self.n_steps = 0
+
+    def _regs(self, batch_rows, n_features):
+        l1_w = n_features * self.alpha_w * self.l1_ratio
+        l2_w = n_features * self.alpha_w * (1.0 - self.l1_ratio)
+        l1_h = batch_rows * self.alpha_h * self.l1_ratio
+        l2_h = batch_rows * self.alpha_h * (1.0 - self.l1_ratio)
+        return l1_w, l2_w, l1_h, l2_h
+
+    def _ensure_state(self, Xb, H0=None):
+        if self.H is None:
+            m = Xb.shape[1]
+            if H0 is not None:
+                self.H = jnp.asarray(H0, self.dtype)
+            elif self.rank <= min(Xb.shape):
+                # sklearn partial_fit's first-call default: NNDSVDA
+                # seeded from the first batch — a near-subspace start
+                # that converges far faster than a random H
+                from nmftpu.init.nndsvd import nndsvd_init
+
+                _, H0n = nndsvd_init(np.asarray(Xb), self.rank,
+                                     variant="nndsvda", seed=self.seed)
+                self.H = jnp.asarray(H0n, self.dtype)
+            else:
+                # overcomplete rank: mean-scaled positive random start
+                key = jax.random.PRNGKey(self.seed)
+                avg = float(np.sqrt(float(jnp.mean(Xb)) / self.rank))
+                self.H = avg * jnp.abs(
+                    jax.random.normal(key, (self.rank, m), self.dtype)
+                )
+            self._A = self.H
+            self._B = jnp.ones_like(self.H)
+
+    def partial_fit(self, Xb, H0=None):
+        """One online step on a row batch (fresh W solve, like
+        sklearn's MiniBatchNMF.partial_fit). Returns self."""
+        Xb = jnp.asarray(Xb, self.dtype)
+        self._ensure_state(Xb, H0)
+        l1_w, l2_w, l1_h, l2_h = self._regs(Xb.shape[0], Xb.shape[1])
+        _, self.H, self._A, self._B, _ = minibatch_step(
+            Xb, None, self.H, self._A, self._B, self.rho,
+            beta=self.beta, l1_w=l1_w, l2_w=l2_w, l1_h=l1_h, l2_h=l2_h,
+            gamma=self.gamma, fresh=True,
+            fresh_max_iter=self.fresh_max_iter,
+        )
+        self.n_steps += 1
+        return self
+
+    def transform(self, X):
+        """Solve W for rows of X against the current H (frozen)."""
+        if self.H is None:
+            raise ValueError("OnlineNMF has not seen any data yet")
+        X = jnp.asarray(X, self.dtype)
+        l1_w, l2_w, _, _ = self._regs(X.shape[0], X.shape[1])
+        return solve_w(
+            X, self.H, self.beta, l1_w, l2_w, self.gamma,
+            max_iter=self.transform_max_iter, tol=self.transform_tol,
+        )
+
+
+def minibatch_fit(
+    V, rank, *, batch_size=1024, max_iter=200, beta=2.0,
+    forget_factor=0.7, alpha_w=0.0, alpha_h="same", l1_ratio=0.0,
+    tol=1e-4, max_no_improvement=10, fresh_restarts=False,
+    fresh_restarts_max_iter=30, transform_max_iter=None,
+    W0=None, H0=None, dtype=jnp.float32, verbose=0,
+):
+    """Full mini-batch fit over a host row-major array (sklearn's
+    MiniBatchNMF._fit_transform loop, cycling fixed batch slices).
+
+    V may be any object supporting `V[a:b]` row slicing + `.shape` —
+    a numpy array, np.memmap, or h5py dataset — so datasets far beyond
+    HBM stream through panel by panel. Early stopping matches sklearn:
+    relative H change <= tol, and an EWA of the per-sample batch cost
+    with a max_no_improvement patience (pass tol=0 AND
+    max_no_improvement=None to run exactly max_iter epochs).
+
+    Returns (W, H, n_iter, n_steps).
+    """
+    n, m = V.shape
+    rank = int(rank)
+    batch_size = min(int(batch_size), n)
+    gamma = beta_gamma(float(beta))
+    rho = float(forget_factor) ** (batch_size / float(n))
+    a_w = float(alpha_w)
+    a_h = a_w if alpha_h == "same" else float(alpha_h)
+    tmax = (max_iter if transform_max_iter is None
+            else int(transform_max_iter))
+
+    if W0 is None or H0 is None:
+        raise ValueError(
+            "minibatch_fit requires explicit W0/H0 (use "
+            "nmftpu.init.initialize_factors or the sklearn facade, "
+            "which resolves init= exactly like sklearn)"
+        )
+    W = jnp.asarray(W0, dtype)
+    H = jnp.asarray(H0, dtype)
+    A = H
+    B = jnp.ones_like(H)
+
+    slices = [
+        (s, min(s + batch_size, n)) for s in range(0, n, batch_size)
+    ]
+    steps_per_iter = len(slices)
+    n_steps_max = int(max_iter) * steps_per_iter
+    monitor = (tol is not None and tol > 0) or (
+        max_no_improvement is not None
+    )
+
+    l1_w = m * a_w * float(l1_ratio)
+    l2_w = m * a_w * (1.0 - float(l1_ratio))
+
+    H_buffer = H
+    ewa = None
+    ewa_min = None
+    no_improvement = 0
+    step = 0
+    for step in range(n_steps_max):
+        lo, hi = slices[step % steps_per_iter]
+        Xb = jnp.asarray(V[lo:hi], dtype)
+        b = hi - lo
+        l1_h = b * a_h * float(l1_ratio)
+        l2_h = b * a_h * (1.0 - float(l1_ratio))
+        Wb, H, A, B, cost = minibatch_step(
+            Xb, (None if fresh_restarts else W[lo:hi]), H, A, B, rho,
+            beta=float(beta), l1_w=l1_w, l2_w=l2_w, l1_h=l1_h,
+            l2_h=l2_h, gamma=gamma, fresh=fresh_restarts,
+            fresh_max_iter=int(fresh_restarts_max_iter),
+            with_cost=monitor,
+        )
+        W = W.at[lo:hi].set(Wb) if not fresh_restarts else W
+        if monitor and step > 0:
+            cost = float(cost)
+            if verbose:
+                print(f"[nmftpu.minibatch] step {step + 1}/"
+                      f"{n_steps_max} batch cost {cost:.6g}")
+            alpha = min(b / (n + 1), 1.0)
+            ewa = cost if ewa is None else ewa * (1 - alpha) + cost * alpha
+            h_diff = float(
+                jnp.linalg.norm(H - H_buffer) / jnp.linalg.norm(H)
+            )
+            if tol and tol > 0 and h_diff <= tol:
+                break
+            if ewa_min is None or ewa < ewa_min:
+                no_improvement = 0
+                ewa_min = ewa
+            else:
+                no_improvement += 1
+            if (max_no_improvement is not None
+                    and no_improvement >= max_no_improvement):
+                break
+        H_buffer = H
+
+    if fresh_restarts:
+        W = solve_w(jnp.asarray(V[:], dtype), H, float(beta), l1_w,
+                    l2_w, gamma, max_iter=tmax, tol=float(tol or 0.0))
+
+    n_steps = step + 1
+    n_iter = int(math.ceil(n_steps / steps_per_iter))
+    return W, H, n_iter, n_steps

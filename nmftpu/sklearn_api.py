@@ -429,3 +429,250 @@ class NMF(TransformerMixin, BaseEstimator):
                 "This NMF instance is not fitted yet; call fit or "
                 "fit_transform first"
             )
+
+
+class _RowSource:
+    """Row-slicing adapter: yields DENSE row panels from dense arrays,
+    np.memmap, or scipy.sparse — only batch-sized panels ever densify."""
+
+    def __init__(self, X):
+        self.X = X
+        self.shape = X.shape
+
+    def __getitem__(self, sl):
+        blk = self.X[sl]
+        if hasattr(blk, "toarray"):
+            return blk.toarray()
+        return np.asarray(blk)
+
+
+class MiniBatchNMF(TransformerMixin, BaseEstimator):
+    """Drop-in ``sklearn.decomposition.MiniBatchNMF`` on the nmftpu
+    online engine (nmftpu/minibatch.py): W per row mini-batch, H through
+    forgetting-weighted sufficient-statistic accumulators — out-of-core
+    and streaming NMF with ``partial_fit``.
+
+    Same constructor surface and fitted attributes as sklearn
+    (``components_``, ``reconstruction_err_``, ``n_iter_``,
+    ``n_steps_``); guard-for-guard MU numerics, parity-tested at
+    float64 (tests/test_minibatch.py) for frobenius, KL and float
+    beta_loss. X may be dense, np.memmap, or scipy.sparse — batches
+    densify panel by panel, so the dataset never needs to fit in HBM.
+    """
+
+    def __init__(
+        self,
+        n_components="auto",
+        *,
+        init=None,
+        batch_size=1024,
+        beta_loss="frobenius",
+        tol=1e-4,
+        max_no_improvement=10,
+        max_iter=200,
+        alpha_W=0.0,
+        alpha_H="same",
+        l1_ratio=0.0,
+        forget_factor=0.7,
+        fresh_restarts=False,
+        fresh_restarts_max_iter=30,
+        transform_max_iter=None,
+        random_state=None,
+        verbose=0,
+        dtype="float32",
+    ):
+        self.n_components = n_components
+        self.init = init
+        self.batch_size = batch_size
+        self.beta_loss = beta_loss
+        self.tol = tol
+        self.max_no_improvement = max_no_improvement
+        self.max_iter = max_iter
+        self.alpha_W = alpha_W
+        self.alpha_H = alpha_H
+        self.l1_ratio = l1_ratio
+        self.forget_factor = forget_factor
+        self.fresh_restarts = fresh_restarts
+        self.fresh_restarts_max_iter = fresh_restarts_max_iter
+        self.transform_max_iter = transform_max_iter
+        self.random_state = random_state
+        self.verbose = verbose
+        self.dtype = dtype
+
+    _resolve_rank = NMF._resolve_rank
+    _check_fitted = NMF._check_fitted
+    inverse_transform = NMF.inverse_transform
+
+    def _beta(self):
+        obj, beta = _beta_objective(self.beta_loss)
+        if obj is Objective.FROBENIUS:
+            return 2.0
+        if obj is Objective.KL:
+            return 1.0
+        return float(beta)
+
+    def _seed(self):
+        seed = self.random_state
+        if seed is None:
+            return 0
+        if not isinstance(seed, (int, np.integer)):
+            raise ValueError(
+                "random_state must be an int seed or None"
+            )
+        return int(seed)
+
+    def _init_wh(self, X, r, W, H):
+        """Resolve init exactly like sklearn's _initialize_nmf default
+        chain (None -> nndsvda when the rank permits, else random)."""
+        if self.init == "custom":
+            if W is None or H is None:
+                raise ValueError("init='custom' requires both W and H")
+            return np.asarray(W), np.asarray(H)
+        if W is not None or H is not None:
+            import warnings
+
+            warnings.warn(
+                "When init != 'custom', provided W or H are ignored",
+                RuntimeWarning, stacklevel=3,
+            )
+        n, m = X.shape
+        init = self.init
+        if init is None:
+            init = "nndsvda" if r <= min(n, m) else "random"
+        if init in ("nndsvd", "nndsvda", "nndsvdar"):
+            from nmftpu.init.nndsvd import nndsvd_init
+
+            return nndsvd_init(X, r, variant=init, seed=self._seed())
+        if init == "random":
+            rng = np.random.default_rng(self._seed())
+            mean = (
+                float(X.mean()) if not hasattr(X, "tocsr")
+                else X.sum() / (n * m)
+            )
+            avg = np.sqrt(max(mean, 1e-12) / r)
+            W0 = avg * np.abs(rng.standard_normal((n, r)))
+            H0 = avg * np.abs(rng.standard_normal((r, m)))
+            return W0, H0
+        raise ValueError(f"unknown init {init!r}")
+
+    def fit_transform(self, X, y=None, W=None, H=None):
+        from nmftpu import minibatch as MB
+
+        beta = self._beta()
+        src = _RowSource(X)
+        if beta <= 0:
+            # sklearn's divergence guard: beta<=0 needs strictly
+            # positive data
+            has_zero = (
+                X.nnz < X.shape[0] * X.shape[1] or X.data.min() == 0
+                if hasattr(X, "nnz") else float(np.min(X)) == 0
+            )
+            if has_zero:
+                raise ValueError(
+                    "When beta_loss <= 0 and X contains zeros, the "
+                    "solver may diverge. Please add small values to X, "
+                    "or use a positive beta_loss."
+                )
+        r = self._resolve_rank(X.shape, W, H)
+        W0, H0 = self._init_wh(X, r, W, H)
+        Wf, Hf, n_iter, n_steps = MB.minibatch_fit(
+            src, r,
+            batch_size=int(self.batch_size),
+            max_iter=int(self.max_iter),
+            beta=beta,
+            forget_factor=float(self.forget_factor),
+            alpha_w=float(self.alpha_W),
+            alpha_h=self.alpha_H,
+            l1_ratio=float(self.l1_ratio),
+            tol=float(self.tol),
+            max_no_improvement=self.max_no_improvement,
+            fresh_restarts=bool(self.fresh_restarts),
+            fresh_restarts_max_iter=int(self.fresh_restarts_max_iter),
+            transform_max_iter=self.transform_max_iter,
+            W0=W0, H0=H0, dtype=self.dtype,
+            verbose=int(self.verbose),
+        )
+        self.components_ = np.asarray(Hf)
+        self.n_components_ = int(r)
+        self.n_features_in_ = X.shape[1]
+        self.n_iter_ = int(n_iter)
+        self.n_steps_ = int(n_steps)
+        self.reconstruction_err_ = float(np.sqrt(2.0 * max(
+            MB.divergence_blocked(
+                src, Wf, Hf, beta, batch=int(self.batch_size),
+                dtype=self.dtype,
+            ), 0.0,
+        )))
+        return np.asarray(Wf)
+
+    def fit(self, X, y=None, **params):
+        self.fit_transform(X, **params)
+        return self
+
+    def partial_fit(self, X, y=None, W=None, H=None):
+        """One online step on a row mini-batch (out-of-core / streaming
+        fitting). W/H are honored on the FIRST call only, as in
+        sklearn."""
+        from nmftpu import minibatch as MB
+
+        beta = self._beta()
+        src = _RowSource(X)
+        Xb = src[0:X.shape[0]]
+        if not hasattr(self, "components_"):
+            r = self._resolve_rank(X.shape, W, H)
+            _, H0 = self._init_wh(X, r, W, H)
+            bs = min(int(self.batch_size), X.shape[0])
+            self._online = MB.OnlineNMF(
+                r, beta=beta, batch_size=bs,
+                forget_factor=float(self.forget_factor),
+                n_rows_hint=X.shape[0],
+                alpha_w=float(self.alpha_W), alpha_h=self.alpha_H,
+                l1_ratio=float(self.l1_ratio),
+                fresh_max_iter=int(self.fresh_restarts_max_iter),
+                transform_max_iter=(
+                    int(self.transform_max_iter)
+                    if self.transform_max_iter is not None
+                    else int(self.max_iter)
+                ),
+                transform_tol=float(self.tol),
+                dtype=self.dtype, seed=self._seed(),
+            )
+            self._online.partial_fit(Xb, H0=H0)
+            self.n_steps_ = 1
+            self.n_features_in_ = X.shape[1]
+        else:
+            import jax.numpy as jnp
+
+            self._online.H = jnp.asarray(self.components_, self.dtype)
+            self._online.partial_fit(Xb)
+            self.n_steps_ += 1
+        self.components_ = np.asarray(self._online.H)
+        self.n_components_ = self.components_.shape[0]
+        return self
+
+    def transform(self, X):
+        """Solve W for X's rows against the fitted components (H
+        frozen) — sklearn's _solve_W."""
+        import jax.numpy as jnp
+
+        from nmftpu import minibatch as MB
+
+        self._check_fitted()
+        beta = self._beta()
+        src = _RowSource(X)
+        n, m = X.shape
+        a_w = float(self.alpha_W)
+        l1_w = m * a_w * float(self.l1_ratio)
+        l2_w = m * a_w * (1.0 - float(self.l1_ratio))
+        tmax = (
+            int(self.transform_max_iter)
+            if self.transform_max_iter is not None
+            else int(self.max_iter)
+        )
+        W = MB.solve_w(
+            jnp.asarray(src[0:n], self.dtype),
+            jnp.asarray(self.components_, self.dtype),
+            beta, l1_w, l2_w, MB.beta_gamma(beta),
+            max_iter=tmax, tol=float(self.tol),
+        )
+        return np.asarray(W)

@@ -1,0 +1,170 @@
+"""Mini-batch / online NMF (sklearn MiniBatchNMF parity + streaming)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(21)
+
+
+def _problem(rng, n=48, m=20, r=4, dtype=np.float64):
+    V = (np.abs(rng.normal(size=(n, m))) + 0.05).astype(dtype)
+    W0 = np.abs(rng.normal(size=(n, r))).astype(dtype) + 0.05
+    H0 = np.abs(rng.normal(size=(r, m))).astype(dtype) + 0.05
+    return V, W0, H0
+
+
+def _pair(beta_loss, rng, **kw):
+    from sklearn.decomposition import MiniBatchNMF as SkMB
+
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    V, W0, H0 = _problem(rng)
+    common = dict(n_components=4, init="custom", batch_size=16,
+                  beta_loss=beta_loss, tol=0.0, max_no_improvement=None,
+                  max_iter=4, **kw)
+    sk = SkMB(**common)
+    W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+    est = MiniBatchNMF(dtype="float64", **common)
+    W = est.fit_transform(V, W=W0, H=H0)
+    return sk, W_sk, est, W
+
+
+@pytest.mark.parametrize("beta_loss",
+                         ["frobenius", "kullback-leibler", 0.5, 1.5])
+def test_minibatch_matches_sklearn(rng, beta_loss):
+    """Factor + err parity with sklearn MiniBatchNMF across the gamma
+    regimes, fixed step count (tol=0, no-improvement patience off)."""
+    sk, W_sk, est, W = _pair(beta_loss, rng)
+    np.testing.assert_allclose(W, W_sk, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-7, atol=1e-10)
+    assert est.n_steps_ == sk.n_steps_ and est.n_iter_ == sk.n_iter_
+    np.testing.assert_allclose(
+        est.reconstruction_err_, sk.reconstruction_err_, rtol=1e-6
+    )
+
+
+def test_minibatch_regularized_matches_sklearn(rng):
+    sk, W_sk, est, W = _pair("frobenius", rng, alpha_W=0.002,
+                             alpha_H=0.004, l1_ratio=0.4)
+    np.testing.assert_allclose(W, W_sk, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_minibatch_fresh_restarts_matches_sklearn(rng):
+    sk, W_sk, est, W = _pair("frobenius", rng, fresh_restarts=True,
+                             fresh_restarts_max_iter=10)
+    np.testing.assert_allclose(W, W_sk, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_minibatch_transform_matches_sklearn(rng):
+    sk, _, est, _ = _pair("frobenius", rng)
+    V, _, _ = _problem(rng)
+    got = est.transform(V[:7])
+    want = sk.transform(V[:7])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_minibatch_partial_fit_matches_sklearn(rng):
+    """Streaming path: a sequence of partial_fit batches tracks sklearn
+    step for step."""
+    from sklearn.decomposition import MiniBatchNMF as SkMB
+
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    V, W0, H0 = _problem(rng)
+    common = dict(n_components=4, init="custom", batch_size=16,
+                  tol=0.0, max_no_improvement=None, max_iter=3)
+    sk = SkMB(**common)
+    est = MiniBatchNMF(dtype="float64", **common)
+    for i, lo in enumerate(range(0, 48, 16)):
+        batch = V[lo:lo + 16]
+        if i == 0:
+            sk.partial_fit(batch, W=W0[:16].copy(), H=H0.copy())
+            est.partial_fit(batch, W=W0[:16], H=H0)
+        else:
+            sk.partial_fit(batch)
+            est.partial_fit(batch)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-7, atol=1e-10)
+    assert est.n_steps_ == sk.n_steps_ == 3
+
+
+def test_minibatch_early_stopping_smoke(rng):
+    """tol>0 / patience paths terminate early with finite factors."""
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    _, W0, H0 = _problem(rng, dtype=np.float32)
+    V = (W0 @ H0).astype(np.float32)  # exactly rank-4: converges fast
+    est = MiniBatchNMF(n_components=4, init="custom", batch_size=16,
+                       tol=1e-4, max_no_improvement=3, max_iter=500)
+    W = est.fit_transform(V, W=W0.astype(np.float32),
+                          H=H0.astype(np.float32))
+    assert est.n_steps_ < 500 * 3  # H-change / patience stop fired
+    assert np.isfinite(W).all() and np.isfinite(est.components_).all()
+
+
+def test_minibatch_scipy_sparse_input(rng):
+    """scipy.sparse X streams through densified panels."""
+    import scipy.sparse as sp
+
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    V, W0, H0 = _problem(rng, dtype=np.float32)
+    V[V < np.quantile(V, 0.5)] = 0.0
+    est = MiniBatchNMF(n_components=4, init="custom", batch_size=16,
+                       tol=0.0, max_no_improvement=None, max_iter=3)
+    kw = dict(W=W0.astype(np.float32), H=H0.astype(np.float32))
+    W_dense = est.fit_transform(V, **kw)
+    est_sp = MiniBatchNMF(n_components=4, init="custom", batch_size=16,
+                          tol=0.0, max_no_improvement=None, max_iter=3)
+    W_sp = est_sp.fit_transform(sp.csr_matrix(V), **kw)
+    np.testing.assert_allclose(W_sp, W_dense, rtol=1e-5, atol=1e-7)
+
+
+def test_minibatch_guards(rng):
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    V, _, _ = _problem(rng)
+    V[0, 0] = 0.0
+    with pytest.raises(ValueError, match="beta_loss <= 0"):
+        MiniBatchNMF(n_components=3,
+                     beta_loss="itakura-saito").fit(V)
+    with pytest.raises(ValueError, match="custom"):
+        MiniBatchNMF(n_components=3, init="custom").fit(V)
+
+
+def test_online_nmf_streaming(rng):
+    """Core OnlineNMF: an unbounded row stream improves the model; H is
+    the only persistent device state."""
+    from nmftpu.linalg import dense as D
+    from nmftpu.minibatch import OnlineNMF
+
+    m, r = 30, 4
+    H_true = np.abs(rng.normal(size=(r, m))).astype(np.float32)
+    model = OnlineNMF(r, beta=2.0, batch_size=64, seed=3)
+    holdout_W = np.abs(rng.normal(size=(128, r))).astype(np.float32)
+    holdout = (holdout_W @ H_true
+               + 0.01 * np.abs(rng.normal(size=(128, m)))
+               ).astype(np.float32)
+
+    def fit_err():
+        Wh = model.transform(holdout)
+        return float(D.frobenius_error(holdout, Wh, model.H))
+
+    errs = []
+    for step in range(60):
+        Wb = np.abs(rng.normal(size=(64, r))).astype(np.float32)
+        batch = Wb @ H_true + 0.01 * np.abs(
+            rng.normal(size=(64, m))).astype(np.float32)
+        model.partial_fit(batch)
+        if step in (0, 59):
+            errs.append(fit_err())
+    assert model.n_steps == 60
+    assert errs[-1] < 0.5 * errs[0]  # the stream actually teaches H
