@@ -199,6 +199,62 @@ def minibatch_step(Xb, W, H, A, B, rho, beta=2.0, l1_w=0.0, l2_w=0.0,
     return W, H, A, B, cost
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch_size", "beta", "l1_w", "l2_w", "l1_h_full", "l2_h_full",
+        "l1_h_tail", "l2_h_tail", "gamma", "fresh", "fresh_max_iter",
+    ),
+)
+def epoch_fused(V, W, H, A, B, rho, *, batch_size, beta=2.0, l1_w=0.0,
+                l2_w=0.0, l1_h_full=0.0, l2_h_full=0.0, l1_h_tail=0.0,
+                l2_h_tail=0.0, gamma=1.0, fresh=False,
+                fresh_max_iter=30):
+    """One full epoch of mini-batch steps as a single compiled program:
+    a fori_loop over batch panels (dynamic_slice row windows, never a
+    second V-sized buffer) plus an unrolled tail batch. Bit-identical
+    to the host-per-batch loop (same step function, same order); the
+    win is ONE dispatch per epoch — on a remote-tunnel TPU the host
+    loop pays a round trip per batch, which dwarfs the panel GEMMs.
+    The tail batch carries its own H-regularization scale (sklearn
+    scales H penalties by the batch's row count)."""
+    import jax.lax as lax
+
+    n = V.shape[0]
+    nb, tail = divmod(n, batch_size)
+
+    def one(Xb, Wb, H, A, B, l1_h, l2_h):
+        return minibatch_step(
+            Xb, (None if fresh else Wb), H, A, B, rho, beta=beta,
+            l1_w=l1_w, l2_w=l2_w, l1_h=l1_h, l2_h=l2_h, gamma=gamma,
+            fresh=fresh, fresh_max_iter=fresh_max_iter,
+        )
+
+    def body(i, carry):
+        W, H, A, B = carry
+        lo = i * batch_size
+        Xb = lax.dynamic_slice_in_dim(V, lo, batch_size, 0)
+        Wb = lax.dynamic_slice_in_dim(W, lo, batch_size, 0)
+        Wb, H, A, B, _ = one(Xb, Wb, H, A, B, l1_h_full, l2_h_full)
+        if not fresh:
+            W = lax.dynamic_update_slice_in_dim(W, Wb, lo, 0)
+        return W, H, A, B
+
+    carry = (W, H, A, B)
+    if nb:  # fori_loop(0, 0) still traces its body
+        carry = lax.fori_loop(0, nb, body, carry)
+    if tail:
+        W, H, A, B = carry
+        lo = nb * batch_size
+        Xb = lax.dynamic_slice_in_dim(V, lo, tail, 0)
+        Wb = lax.dynamic_slice_in_dim(W, lo, tail, 0)
+        Wb, H, A, B, _ = one(Xb, Wb, H, A, B, l1_h_tail, l2_h_tail)
+        if not fresh:
+            W = lax.dynamic_update_slice_in_dim(W, Wb, lo, 0)
+        carry = (W, H, A, B)
+    return carry
+
+
 def divergence_blocked(V, W, H, beta, batch=1024, dtype=jnp.float32):
     """D_beta(V || WH) summed over row panels (the divergence is
     row-additive for every beta), so V streams through batch-sized
@@ -328,12 +384,33 @@ class OnlineNMF:
         )
 
 
+# HBM budget for holding V device-resident in the epoch-fused path.
+_FUSED_BUDGET = int(
+    __import__("os").environ.get(
+        "NMFTPU_MINIBATCH_FUSED_BUDGET_BYTES", 8 * 1024**3
+    )
+)
+
+
+def _can_fuse(V, monitor, dtype):
+    """Epoch fusion needs V device-resident (a real in-memory ndarray
+    within budget — memmap/sparse sources stay on the streaming host
+    loop) and no per-batch host monitoring."""
+    if monitor:
+        return False
+    arr = getattr(V, "X", V)  # unwrap the facade's _RowSource
+    if not isinstance(arr, np.ndarray) or isinstance(arr, np.memmap):
+        return False
+    return arr.shape[0] * arr.shape[1] * jnp.dtype(dtype).itemsize \
+        <= _FUSED_BUDGET
+
+
 def minibatch_fit(
     V, rank, *, batch_size=1024, max_iter=200, beta=2.0,
     forget_factor=0.7, alpha_w=0.0, alpha_h="same", l1_ratio=0.0,
     tol=1e-4, max_no_improvement=10, fresh_restarts=False,
     fresh_restarts_max_iter=30, transform_max_iter=None,
-    W0=None, H0=None, dtype=jnp.float32, verbose=0,
+    W0=None, H0=None, dtype=jnp.float32, verbose=0, fused="auto",
 ):
     """Full mini-batch fit over a host row-major array (sklearn's
     MiniBatchNMF._fit_transform loop, cycling fixed batch slices).
@@ -385,6 +462,32 @@ def minibatch_fit(
     ewa_min = None
     no_improvement = 0
     step = 0
+
+    use_fused = (
+        _can_fuse(V, monitor, dtype) if fused == "auto" else bool(fused)
+    )
+    if use_fused:
+        # one compiled dispatch per epoch (bit-identical to the
+        # per-batch loop below — same step fn, same order)
+        Vd = jnp.asarray(getattr(V, "X", V), dtype)
+        tail_rows = n - (len(slices) - 1) * batch_size
+        kw = dict(
+            batch_size=batch_size, beta=float(beta), l1_w=l1_w,
+            l2_w=l2_w,
+            l1_h_full=batch_size * a_h * float(l1_ratio),
+            l2_h_full=batch_size * a_h * (1.0 - float(l1_ratio)),
+            l1_h_tail=tail_rows * a_h * float(l1_ratio),
+            l2_h_tail=tail_rows * a_h * (1.0 - float(l1_ratio)),
+            gamma=gamma, fresh=fresh_restarts,
+            fresh_max_iter=int(fresh_restarts_max_iter),
+        )
+        for _ in range(int(max_iter)):
+            W, H, A, B = epoch_fused(Vd, W, H, A, B, rho, **kw)
+        if fresh_restarts:
+            W = solve_w(Vd, H, float(beta), l1_w, l2_w, gamma,
+                        max_iter=tmax, tol=float(tol or 0.0))
+        return W, H, int(max_iter), n_steps_max
+
     for step in range(n_steps_max):
         lo, hi = slices[step % steps_per_iter]
         Xb = jnp.asarray(V[lo:hi], dtype)

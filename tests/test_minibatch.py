@@ -140,6 +140,25 @@ def test_minibatch_guards(rng):
         MiniBatchNMF(n_components=3, init="custom").fit(V)
 
 
+@pytest.mark.parametrize("n,fresh", [(48, False), (52, False), (48, True)])
+def test_minibatch_fused_epoch_matches_host_loop(rng, n, fresh):
+    """The single-dispatch epoch_fused path is bit-identical to the
+    per-batch host loop (incl. a non-dividing tail batch and fresh
+    restarts), and fuses only when it should."""
+    from nmftpu.minibatch import minibatch_fit
+
+    V, W0, H0 = _problem(rng, n=n, dtype=np.float32)
+    kw = dict(batch_size=16, max_iter=3, beta=1.5, alpha_w=0.002,
+              alpha_h=0.004, l1_ratio=0.3, tol=0.0,
+              max_no_improvement=None, fresh_restarts=fresh,
+              W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    W_f, H_f, ni_f, ns_f = minibatch_fit(V, 4, fused=True, **kw)
+    W_h, H_h, ni_h, ns_h = minibatch_fit(V, 4, fused=False, **kw)
+    np.testing.assert_array_equal(np.asarray(H_f), np.asarray(H_h))
+    np.testing.assert_array_equal(np.asarray(W_f), np.asarray(W_h))
+    assert (ni_f, ns_f) == (ni_h, ns_h)
+
+
 def test_online_nmf_streaming(rng):
     """Core OnlineNMF: an unbounded row stream improves the model; H is
     the only persistent device state."""
