@@ -300,7 +300,7 @@ class OnlineNMF:
                  forget_factor=0.7, n_rows_hint=None, alpha_w=0.0,
                  alpha_h="same", l1_ratio=0.0, fresh_max_iter=30,
                  transform_max_iter=200, transform_tol=1e-4,
-                 dtype=jnp.float32, seed=0):
+                 dtype=jnp.float32, seed=0, mesh=None):
         self.rank = int(rank)
         self.beta = float(beta)
         self.gamma = beta_gamma(self.beta)
@@ -321,6 +321,14 @@ class OnlineNMF:
         self.transform_tol = float(transform_tol)
         self.dtype = dtype
         self.seed = int(seed)
+        # mesh: shard the ITEM axis of H/A/B (and each batch's columns)
+        # over every device of the given jax.sharding.Mesh — the steps
+        # are plain GEMMs, so GSPMD inserts the psum pattern and the
+        # streaming state scales past one chip's HBM. m must divide by
+        # the device count.
+        self._shardings = (
+            _flat_item_shardings(mesh) if mesh is not None else None
+        )
         self.H = None
         self._A = None
         self._B = None
@@ -354,13 +362,20 @@ class OnlineNMF:
                 self.H = avg * jnp.abs(
                     jax.random.normal(key, (self.rank, m), self.dtype)
                 )
+            if self._shardings is not None:
+                self.H = jax.device_put(self.H, self._shardings["H"])
             self._A = self.H
             self._B = jnp.ones_like(self.H)
+
+    def _place(self, Xb):
+        if self._shardings is not None:
+            return jax.device_put(Xb, self._shardings["X"])
+        return Xb
 
     def partial_fit(self, Xb, H0=None):
         """One online step on a row batch (fresh W solve, like
         sklearn's MiniBatchNMF.partial_fit). Returns self."""
-        Xb = jnp.asarray(Xb, self.dtype)
+        Xb = self._place(jnp.asarray(Xb, self.dtype))
         self._ensure_state(Xb, H0)
         l1_w, l2_w, l1_h, l2_h = self._regs(Xb.shape[0], Xb.shape[1])
         _, self.H, self._A, self._B, _ = minibatch_step(
@@ -376,7 +391,7 @@ class OnlineNMF:
         """Solve W for rows of X against the current H (frozen)."""
         if self.H is None:
             raise ValueError("OnlineNMF has not seen any data yet")
-        X = jnp.asarray(X, self.dtype)
+        X = self._place(jnp.asarray(X, self.dtype))
         l1_w, l2_w, _, _ = self._regs(X.shape[0], X.shape[1])
         return solve_w(
             X, self.H, self.beta, l1_w, l2_w, self.gamma,
@@ -405,12 +420,26 @@ def _can_fuse(V, monitor, dtype):
         <= _FUSED_BUDGET
 
 
+def _flat_item_shardings(mesh):
+    """Column-shard spec over ALL devices of any mesh (the online
+    state is H-shaped — only the item axis is large)."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    flat = Mesh(np.asarray(list(mesh.devices.flat)), ("mb_items",))
+    return {
+        "H": NamedSharding(flat, P(None, "mb_items")),
+        "X": NamedSharding(flat, P(None, "mb_items")),
+    }
+
+
 def minibatch_fit(
     V, rank, *, batch_size=1024, max_iter=200, beta=2.0,
     forget_factor=0.7, alpha_w=0.0, alpha_h="same", l1_ratio=0.0,
     tol=1e-4, max_no_improvement=10, fresh_restarts=False,
     fresh_restarts_max_iter=30, transform_max_iter=None,
     W0=None, H0=None, dtype=jnp.float32, verbose=0, fused="auto",
+    mesh=None,
 ):
     """Full mini-batch fit over a host row-major array (sklearn's
     MiniBatchNMF._fit_transform loop, cycling fixed batch slices).
@@ -442,6 +471,9 @@ def minibatch_fit(
         )
     W = jnp.asarray(W0, dtype)
     H = jnp.asarray(H0, dtype)
+    sh = _flat_item_shardings(mesh) if mesh is not None else None
+    if sh is not None:
+        H = jax.device_put(H, sh["H"])
     A = H
     B = jnp.ones_like(H)
 
@@ -470,6 +502,8 @@ def minibatch_fit(
         # one compiled dispatch per epoch (bit-identical to the
         # per-batch loop below — same step fn, same order)
         Vd = jnp.asarray(getattr(V, "X", V), dtype)
+        if sh is not None:
+            Vd = jax.device_put(Vd, sh["X"])
         tail_rows = n - (len(slices) - 1) * batch_size
         kw = dict(
             batch_size=batch_size, beta=float(beta), l1_w=l1_w,
@@ -491,6 +525,8 @@ def minibatch_fit(
     for step in range(n_steps_max):
         lo, hi = slices[step % steps_per_iter]
         Xb = jnp.asarray(V[lo:hi], dtype)
+        if sh is not None:
+            Xb = jax.device_put(Xb, sh["X"])
         b = hi - lo
         l1_h = b * a_h * float(l1_ratio)
         l2_h = b * a_h * (1.0 - float(l1_ratio))

@@ -480,6 +480,7 @@ class MiniBatchNMF(TransformerMixin, BaseEstimator):
         random_state=None,
         verbose=0,
         dtype="float32",
+        mesh=None,
     ):
         self.n_components = n_components
         self.init = init
@@ -498,6 +499,7 @@ class MiniBatchNMF(TransformerMixin, BaseEstimator):
         self.random_state = random_state
         self.verbose = verbose
         self.dtype = dtype
+        self.mesh = mesh
 
     _resolve_rank = NMF._resolve_rank
     _check_fitted = NMF._check_fitted
@@ -590,7 +592,7 @@ class MiniBatchNMF(TransformerMixin, BaseEstimator):
             fresh_restarts_max_iter=int(self.fresh_restarts_max_iter),
             transform_max_iter=self.transform_max_iter,
             W0=W0, H0=H0, dtype=self.dtype,
-            verbose=int(self.verbose),
+            verbose=int(self.verbose), mesh=self.mesh,
         )
         self.components_ = np.asarray(Hf)
         self.n_components_ = int(r)
@@ -636,6 +638,7 @@ class MiniBatchNMF(TransformerMixin, BaseEstimator):
                 ),
                 transform_tol=float(self.tol),
                 dtype=self.dtype, seed=self._seed(),
+                mesh=self.mesh,
             )
             self._online.partial_fit(Xb, H0=H0)
             self.n_steps_ = 1

@@ -159,6 +159,41 @@ def test_minibatch_fused_epoch_matches_host_loop(rng, n, fresh):
     assert (ni_f, ns_f) == (ni_h, ns_h)
 
 
+def test_minibatch_mesh_matches_single_device(rng):
+    """Column-sharded H/A/B over the 8-device mesh: fit and streaming
+    partial_fit match the unsharded run (GSPMD inserts the psums)."""
+    from nmftpu.minibatch import OnlineNMF, minibatch_fit
+    from nmftpu.parallel import make_grid_mesh
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    mesh = make_grid_mesh((2, 4))
+    V, W0, H0 = _problem(rng, n=48, m=32, dtype=np.float32)
+    kw = dict(batch_size=16, max_iter=3, tol=0.0,
+              max_no_improvement=None, W0=W0.astype(np.float32),
+              H0=H0.astype(np.float32))
+    W_1, H_1, _, _ = minibatch_fit(V, 4, **kw)
+    W_m, H_m, _, _ = minibatch_fit(V, 4, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(H_m), np.asarray(H_1),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(W_m), np.asarray(W_1),
+                               rtol=2e-5, atol=1e-6)
+    # facade route
+    est = MiniBatchNMF(n_components=4, init="custom", batch_size=16,
+                       tol=0.0, max_no_improvement=None, max_iter=3,
+                       mesh=mesh)
+    W_f = est.fit_transform(V, W=kw["W0"], H=kw["H0"])
+    np.testing.assert_allclose(W_f, np.asarray(W_1), rtol=2e-5,
+                               atol=1e-6)
+    # streaming with sharded state
+    a = OnlineNMF(4, batch_size=16, seed=1)
+    b = OnlineNMF(4, batch_size=16, seed=1, mesh=mesh)
+    for lo in range(0, 48, 16):
+        a.partial_fit(V[lo:lo + 16])
+        b.partial_fit(V[lo:lo + 16])
+    np.testing.assert_allclose(np.asarray(b.H), np.asarray(a.H),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_online_nmf_streaming(rng):
     """Core OnlineNMF: an unbounded row stream improves the model; H is
     the only persistent device state."""
