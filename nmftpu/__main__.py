@@ -21,7 +21,11 @@ def main(argv=None):
                                  "or .npy dense matrix")
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--algorithm", default="mu")
-    ap.add_argument("--objective", default="frobenius")
+    ap.add_argument("--objective", default="frobenius",
+                    help="frobenius | kl | itakura-saito | beta "
+                         "(with --beta)")
+    ap.add_argument("--beta", type=float, default=None,
+                    help="beta-divergence exponent for --objective beta")
     ap.add_argument("--init", default="all_random_values")
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--runs", type=int, default=1)
@@ -103,6 +107,7 @@ def main(argv=None):
         num_iterations=args.iters, num_runs=args.runs,
         threshold=args.threshold, threshold_type=args.threshold_type,
         alpha_confidence=args.alpha_confidence,
+        **({"beta": args.beta} if args.beta is not None else {}),
         dtype=args.dtype,
         v_storage=args.v_storage,
         strategy=args.strategy,
