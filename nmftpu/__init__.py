@@ -47,6 +47,7 @@ _LAZY = {
     "MiniBatchNMF": ("nmftpu.sklearn_api", "MiniBatchNMF"),
     "OnlineNMF": ("nmftpu.minibatch", "OnlineNMF"),
     "minibatch_fit": ("nmftpu.minibatch", "minibatch_fit"),
+    "rank_selection": ("nmftpu.model_selection", "rank_selection"),
 }
 
 
