@@ -225,15 +225,10 @@ class NmfConfig:
                 f"v_storage must be float32|bfloat16|int8, "
                 f"got {self.v_storage!r}"
             )
-        if self.objective is Objective.KL and self.algorithm not in (
-            Algorithm.MU,
-            Algorithm.NSNMF,
-        ):
-            raise ValueError(
-                f"KL objective is only supported for MU/NSNMF, "
-                f"got {self.algorithm}"
-            )
-        # Normalize the beta-divergence family to one canonical spelling.
+        # Normalize the beta-divergence family to one canonical spelling
+        # FIRST — beta=1/2 become KL/FROBENIUS, so every objective-
+        # algorithm guard below sees the canonical form (a beta=1.0
+        # config must hit the same KL rules as objective='kl').
         if self.objective is Objective.ITAKURA_SAITO:
             if self.beta not in (None, 0.0):
                 raise ValueError(
@@ -264,6 +259,14 @@ class NmfConfig:
             raise ValueError(
                 f"beta={self.beta} is only meaningful with objective="
                 f"'beta-divergence'; got {self.objective}"
+            )
+        if self.objective is Objective.KL and self.algorithm not in (
+            Algorithm.MU,
+            Algorithm.NSNMF,
+        ):
+            raise ValueError(
+                f"KL objective is only supported for MU/NSNMF, "
+                f"got {self.algorithm}"
             )
         if self.objective is Objective.BETA:
             if self.algorithm is not Algorithm.MU:

@@ -233,15 +233,14 @@ def _beta_terms_w_blocked(Vd, W, H, beta, eps, block_rows, scale=None):
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        WH = jnp.where(WH > 0, WH, eps)
-        pwr = WH ** (beta - 2.0)
+        pwr_n, pwr_d = D._beta_powers(WH, beta)
         num_blk = jax.lax.dot_general(
-            (pwr * V_blk.astype(jnp.float32)).astype(jnp.bfloat16), Hb,
-            (((1,), (1,)), ((), ())),
+            (pwr_n * V_blk.astype(jnp.float32)).astype(jnp.bfloat16),
+            Hb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         den_blk = jax.lax.dot_general(
-            (pwr * WH).astype(jnp.bfloat16), Hb,
+            pwr_d.astype(jnp.bfloat16), Hb,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -278,15 +277,15 @@ def _beta_terms_h_blocked(Vd, W, H, beta, eps, block_rows, scale=None):
             Wb, Hb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        WH = jnp.where(WH > 0, WH, eps)
-        pwr = WH ** (beta - 2.0)
+        pwr_n, pwr_d = D._beta_powers(WH, beta)
         numer = numer + jax.lax.dot_general(
-            Wb, (pwr * V_blk.astype(jnp.float32)).astype(jnp.bfloat16),
+            Wb,
+            (pwr_n * V_blk.astype(jnp.float32)).astype(jnp.bfloat16),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         denom = denom + jax.lax.dot_general(
-            Wb, (pwr * WH).astype(jnp.bfloat16),
+            Wb, pwr_d.astype(jnp.bfloat16),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -312,14 +311,14 @@ def mu_update_beta_densified(
     """Generalized beta-divergence MU against a dense low-precision V,
     blockwise over row panels (the dense twin is
     linalg.dense.mu_update_beta; Fevotte & Idier / sklearn float
-    beta_loss semantics including the gamma exponent and the beta<1
-    stabilization). (WH)^(b-2) is shared between numerator and
-    denominator per panel — one WH materialization per half-step, never
-    at full size."""
+    beta_loss semantics: the EPSILON power guards via D._beta_powers,
+    the gamma exponent, and the beta<1 stabilization; `eps` is accepted
+    for signature uniformity but unused). One WH materialization per
+    half-step, per panel — never at full size."""
     gamma = D.beta_gamma(beta)
 
     def finish(X, numer, denom):
-        d = numer / jnp.where(denom > 0, denom, eps)
+        d = numer / jnp.where(denom == 0.0, D.EPSILON, denom)
         if gamma != 1.0:
             d = d ** gamma
         X = X * d

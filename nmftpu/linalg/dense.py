@@ -109,6 +109,90 @@ def beta_gamma(beta: float) -> float:
 # beta<1 half-step ("necessary for stability"); same constant here so
 # the parity tests agree on the support pattern.
 _STAB_EPS = 2.220446049250313e-16
+# sklearn's EPSILON = np.finfo(np.float32).eps: every beta-MU guard
+# clamps entries BELOW this up to it (not just exact zeros), regardless
+# of the compute dtype. nmftpu.minibatch shares these constants.
+EPSILON = 1.1920929e-07
+
+
+def _beta_powers(WH, beta):
+    """sklearn's guarded power pair for one beta-MU half-step:
+    (WH^(beta-2) for the numerator, WH^(beta-1) for the denominator).
+    Numerator power clamps WH < EPSILON when beta < 2 (negative power
+    of ~zero); the denominator clamps only when beta < 1 — two
+    SEPARATE guards, exactly as _multiplicative_update_w/_h."""
+    WH_n = jnp.maximum(WH, EPSILON) if beta < 2.0 else WH
+    if beta == 1.0:
+        pwr_n = 1.0 / WH_n
+    elif beta == 0.0:
+        pwr_n = 1.0 / (WH_n * WH_n)
+    else:
+        pwr_n = WH_n ** (beta - 2.0)
+    WH_d = jnp.maximum(WH, EPSILON) if beta < 1.0 else WH
+    pwr_d = WH_d ** (beta - 1.0)
+    return pwr_n, pwr_d
+
+
+def beta_w_step(V, W, H, beta, l1_w=0.0, l2_w=0.0, gamma=1.0):
+    """One multiplicative W update under the generalized beta
+    divergence — sklearn's _multiplicative_update_w dense branch,
+    guard-for-guard (EPSILON clamps, reg on the denominator, the
+    final zero-denominator replacement, the gamma exponent)."""
+    if beta == 2.0:
+        numer = V @ H.T
+        denom = W @ (H @ H.T)
+    else:
+        WH = W @ H
+        pwr_n, pwr_d = _beta_powers(WH, beta)
+        numer = (pwr_n * V) @ H.T
+        if beta == 1.0:
+            denom = jnp.broadcast_to(jnp.sum(H, axis=1)[None, :],
+                                     W.shape)
+        else:
+            denom = pwr_d @ H.T
+    if l1_w > 0.0:
+        denom = denom + l1_w
+    if l2_w > 0.0:
+        denom = denom + l2_w * W
+    denom = jnp.where(denom == 0.0, EPSILON, denom)
+    d = numer / denom
+    if gamma != 1.0:
+        d = d ** gamma
+    return W * d
+
+
+def beta_h_step(V, W, H, beta, l1_h=0.0, l2_h=0.0, gamma=1.0):
+    """One multiplicative H update (sklearn _multiplicative_update_h,
+    dense branch, without the online A/B accumulators — those live in
+    nmftpu.minibatch.h_online_step, built on beta_h_terms)."""
+    numer, denom = beta_h_terms(V, W, H, beta)
+    if l1_h > 0.0:
+        denom = denom + l1_h
+    if l2_h > 0.0:
+        denom = denom + l2_h * H
+    denom = jnp.where(denom == 0.0, EPSILON, denom)
+    d = numer / denom
+    if gamma != 1.0:
+        d = d ** gamma
+    return H * d
+
+
+def beta_h_terms(V, W, H, beta):
+    """(numerator, denominator) of the beta-MU H update, pre-
+    regularization — shared by the plain step above and the online
+    accumulator step in nmftpu.minibatch."""
+    if beta == 2.0:
+        return W.T @ V, (W.T @ W) @ H
+    WH = W @ H
+    pwr_n, pwr_d = _beta_powers(WH, beta)
+    numer = W.T @ (pwr_n * V)
+    if beta == 1.0:
+        W_sum = jnp.sum(W, axis=0)
+        W_sum = jnp.where(W_sum == 0.0, 1.0, W_sum)
+        denom = jnp.broadcast_to(W_sum[:, None], H.shape)
+    else:
+        denom = W.T @ pwr_d
+    return numer, denom
 
 
 def mu_update_beta(V, W, H, beta, eps=1e-9, order="WH"):
@@ -118,40 +202,27 @@ def mu_update_beta(V, W, H, beta, eps=1e-9, order="WH"):
         W <- W * ( ((WH)^(b-2) . V) H^T / ((WH)^(b-1) H^T) )^gamma
 
     and symmetrically for H. beta=2 is Frobenius and beta=1 is KL (the
-    specialized fast paths above); beta=0 is Itakura-Saito. Guards
-    replace exact zeros with eps (sklearn's EPSILON semantics — positive
-    entries pass through untouched, unlike the +eps shift), so float64
-    runs match sklearn's _multiplicative_update_w/_h to roundoff.
-    O(nm) full WH materialization per half-step — the blockwise twin for
-    low-precision / densified V lives in nmftpu.densified.
+    specialized fast paths above); beta=0 is Itakura-Saito. `eps` is
+    accepted for registry-signature uniformity but UNUSED — the guards
+    are sklearn's fixed EPSILON clamps (see _beta_powers), so float64
+    runs match sklearn's _multiplicative_update_w/_h to roundoff even
+    on data with zeros / stabilized factor entries. O(nm) full WH per
+    half-step — the blockwise twin for low-precision / densified V
+    lives in nmftpu.densified.
     """
     gamma = beta_gamma(beta)
 
-    def guard(X):
-        return jnp.where(X > 0, X, jnp.asarray(eps, X.dtype))
-
     def stabilize(X):
+        # sklearn's beta<1 stability: zero sub-machine-eps entries
         if beta < 1.0:
             return jnp.where(X < _STAB_EPS, 0.0, X)
         return X
 
     def upd_w(W, H):
-        WH = guard(W @ H)
-        numer = ((WH ** (beta - 2.0)) * V) @ H.T
-        denom = guard((WH ** (beta - 1.0)) @ H.T)
-        d = numer / denom
-        if gamma != 1.0:
-            d = d ** gamma
-        return stabilize(W * d)
+        return stabilize(beta_w_step(V, W, H, beta, gamma=gamma))
 
     def upd_h(W, H):
-        WH = guard(W @ H)
-        numer = W.T @ ((WH ** (beta - 2.0)) * V)
-        denom = guard(W.T @ (WH ** (beta - 1.0)))
-        d = numer / denom
-        if gamma != 1.0:
-            d = d ** gamma
-        return stabilize(H * d)
+        return stabilize(beta_h_step(V, W, H, beta, gamma=gamma))
 
     if order == "WH":
         W = upd_w(W, H)

@@ -30,63 +30,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# sklearn's EPSILON (np.finfo(np.float32).eps): guard threshold for the
-# multiplicative-update clamps, independent of the compute dtype.
-EPSILON = 1.1920929e-07
-# sklearn zeroes factor entries below float64 machine eps after beta<1
-# (W) / beta<=1 (H) steps "for stability".
-_STAB_EPS = 2.220446049250313e-16
-
-
-def beta_gamma(beta: float) -> float:
-    if beta < 1.0:
-        return 1.0 / (2.0 - beta)
-    if beta > 2.0:
-        return 1.0 / (beta - 1.0)
-    return 1.0
-
-
-def _ratio_and_denoms(Xb, W, H, beta):
-    """Shared beta-MU pieces on one batch: the elementwise product
-    P = (WH)^(beta-2) . X (sklearn's WH_safe_X) and the guarded WH for
-    the denominator powers. One (b, m) WH materialization — batch-sized,
-    never dataset-sized."""
-    WH = W @ H
-    WH_safe = jnp.maximum(WH, EPSILON) if beta < 2.0 else WH
-    if beta == 1.0:
-        P = Xb / WH_safe
-    elif beta == 0.0:
-        P = Xb / (WH_safe * WH_safe)
-    else:
-        P = (WH_safe ** (beta - 2.0)) * Xb
-    WH_d = jnp.maximum(WH, EPSILON) if beta < 1.0 else WH
-    return P, WH_d
+# The sklearn-exact MU primitives and constants are shared with the
+# batch engines (single source — see linalg/dense.py): EPSILON is
+# sklearn's float32-eps guard threshold; _STAB_EPS its factor-zeroing
+# floor (W at beta<1, H at beta<=1 for the online variant).
+from nmftpu.linalg.dense import (  # noqa: E402
+    EPSILON,
+    _STAB_EPS,
+    beta_gamma,
+    beta_h_terms,
+    beta_w_step,
+)
 
 
 def w_mu_step(Xb, W, H, beta=2.0, l1_w=0.0, l2_w=0.0, gamma=1.0):
     """One multiplicative W update on a row batch (sklearn's
-    _multiplicative_update_w, dense branch, guard-for-guard)."""
-    if beta == 2.0:
-        numer = Xb @ H.T
-        denom = W @ (H @ H.T)
-    else:
-        P, WH_d = _ratio_and_denoms(Xb, W, H, beta)
-        numer = P @ H.T
-        if beta == 1.0:
-            denom = jnp.broadcast_to(
-                jnp.sum(H, axis=1)[None, :], W.shape
-            )
-        else:
-            denom = (WH_d ** (beta - 1.0)) @ H.T
-    if l1_w > 0.0:
-        denom = denom + l1_w
-    if l2_w > 0.0:
-        denom = denom + l2_w * W
-    denom = jnp.where(denom == 0.0, EPSILON, denom)
-    d = numer / denom
-    if gamma != 1.0:
-        d = d ** gamma
-    return W * d
+    _multiplicative_update_w; shared implementation with the batch
+    beta engine)."""
+    return beta_w_step(Xb, W, H, beta, l1_w=l1_w, l2_w=l2_w,
+                       gamma=gamma)
 
 
 def h_online_step(Xb, W, H, A, B, rho, beta=2.0, l1_h=0.0, l2_h=0.0,
@@ -95,18 +57,7 @@ def h_online_step(Xb, W, H, A, B, rho, beta=2.0, l1_h=0.0, l2_h=0.0,
     the forgetting accumulators (A, B) and re-solve H = (A/B)^gamma
     (sklearn's _multiplicative_update_h with A/B/rho). Returns
     (H, A, B)."""
-    if beta == 2.0:
-        numer = W.T @ Xb
-        denom = (W.T @ W) @ H
-    else:
-        P, WH_d = _ratio_and_denoms(Xb, W, H, beta)
-        numer = W.T @ P
-        if beta == 1.0:
-            W_sum = jnp.sum(W, axis=0)
-            W_sum = jnp.where(W_sum == 0.0, 1.0, W_sum)
-            denom = jnp.broadcast_to(W_sum[:, None], H.shape)
-        else:
-            denom = W.T @ (WH_d ** (beta - 1.0))
+    numer, denom = beta_h_terms(Xb, W, H, beta)
     if l1_h > 0.0:
         denom = denom + l1_h
     if l2_h > 0.0:
@@ -128,12 +79,15 @@ def h_online_step(Xb, W, H, A, B, rho, beta=2.0, l1_h=0.0, l2_h=0.0,
     static_argnames=("beta", "l1_w", "l2_w", "gamma", "max_iter", "tol"),
 )
 def solve_w(Xb, H, beta=2.0, l1_w=0.0, l2_w=0.0, gamma=1.0,
-            max_iter=200, tol=1e-4):
+            max_iter=200, tol=1e-4, mean_v=None):
     """Solve for a batch's W with H frozen (sklearn's _solve_W: the
     transform path and the fresh-restarts path), from the flat
-    sqrt(mean/r) start, stopping on relative W change <= tol."""
+    sqrt(mean/r) start, stopping on relative W change <= tol.
+    mean_v: optional precomputed global mean of the FULL matrix for
+    the flat start (the streamed final solve passes it so every panel
+    starts exactly where sklearn's full-matrix solve would)."""
     r = H.shape[0]
-    avg = jnp.sqrt(jnp.mean(Xb) / r)
+    avg = jnp.sqrt((jnp.mean(Xb) if mean_v is None else mean_v) / r)
     W0 = jnp.full((Xb.shape[0], r), avg, dtype=Xb.dtype)
 
     def body(carry):
@@ -204,12 +158,13 @@ def minibatch_step(Xb, W, H, A, B, rho, beta=2.0, l1_w=0.0, l2_w=0.0,
     static_argnames=(
         "batch_size", "beta", "l1_w", "l2_w", "l1_h_full", "l2_h_full",
         "l1_h_tail", "l2_h_tail", "gamma", "fresh", "fresh_max_iter",
+        "fresh_tol",
     ),
 )
 def epoch_fused(V, W, H, A, B, rho, *, batch_size, beta=2.0, l1_w=0.0,
                 l2_w=0.0, l1_h_full=0.0, l2_h_full=0.0, l1_h_tail=0.0,
                 l2_h_tail=0.0, gamma=1.0, fresh=False,
-                fresh_max_iter=30):
+                fresh_max_iter=30, fresh_tol=0.0):
     """One full epoch of mini-batch steps as a single compiled program:
     a fori_loop over batch panels (dynamic_slice row windows, never a
     second V-sized buffer) plus an unrolled tail batch. Bit-identical
@@ -228,6 +183,7 @@ def epoch_fused(V, W, H, A, B, rho, *, batch_size, beta=2.0, l1_w=0.0,
             Xb, (None if fresh else Wb), H, A, B, rho, beta=beta,
             l1_w=l1_w, l2_w=l2_w, l1_h=l1_h, l2_h=l2_h, gamma=gamma,
             fresh=fresh, fresh_max_iter=fresh_max_iter,
+            fresh_tol=fresh_tol,
         )
 
     def body(i, carry):
@@ -372,6 +328,15 @@ class OnlineNMF:
             return jax.device_put(Xb, self._shardings["X"])
         return Xb
 
+    def set_components(self, H):
+        """Replace the resident H (keeping the mesh sharding if one was
+        configured). The A/B accumulators are kept — this mirrors
+        sklearn's partial_fit using self.components_ in place."""
+        H = jnp.asarray(H, self.dtype)
+        if self._shardings is not None:
+            H = jax.device_put(H, self._shardings["H"])
+        self.H = H
+
     def partial_fit(self, Xb, H0=None):
         """One online step on a row batch (fresh W solve, like
         sklearn's MiniBatchNMF.partial_fit). Returns self."""
@@ -383,6 +348,7 @@ class OnlineNMF:
             beta=self.beta, l1_w=l1_w, l2_w=l2_w, l1_h=l1_h, l2_h=l2_h,
             gamma=self.gamma, fresh=True,
             fresh_max_iter=self.fresh_max_iter,
+            fresh_tol=self.transform_tol,
         )
         self.n_steps += 1
         return self
@@ -495,9 +461,24 @@ def minibatch_fit(
     no_improvement = 0
     step = 0
 
-    use_fused = (
-        _can_fuse(V, monitor, dtype) if fused == "auto" else bool(fused)
-    )
+    if fused == "auto":
+        use_fused = _can_fuse(V, monitor, dtype)
+    else:
+        use_fused = bool(fused)
+        if use_fused and monitor:
+            raise ValueError(
+                "fused=True cannot honor per-batch early stopping "
+                "(tol > 0 / max_no_improvement); pass tol=0 and "
+                "max_no_improvement=None, or fused=False/'auto'"
+            )
+        if use_fused and not isinstance(
+            getattr(V, "X", V), np.ndarray
+        ):
+            raise ValueError(
+                "fused=True needs an in-memory dense ndarray (memmap/"
+                "sparse sources stream through the host loop); use "
+                "fused=False/'auto'"
+            )
     if use_fused:
         # one compiled dispatch per epoch (bit-identical to the
         # per-batch loop below — same step fn, same order)
@@ -514,6 +495,7 @@ def minibatch_fit(
             l2_h_tail=tail_rows * a_h * (1.0 - float(l1_ratio)),
             gamma=gamma, fresh=fresh_restarts,
             fresh_max_iter=int(fresh_restarts_max_iter),
+            fresh_tol=float(tol or 0.0),
         )
         for _ in range(int(max_iter)):
             W, H, A, B = epoch_fused(Vd, W, H, A, B, rho, **kw)
@@ -535,6 +517,7 @@ def minibatch_fit(
             beta=float(beta), l1_w=l1_w, l2_w=l2_w, l1_h=l1_h,
             l2_h=l2_h, gamma=gamma, fresh=fresh_restarts,
             fresh_max_iter=int(fresh_restarts_max_iter),
+            fresh_tol=float(tol or 0.0),
             with_cost=monitor,
         )
         W = W.at[lo:hi].set(Wb) if not fresh_restarts else W
@@ -561,9 +544,49 @@ def minibatch_fit(
         H_buffer = H
 
     if fresh_restarts:
-        W = solve_w(jnp.asarray(V[:], dtype), H, float(beta), l1_w,
-                    l2_w, gamma, max_iter=tmax, tol=float(tol or 0.0))
+        if _can_fuse(V, False, dtype):
+            # in-memory within budget: the exact full-matrix solve
+            # (bit-identical to sklearn and to the fused path)
+            Vd = jnp.asarray(getattr(V, "X", V), dtype)
+            if sh is not None:
+                Vd = jax.device_put(Vd, sh["X"])
+            W = solve_w(Vd, H, float(beta), l1_w, l2_w, gamma,
+                        max_iter=tmax, tol=float(tol or 0.0))
+        else:
+            # out-of-core source: never materialize V on device
+            W = _solve_w_streamed(V, H, slices, float(beta), l1_w,
+                                  l2_w, gamma, tmax,
+                                  float(tol or 0.0), dtype, sh)
 
     n_steps = step + 1
     n_iter = int(math.ceil(n_steps / steps_per_iter))
     return W, H, n_iter, n_steps
+
+
+def _solve_w_streamed(V, H, slices, beta, l1_w, l2_w, gamma, max_iter,
+                      tol, dtype, sh):
+    """Final fresh-restarts W solve without materializing V on device:
+    the rows of W are independent given H, so each batch panel solves
+    separately. The flat start uses the GLOBAL mean (streamed), like
+    sklearn's _solve_W on the full X; the tol early-stop applies per
+    panel rather than on the global W norm — a documented deviation
+    that only changes WHEN iteration stops, not the fixed point."""
+    def place(lo, hi):
+        Xb = jnp.asarray(V[lo:hi], dtype)
+        return jax.device_put(Xb, sh["X"]) if sh is not None else Xb
+
+    # pass 1: the global mean for the flat start (panel at a time)
+    total = 0.0
+    count = 0
+    for lo, hi in slices:
+        Xb = place(lo, hi)
+        total += float(jnp.sum(Xb))
+        count += (hi - lo) * Xb.shape[1]
+    mean_v = total / count
+    # pass 2: per-panel solves; only the (b, r) results are retained
+    parts = [
+        solve_w(place(lo, hi), H, beta, l1_w, l2_w, gamma,
+                max_iter=max_iter, tol=tol, mean_v=mean_v)
+        for lo, hi in slices
+    ]
+    return jnp.concatenate(parts, axis=0)

@@ -102,6 +102,11 @@ def cophenetic_correlation(C) -> float:
         return 1.0
     Z = linkage(d, method="average")
     rho, _ = cophenet(Z, d)
+    if not np.isfinite(rho):
+        # constant nonzero distances (e.g. a maximally unstable
+        # consensus, every entry 0.5): pearson is 0/0 — report "no
+        # stable structure" instead of propagating NaN
+        return 0.0
     return float(rho)
 
 
@@ -178,7 +183,7 @@ def rank_selection(
         disps.append(dispersion(C))
         means.append(float(np.mean(errs)))
         stds.append(float(np.std(errs)))
-    score = np.asarray(cards) * np.asarray(disps)
+    score = np.nan_to_num(np.asarray(cards) * np.asarray(disps))
     stable = np.flatnonzero(score >= score.max() - 0.01)
     best = max(ranks[i] for i in stable)
     return RankSelection(

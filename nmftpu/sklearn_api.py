@@ -644,12 +644,17 @@ class MiniBatchNMF(TransformerMixin, BaseEstimator):
             self.n_steps_ = 1
             self.n_features_in_ = X.shape[1]
         else:
-            import jax.numpy as jnp
-
-            self._online.H = jnp.asarray(self.components_, self.dtype)
+            # the OnlineNMF's device-resident H (sharded when mesh=)
+            # is the source of truth; only re-upload if the user
+            # replaced components_ with their own array
+            if self.components_ is not getattr(
+                self, "_components_view", None
+            ):
+                self._online.set_components(self.components_)
             self._online.partial_fit(Xb)
             self.n_steps_ += 1
         self.components_ = np.asarray(self._online.H)
+        self._components_view = self.components_
         self.n_components_ = self.components_.shape[0]
         return self
 

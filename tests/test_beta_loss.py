@@ -174,3 +174,38 @@ def test_beta_api_nmf_entry(rng):
                       num_iterations=5, seed=1, num_runs=2)
     assert len(res2.run_errors) == 2
     assert np.isfinite(res2.kl_error)
+
+
+def test_beta_sklearn_parity_with_zeros(rng):
+    """Data WITH zeros: the EPSILON power guards must match sklearn
+    exactly (review finding: zero/subnormal WH entries previously took
+    a different clamp than sklearn's)."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    from nmftpu.sklearn_api import NMF
+
+    V, W0, H0 = _problem(rng)
+    V[V < np.quantile(V, 0.3)] = 0.0  # plenty of exact zeros
+    for bl in (0.5, 1.5):
+        sk = SkNMF(n_components=4, solver="mu", beta_loss=bl,
+                   init="custom", max_iter=15, tol=0.0)
+        W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+        est = NMF(n_components=4, solver="mu", beta_loss=bl,
+                  init="custom", max_iter=15, tol=0.0, dtype="float64")
+        W = est.fit_transform(V, W=W0, H=H0)
+        np.testing.assert_allclose(W, W_sk, rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(est.components_, sk.components_,
+                                   rtol=1e-7, atol=1e-12)
+
+
+def test_beta_normalized_objectives_hit_algorithm_guards():
+    """beta=1.0 / beta=2.0 normalize BEFORE the objective-algorithm
+    guards, so they obey the same rules as the named objectives
+    (review finding: ALS+beta=1.0 previously slipped through as a
+    silent Frobenius fit labeled KL)."""
+    with pytest.raises(ValueError, match="KL objective"):
+        NmfConfig(rank=4, algorithm="als",
+                  objective="beta-divergence", beta=1.0)
+    cfg = NmfConfig(rank=4, algorithm="als",
+                    objective="beta-divergence", beta=2.0)
+    assert cfg.objective is Objective.FROBENIUS  # fine: ALS+fro

@@ -222,3 +222,99 @@ def test_online_nmf_streaming(rng):
             errs.append(fit_err())
     assert model.n_steps == 60
     assert errs[-1] < 0.5 * errs[0]  # the stream actually teaches H
+
+
+def test_minibatch_fresh_tol_matches_sklearn(rng):
+    """Fresh W solves honor tol inside _solve_W (review finding: the
+    per-batch fresh solve previously ran all iterations regardless)."""
+    from sklearn.decomposition import MiniBatchNMF as SkMB
+
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    V, W0, H0 = _problem(rng)
+    common = dict(n_components=4, init="custom", batch_size=16,
+                  tol=1e-3, max_no_improvement=None, max_iter=3,
+                  fresh_restarts=True, fresh_restarts_max_iter=25)
+    sk = SkMB(**common)
+    est = MiniBatchNMF(dtype="float64", **common)
+    for i, lo in enumerate(range(0, 48, 16)):
+        b = V[lo:lo + 16]
+        if i == 0:
+            sk.partial_fit(b, W=W0[:16].copy(), H=H0.copy())
+            est.partial_fit(b, W=W0[:16], H=H0)
+        else:
+            sk.partial_fit(b)
+            est.partial_fit(b)
+    np.testing.assert_allclose(est.components_, sk.components_,
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_minibatch_fused_explicit_guards(rng):
+    """fused=True rejects configurations it cannot honor (review
+    finding: it previously ran with silently different semantics)."""
+    import scipy.sparse as sp
+
+    from nmftpu.minibatch import minibatch_fit
+
+    V, W0, H0 = _problem(rng, dtype=np.float32)
+    kw = dict(W0=W0.astype(np.float32), H0=H0.astype(np.float32),
+              batch_size=16, max_iter=2)
+    with pytest.raises(ValueError, match="early stopping"):
+        minibatch_fit(V, 4, fused=True, tol=1e-3, **kw)
+    from nmftpu.sklearn_api import _RowSource
+
+    with pytest.raises(ValueError, match="in-memory"):
+        minibatch_fit(_RowSource(sp.csr_matrix(V)), 4, fused=True,
+                      tol=0.0, max_no_improvement=None, **kw)
+
+
+def test_minibatch_facade_partial_fit_keeps_sharding(rng):
+    """mesh= H stays column-sharded across facade partial_fit calls
+    (review finding: the 2nd call previously re-uploaded unsharded)."""
+    from nmftpu.parallel import make_grid_mesh
+    from nmftpu.sklearn_api import MiniBatchNMF
+
+    mesh = make_grid_mesh((2, 4))
+    V, W0, H0 = _problem(rng, n=64, m=32, dtype=np.float32)
+    est = MiniBatchNMF(n_components=4, init="custom", batch_size=16,
+                       tol=0.0, max_no_improvement=None, mesh=mesh)
+    est.partial_fit(V[:16], W=W0[:16].astype(np.float32),
+                    H=H0.astype(np.float32))
+    est.partial_fit(V[16:32])
+    est.partial_fit(V[32:48])
+    devs = {s.device.id for s in est._online.H.addressable_shards}
+    assert len(devs) == 8  # still sharded after repeated calls
+    # matches the unsharded stream
+    ref = MiniBatchNMF(n_components=4, init="custom", batch_size=16,
+                       tol=0.0, max_no_improvement=None)
+    ref.partial_fit(V[:16], W=W0[:16].astype(np.float32),
+                    H=H0.astype(np.float32))
+    ref.partial_fit(V[16:32])
+    ref.partial_fit(V[32:48])
+    np.testing.assert_allclose(est.components_, ref.components_,
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_minibatch_fresh_restarts_memmap_streams(rng, tmp_path):
+    """fresh_restarts on an out-of-core source streams the final W
+    solve panel by panel (review finding: it previously loaded V[:]
+    onto the device), matching the in-memory solve closely."""
+    from nmftpu.minibatch import minibatch_fit
+
+    V, W0, H0 = _problem(rng, n=52, dtype=np.float32)
+    mm = np.memmap(tmp_path / "v.dat", dtype=np.float32, mode="w+",
+                   shape=V.shape)
+    mm[:] = V.astype(np.float32)
+    mm.flush()
+    ro = np.memmap(tmp_path / "v.dat", dtype=np.float32, mode="r",
+                   shape=V.shape)
+    kw = dict(batch_size=16, max_iter=2, tol=0.0,
+              max_no_improvement=None, fresh_restarts=True,
+              W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    W_mm, H_mm, _, _ = minibatch_fit(ro, 4, **kw)
+    W_in, H_in, _, _ = minibatch_fit(V.astype(np.float32), 4, **kw)
+    np.testing.assert_array_equal(np.asarray(H_mm), np.asarray(H_in))
+    # the streamed final solve differs only by the mean-accumulation
+    # rounding in the flat start
+    np.testing.assert_allclose(np.asarray(W_mm), np.asarray(W_in),
+                               rtol=1e-4, atol=1e-6)
