@@ -48,6 +48,9 @@ _LAZY = {
     "OnlineNMF": ("nmftpu.minibatch", "OnlineNMF"),
     "minibatch_fit": ("nmftpu.minibatch", "minibatch_fit"),
     "rank_selection": ("nmftpu.model_selection", "rank_selection"),
+    "non_negative_factorization": (
+        "nmftpu.sklearn_api", "non_negative_factorization"
+    ),
 }
 
 

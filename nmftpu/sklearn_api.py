@@ -41,6 +41,11 @@ Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
   * Extra TPU-side parameters (``mesh``, ``strategy``, ``v_storage``,
     ``num_runs``, ``algorithm``) default to the sklearn-equivalent
     behavior and are ignored by sklearn-written call sites.
+
+All three public sklearn NMF entry points are covered: :class:`NMF`,
+:class:`MiniBatchNMF` (online/out-of-core, see nmftpu.minibatch), and
+:func:`non_negative_factorization` (module-level function, both
+``update_H`` modes).
 """
 
 from __future__ import annotations
@@ -684,3 +689,132 @@ class MiniBatchNMF(TransformerMixin, BaseEstimator):
             max_iter=tmax, tol=float(self.tol),
         )
         return np.asarray(W)
+
+
+def non_negative_factorization(
+    X,
+    W=None,
+    H=None,
+    n_components="auto",
+    *,
+    init=None,
+    update_H=True,
+    solver="cd",
+    beta_loss="frobenius",
+    tol=1e-4,
+    max_iter=200,
+    alpha_W=0.0,
+    alpha_H="same",
+    l1_ratio=0.0,
+    random_state=None,
+    verbose=0,
+    shuffle=False,
+    **tpu_params,
+):
+    """Drop-in ``sklearn.decomposition.non_negative_factorization``
+    (the module-level function API). Returns ``(W, H, n_iter)``.
+
+    update_H=True delegates to the :class:`NMF` facade (same engines,
+    same parity guarantees). update_H=False solves W with H held
+    constant — solver='mu' runs multiplicative W steps under ANY
+    beta_loss (sklearn _multiplicative_update_w guard-for-guard, from
+    sklearn's init rule: custom W, else the sqrt(mean/r) flat start);
+    solver='cd' runs cyclic HALS W sweeps from zeros (sklearn's
+    _fit_coordinate_descent update_H=False). The W-only path runs
+    ``max_iter`` full steps — sklearn's early-stop criteria there
+    (10-step divergence checks / the CD violation ratio) stop at the
+    same fixed point sooner; pass a smaller max_iter for budget control.
+    Extra keyword ``tpu_params`` (mesh, strategy, v_storage, dtype, ...)
+    forward to the facade.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if update_H:
+        est = NMF(
+            n_components=n_components, init=init, solver=solver,
+            beta_loss=beta_loss, tol=tol, max_iter=max_iter,
+            alpha_W=alpha_W, alpha_H=alpha_H, l1_ratio=l1_ratio,
+            random_state=random_state, verbose=verbose, shuffle=shuffle,
+            **tpu_params,
+        )
+        W_out = est.fit_transform(X, W=W, H=H)
+        return W_out, est.components_, est.n_iter_
+
+    if H is None:
+        raise ValueError("update_H=False requires H (the fixed factor)")
+    dtype = tpu_params.pop("dtype", "float32")
+    if tpu_params:
+        raise TypeError(
+            f"unsupported parameters for update_H=False: "
+            f"{sorted(tpu_params)}"
+        )
+    data, is_sparse = _as_nmftpu_input(X)
+    if is_sparse:
+        # W-only solves are transform-sized; the dense panel keeps the
+        # guard semantics identical to sklearn's dense branch
+        data = data.todense()
+    Xd = jnp.asarray(np.asarray(data), dtype)
+    Hd = jnp.asarray(np.asarray(H), dtype)
+    n, m = Xd.shape
+    r = Hd.shape[0]
+    objective, beta = _beta_objective(beta_loss)
+    b = {Objective.FROBENIUS: 2.0, Objective.KL: 1.0}.get(
+        objective, beta
+    )
+    if solver == "cd" and objective is not Objective.FROBENIUS:
+        raise ValueError(
+            "solver='cd' supports beta_loss='frobenius' only "
+            "(as in sklearn); pass solver='mu' for other losses"
+        )
+    if solver not in ("mu", "cd"):
+        raise NotImplementedError(f"solver={solver!r}")
+    a_w = float(alpha_W)
+    l1_w = m * a_w * float(l1_ratio)
+    l2_w = m * a_w * (1.0 - float(l1_ratio))
+
+    # sklearn _check_w_h(update_H=False) IGNORES a provided W (with a
+    # warning) and re-initializes: sqrt(X.mean()/r) flat for mu, zeros
+    # for cd.
+    if W is not None:
+        import warnings
+
+        warnings.warn(
+            "When update_H=False, the provided initial W is not used.",
+            RuntimeWarning, stacklevel=2,
+        )
+    if solver == "mu":
+        avg = jnp.sqrt(jnp.mean(Xd) / r)
+        W0 = jnp.full((n, r), avg, dtype=dtype)
+    else:
+        W0 = jnp.zeros((n, r), dtype=dtype)
+
+    from nmftpu.linalg import dense as D
+
+    if solver == "mu":
+        gamma = D.beta_gamma(b)
+
+        @jax.jit
+        def run(Xd, Hd, W0):
+            def body(_, Wc):
+                Wc = D.beta_w_step(Xd, Wc, Hd, b, l1_w=l1_w,
+                                   l2_w=l2_w, gamma=gamma)
+                if b < 1.0:  # sklearn's beta<1 stabilization
+                    Wc = jnp.where(Wc < D._STAB_EPS, 0.0, Wc)
+                return Wc
+
+            return jax.lax.fori_loop(0, int(max_iter), body, W0)
+    else:
+
+        @jax.jit
+        def run(Xd, Hd, W0):
+            G = Hd @ Hd.T + l2_w * jnp.eye(r, dtype=dtype)
+            XHt = Xd @ Hd.T - l1_w
+
+            def body(_, Wc):
+                return D._hals_half_sweep(XHt, G, Wc)
+
+            return jax.lax.fori_loop(0, int(max_iter), body, W0)
+
+    W_out = run(Xd, Hd, W0)
+    return np.asarray(W_out), np.asarray(H), int(max_iter)
