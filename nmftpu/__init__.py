@@ -48,6 +48,8 @@ _LAZY = {
     "OnlineNMF": ("nmftpu.minibatch", "OnlineNMF"),
     "minibatch_fit": ("nmftpu.minibatch", "minibatch_fit"),
     "rank_selection": ("nmftpu.model_selection", "rank_selection"),
+    "compute_batched": ("nmftpu.batched", "compute_batched"),
+    "BatchedNmfResult": ("nmftpu.batched", "BatchedNmfResult"),
     "non_negative_factorization": (
         "nmftpu.sklearn_api", "non_negative_factorization"
     ),

@@ -116,12 +116,15 @@ def _make_verbose_callback_timed():
 
 
 def build_runner(config: NmfConfig, ops: LoopOps, callback,
-                 interrupt=None):
+                 interrupt=None, jit_wrap=True):
     """Build the jitted single-run loop for (config, ops).
 
     interrupt: optional zero-arg host callable polled at every convergence
     check (reference C9: user-interrupt polling); truthy return stops the
     run and returns the current factors.
+    jit_wrap=False returns the raw traceable run function instead of
+    the jitted wrapper — for callers that transform it first (the
+    batched driver vmaps it over a problem stack).
     """
     if interrupt is not None and config.vectorize_runs and config.num_runs > 1:
         # ordered io_callback (the interrupt poll) is unsupported under
@@ -226,6 +229,8 @@ def build_runner(config: NmfConfig, ops: LoopOps, callback,
             compare = err
         return W, H, err, fro, kl, compare, it, converged, stats, nc
 
+    if not jit_wrap:
+        return run
     return jax.jit(run, donate_argnums=(1, 2))
 
 
