@@ -9,11 +9,16 @@ on-device while-loop the single-problem driver uses (nmftpu.loop) —
 XLA batches every GEMM to (B, n, r) x (B, r, m) contractions that tile
 the MXU properly, and the host dispatches once.
 
-Semantics: identical to calling `compute(Vs[i], config)` per problem
-(same updates, same error metrics, same seeded init — asserted in
-tests/test_batched.py, bit-equal on CPU). The batching win is a TPU
-property (dispatch gaps + MXU tiling at small n/m); on CPU, B cached
-solo calls can be faster — measure before batching there. Early-stop thresholds are rejected: under vmap
+Semantics: problem i runs the same update loop as `compute`, seeded
+with `fold_in(PRNGKey(seed), i)` — the SAME key rule the solo driver
+uses for its i-th restart. So problem 0 is bit-equal to a plain
+`compute(Vs[0], config)` call, and any problem i is bit-equal to a
+solo run warm-started from `initialize_factors(Vs[i], ...,
+fold_in(key, i))` (asserted in tests/test_batched.py); a naive
+`compute(Vs[i], config)` differs for i>0 only in the random init draw.
+The batching win is a TPU property (dispatch gaps + MXU tiling at
+small n/m); on CPU, B cached solo calls can be faster — measure before
+batching there. Early-stop thresholds are rejected: under vmap
 a while-loop runs until EVERY problem's predicate clears, so per-
 problem stopping would silently over-iterate converged problems; run
 fixed budgets (threshold_value=0) — the normal setting for sweeps.
@@ -35,6 +40,8 @@ from nmftpu.init import initialize_factors
 from nmftpu.loop import RunStats, build_runner
 
 __all__ = ["BatchedNmfResult", "compute_batched"]
+
+_BATCHED_RUNNER_CACHE: dict = {}
 
 
 class BatchedNmfResult:
@@ -151,9 +158,13 @@ def compute_batched(
         H0s = None if H0 is None else jnp.asarray(H0, dtype)
         Ws, Hs = jax.vmap(one_init)(Vs, keys, W0s, H0s)
 
-    ops = _dense_ops(config)
-    run = build_runner(config, ops, None, jit_wrap=False)
-    batched = jax.jit(jax.vmap(run), donate_argnums=(1, 2))
+    key = (config, Vs.shape, str(dtype))
+    batched = _BATCHED_RUNNER_CACHE.get(key)
+    if batched is None:
+        ops = _dense_ops(config)
+        run = build_runner(config, ops, None, jit_wrap=False)
+        batched = jax.jit(jax.vmap(run), donate_argnums=(1, 2))
+        _BATCHED_RUNNER_CACHE[key] = batched
     (W, H, err, fro, kl, _compare, it, converged, stats, nc) = batched(
         Vs, Ws, Hs, jnp.arange(B)
     )
@@ -175,7 +186,9 @@ def compute_batched(
         elapsed_ms=(time.perf_counter() - t0) * 1e3,
         stats=[
             RunStats(
-                iterations=stats_np[i, : nc_np[i], 0],
+                # int64 like the solo driver's RunStats (callers index
+                # with these)
+                iterations=stats_np[i, : nc_np[i], 0].astype(np.int64),
                 errors=stats_np[i, : nc_np[i], 1],
                 deltas=stats_np[i, : nc_np[i], 2],
             )

@@ -348,6 +348,20 @@ class NMF(TransformerMixin, BaseEstimator):
             else:
                 raise ValueError(f"unknown init {self.init!r}")
         cfg = self._config(r, init_method, shape=shape)
+        if (cfg.objective is Objective.BETA and cfg.beta <= 0):
+            # sklearn's divergence guard (beta<=0 blows up on zeros)
+            has_zero = (
+                data.nnz < shape[0] * shape[1]
+                or float(np.min(data.values
+                                if hasattr(data, "values")
+                                else data.data)) == 0.0
+            ) if is_sparse else float(np.min(data)) == 0.0
+            if has_zero:
+                raise ValueError(
+                    "When beta_loss <= 0 and X contains zeros, the "
+                    "solver may diverge. Please add small values to X, "
+                    "or use a positive beta_loss."
+                )
 
         from nmftpu.api import dispatch
 
@@ -758,14 +772,37 @@ def non_negative_factorization(
     Hd = jnp.asarray(np.asarray(H), dtype)
     n, m = Xd.shape
     r = Hd.shape[0]
+    # sklearn's _check_w_h shape validations
+    if isinstance(n_components, (int, np.integer)) and r != n_components:
+        raise ValueError(
+            f"H has {r} rows but n_components={n_components} "
+            "(sklearn raises on this mismatch too)"
+        )
+    if Hd.shape[1] != m:
+        raise ValueError(
+            f"H has {Hd.shape[1]} columns but X has {m} features"
+        )
     objective, beta = _beta_objective(beta_loss)
     b = {Objective.FROBENIUS: 2.0, Objective.KL: 1.0}.get(
         objective, beta
     )
+    if b <= 0 and float(jnp.min(Xd)) == 0.0:
+        # sklearn's divergence guard (beta<=0 blows up on zeros)
+        raise ValueError(
+            "When beta_loss <= 0 and X contains zeros, the solver may "
+            "diverge. Please add small values to X, or use a positive "
+            "beta_loss."
+        )
     if solver == "cd" and objective is not Objective.FROBENIUS:
         raise ValueError(
             "solver='cd' supports beta_loss='frobenius' only "
             "(as in sklearn); pass solver='mu' for other losses"
+        )
+    if solver == "cd" and shuffle:
+        raise NotImplementedError(
+            "shuffle=True (randomized CD coordinate order) is not "
+            "implemented; nmftpu runs the cyclic sweep "
+            "(shuffle=False, sklearn's default)"
         )
     if solver not in ("mu", "cd"):
         raise NotImplementedError(f"solver={solver!r}")

@@ -91,3 +91,23 @@ def test_nnf_guards(rng):
     import nmftpu
 
     assert nmftpu.non_negative_factorization is nnf
+
+
+def test_nnf_update_h_false_sklearn_guards(rng):
+    """Review findings: the W-only path enforces sklearn's validation
+    surface (H shape vs n_components, the beta<=0 zero guard, shuffle
+    rejection) instead of silently diverging from sklearn."""
+    from nmftpu.sklearn_api import non_negative_factorization as nnf
+
+    V, W0, H0 = _problem(rng)
+    with pytest.raises(ValueError, match="n_components"):
+        nnf(V, H=H0, n_components=3, update_H=False, solver="mu")
+    with pytest.raises(ValueError, match="features"):
+        nnf(V, H=H0[:, :10], update_H=False, solver="mu")
+    Vz = V.copy()
+    Vz[0, 0] = 0.0
+    with pytest.raises(ValueError, match="beta_loss <= 0"):
+        nnf(Vz, H=H0, update_H=False, solver="mu",
+            beta_loss="itakura-saito")
+    with pytest.raises(NotImplementedError, match="shuffle"):
+        nnf(V, H=H0, update_H=False, solver="cd", shuffle=True)
