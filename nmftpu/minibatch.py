@@ -328,6 +328,90 @@ class OnlineNMF:
             return jax.device_put(Xb, self._shardings["X"])
         return Xb
 
+    def save(self, path):
+        """Persist the full streaming state (H, A, B, step count,
+        hyperparameters) so a stream can resume after a crash or
+        redeploy — orbax when available (handles mesh-sharded arrays
+        natively), .npz fallback. Mesh placement is NOT persisted;
+        pass mesh= to `OnlineNMF.load` to re-shard on restore."""
+        import json
+        import os
+
+        if self.H is None:
+            raise ValueError("nothing to save: no data seen yet")
+        path = os.path.abspath(path)
+        meta = {
+            "n_steps": self.n_steps,
+            "rank": self.rank,
+            "beta": self.beta,
+            "batch_size": self.batch_size,
+            "forget_factor": self.forget_factor,
+            "rho": self.rho,
+            "alpha_w": self.alpha_w,
+            "alpha_h": self.alpha_h,
+            "l1_ratio": self.l1_ratio,
+            "fresh_max_iter": self.fresh_max_iter,
+            "transform_max_iter": self.transform_max_iter,
+            "transform_tol": self.transform_tol,
+            "seed": self.seed,
+            "dtype": jnp.dtype(self.dtype).name,
+        }
+        from nmftpu import checkpoint as CK
+
+        state = {"H": self.H, "A": self._A, "B": self._B}
+        if CK._HAS_ORBAX:
+            ckptr = CK.ocp.StandardCheckpointer()
+            ckptr.save(os.path.join(path, "online_state"), state,
+                       force=True)
+            ckptr.wait_until_finished()
+        else:  # pragma: no cover
+            os.makedirs(path, exist_ok=True)
+            np.savez(os.path.join(path, "online_state.npz"),
+                     **{k: np.asarray(v) for k, v in state.items()})
+        with open(os.path.join(path, "online_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path, mesh=None):
+        """Restore a saved stream state; continue with partial_fit as
+        if never interrupted. mesh= re-shards H/A/B on the new mesh."""
+        import json
+        import os
+
+        path = os.path.abspath(path)
+        with open(os.path.join(path, "online_meta.json")) as f:
+            meta = json.load(f)
+        n_steps = meta.pop("n_steps")
+        rho = meta.pop("rho")
+        dtype = jnp.dtype(meta.pop("dtype"))
+        rank = meta.pop("rank")
+        alpha_h = meta.pop("alpha_h")
+        model = cls(rank, dtype=dtype, alpha_h=alpha_h, mesh=mesh,
+                    **meta)
+        model.rho = rho  # exact resumed forgetting rate
+        from nmftpu import checkpoint as CK
+
+        if CK._HAS_ORBAX and os.path.isdir(
+            os.path.join(path, "online_state")
+        ):
+            ckptr = CK.ocp.StandardCheckpointer()
+            state = ckptr.restore(os.path.join(path, "online_state"))
+        else:  # pragma: no cover
+            data = np.load(os.path.join(path, "online_state.npz"))
+            state = {k: data[k] for k in ("H", "A", "B")}
+
+        def place(x):
+            x = jnp.asarray(x, dtype)
+            if model._shardings is not None:
+                x = jax.device_put(x, model._shardings["H"])
+            return x
+
+        model.H = place(state["H"])
+        model._A = place(state["A"])
+        model._B = place(state["B"])
+        model.n_steps = int(n_steps)
+        return model
+
     def set_components(self, H):
         """Replace the resident H (keeping the mesh sharding if one was
         configured). The A/B accumulators are kept — this mirrors

@@ -318,3 +318,40 @@ def test_minibatch_fresh_restarts_memmap_streams(rng, tmp_path):
     # rounding in the flat start
     np.testing.assert_allclose(np.asarray(W_mm), np.asarray(W_in),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_online_nmf_save_resume(rng, tmp_path):
+    """A saved stream resumes exactly: interrupted-and-restored H/A/B
+    continue to the same state as the uninterrupted run; mesh= re-shards
+    on load."""
+    from nmftpu.minibatch import OnlineNMF
+    from nmftpu.parallel import make_grid_mesh
+
+    V, _, _ = _problem(rng, n=64, m=32, dtype=np.float32)
+    batches = [V[lo:lo + 16] for lo in range(0, 64, 16)]
+
+    full = OnlineNMF(4, batch_size=16, seed=2)
+    for b in batches:
+        full.partial_fit(b)
+
+    part = OnlineNMF(4, batch_size=16, seed=2)
+    for b in batches[:2]:
+        part.partial_fit(b)
+    part.save(tmp_path / "stream")
+    resumed = OnlineNMF.load(tmp_path / "stream")
+    assert resumed.n_steps == 2 and resumed.rho == part.rho
+    for b in batches[2:]:
+        resumed.partial_fit(b)
+    np.testing.assert_array_equal(np.asarray(resumed.H),
+                                  np.asarray(full.H))
+
+    # restore onto a mesh: state sharded, same numbers
+    sharded = OnlineNMF.load(tmp_path / "stream",
+                             mesh=make_grid_mesh((2, 4)))
+    for b in batches[2:]:
+        sharded.partial_fit(b)
+    assert len({s.device.id for s in sharded.H.addressable_shards}) == 8
+    np.testing.assert_allclose(np.asarray(sharded.H),
+                               np.asarray(full.H), rtol=2e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="nothing to save"):
+        OnlineNMF(4).save(tmp_path / "empty")
