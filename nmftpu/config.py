@@ -163,6 +163,15 @@ class NmfConfig:
     theta: float = 0.5
     alpha_confidence: float = 0.0
 
+    # Masked factorization (matrix completion): "none" fits all nm
+    # entries (zeros are data — the reference's semantics); "observed"
+    # fits ONLY the stored nonzeros (the explicit-feedback completion
+    # objective sum_obs d(v, wh)). Sparse scatter engine, MU fro/KL;
+    # zero-valued observations are indistinguishable from unobserved
+    # (the sparse container's nonzero set IS the mask). Errors/RMSD are
+    # reported over the observed set.
+    mask: str = "none"
+
     # k-means init (SURVEY.md C8, §3.4).
     kmeans_max_iter: int = 25
 
@@ -318,6 +327,29 @@ class NmfConfig:
                 "precision storage is supported with the weighted MU "
                 "algorithm instead"
             )
+        if self.mask not in ("none", "observed"):
+            raise ValueError(
+                f"mask must be 'none' or 'observed', got {self.mask!r}"
+            )
+        if self.mask == "observed":
+            if self.algorithm is not Algorithm.MU or self.objective not in (
+                Objective.FROBENIUS, Objective.KL,
+            ):
+                raise ValueError(
+                    "mask='observed' (matrix completion) is implemented "
+                    "for the MU algorithm under Frobenius/KL; got "
+                    f"{self.algorithm}/{self.objective}"
+                )
+            if self.alpha_confidence > 0.0:
+                raise ValueError(
+                    "mask='observed' and alpha_confidence are different "
+                    "weighting models (0/1 mask vs 1+alpha*v); pick one"
+                )
+            if self.v_storage != "float32":
+                raise ValueError(
+                    "mask='observed' runs the scatter engine at "
+                    "v_storage='float32' (exact observed values)"
+                )
         if not 0.0 <= self.theta <= 1.0:
             raise ValueError(f"theta must be in [0, 1], got {self.theta}")
         for name in ("alpha_w", "alpha_h"):

@@ -80,6 +80,13 @@ def compute(
     dense update GEMMs (inserting the psum pattern automatically); the
     update code is unchanged.
     """
+    if config.mask == "observed":
+        raise ValueError(
+            "mask='observed' needs a sparse container (the stored "
+            "nonzeros ARE the observed set); a dense V has no mask "
+            "structure — use nmftpu.sparse.from_dense / from_scipy and "
+            "compute_sparse"
+        )
     dtype = resolve_dtype(config.dtype)
     V = jnp.asarray(V, dtype)
     if V.ndim != 2:

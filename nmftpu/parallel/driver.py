@@ -430,6 +430,11 @@ def prepare_sharded(
         )
     from nmftpu.config import Objective
 
+    if config.mask == "observed":
+        raise ValueError(
+            "mask='observed' (matrix completion) is single-device "
+            "(scatter engine) for now; use compute_sparse"
+        )
     if config.objective is Objective.BETA:
         raise ValueError(
             "the generalized beta objective is not implemented on the "

@@ -287,6 +287,92 @@ def mu_update_frobenius_weighted_sparse(coo, W, H, alpha, eps=1e-9,
     return W, H
 
 
+def _obs_mask(coo: DeviceCOO):
+    """0/1 observation indicator at the stored coordinates. The chunked
+    layout pads with zero VALUES at (0, 0), so `values != 0` is exactly
+    the valid-entry mask (a zero-valued observation is indistinguishable
+    from unobserved — documented in NmfConfig.mask)."""
+    return coo.with_values(
+        (coo.values != 0).astype(coo.values.dtype)
+    )
+
+
+def mu_update_frobenius_masked(coo, W, H, eps=1e-9, order="WH"):
+    """Matrix-completion MU under sum_obs (v - wh)^2 (Zhang et al.,
+    "NMF with missing data"): the numerator is the plain observed SpMM
+    and the denominator replaces the dense Gram term with the SDDMM of
+    WH restricted to the observed set —
+
+        W <- W * (V_obs H^T) / ((WH)_obs H^T + eps)
+
+    Unobserved entries exert NO pull toward zero (unlike mask='none',
+    where they are data)."""
+    mask = _obs_mask(coo)
+
+    def upd_w(W, H):
+        wh = coo.with_values(mask.values * sddmm(coo, W, H))
+        return W * (v_ht(coo, H) / (v_ht(wh, H) + eps))
+
+    def upd_h(W, H):
+        wh = coo.with_values(mask.values * sddmm(coo, W, H))
+        return H * (wt_v(coo, W) / (wt_v(wh, W) + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def mu_update_kl_masked(coo, W, H, eps=1e-9, order="WH"):
+    """Masked KL MU: sum_obs v log(v/wh) - v + wh. The ratio SDDMM is
+    the usual sparse-KL numerator; the denominator is the OBSERVED
+    row/column mass of the partner factor (SpMM of the 0/1 mask)
+    instead of the full row/column sums."""
+    mask = _obs_mask(coo)
+
+    def upd_w(W, H):
+        ratio = coo.with_values(
+            coo.values / (sddmm(coo, W, H) + eps)
+        )
+        return W * (v_ht(ratio, H) / (v_ht(mask, H) + eps))
+
+    def upd_h(W, H):
+        ratio = coo.with_values(
+            coo.values / (sddmm(coo, W, H) + eps)
+        )
+        return H * (wt_v(ratio, W) / (wt_v(mask, W) + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def frobenius_error_masked(coo, W, H):
+    """sqrt(sum_obs (v - wh)^2) — the completion objective's residual
+    (NOT the full-matrix Frobenius error)."""
+    m = (coo.values != 0).astype(jnp.float32)
+    resid = m * (
+        coo.values.astype(jnp.float32) - sddmm(coo, W, H)
+    )
+    return jnp.sqrt(jnp.sum(resid * resid))
+
+
+def kl_error_masked(coo, W, H, eps=1e-12):
+    """sum_obs v log(v/wh) - v + wh over the observed set."""
+    m = coo.values != 0
+    v = coo.values.astype(jnp.float32)
+    wh = jnp.maximum(sddmm(coo, W, H), eps)
+    term = v * jnp.log(jnp.maximum(v, eps) / wh) - v + wh
+    return jnp.sum(jnp.where(m, term, 0.0))
+
+
 _solve_clamped = D.solve_clamped
 
 
@@ -495,6 +581,15 @@ def build_sparse_update(config: NmfConfig):
         return H
 
     if alg is Algorithm.MU:
+        if config.mask == "observed":
+            upd = (mu_update_frobenius_masked
+                   if obj is Objective.FROBENIUS else mu_update_kl_masked)
+            return (
+                lambda coo: (),
+                lambda coo, aux, W, H: upd(coo, W, H, eps=eps,
+                                           order=order),
+                ident_h,
+            )
         if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
             alpha = config.alpha_confidence
             return (
@@ -740,6 +835,20 @@ _RUNNER_CACHE: dict[tuple, Callable] = {}
 
 def _sparse_ops_bundle(config: NmfConfig) -> LoopOps:
     make_aux, update, effective_h = build_sparse_update(config)
+    if config.mask == "observed":
+        # completion semantics: every reported metric (incl. the RMSD
+        # denominator) is over the OBSERVED set, not nm
+        return LoopOps(
+            make_aux=make_aux,
+            update=update,
+            effective_h=effective_h,
+            frobenius=lambda coo, aux, W, He, svsq: (
+                frobenius_error_masked(coo, W, He)
+            ),
+            kl=lambda coo, aux, W, He: kl_error_masked(coo, W, He),
+            sum_v_sq=lambda coo: jnp.asarray(0.0, jnp.float32),
+            numel=lambda coo, _nnz=None: coo.nnz,
+        )
     return LoopOps(
         make_aux=make_aux,
         update=update,
@@ -1108,6 +1217,14 @@ def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
             "regardless of V's sparsity, so only the 'densified' engine "
             "(blockwise panels) supports it"
         )
+    if config.mask == "observed":
+        if strategy in ("densified", "ell"):
+            raise ValueError(
+                f"mask='observed' runs the scatter engine (the masked "
+                f"denominators are SDDMM+SpMM over the stored set); "
+                f"got strategy={strategy!r}"
+            )
+        strategy = "scatter" if strategy == "auto" else strategy
     if config.objective is Objective.BETA and config.dtype == "float64":
         raise ValueError(
             "the generalized beta objective on sparse V runs the "
@@ -1255,8 +1372,12 @@ class SparsePlan:
                 W = jnp.pad(W, ((0, n_pad - n), (0, 0)))
             return W, H
 
-        result = execute(self.operand, config, runner, init_fn,
-                         numel=n * m)
+        result = execute(
+            self.operand, config, runner, init_fn,
+            # masked runs report every metric over the OBSERVED set
+            numel=(self.coo.nnz if config.mask == "observed"
+                   else n * m),
+        )
         if n_pad != n:
             result.W = result.W[:n]
         return result
