@@ -120,6 +120,25 @@ def _mu_fro_w_loop(N, G, W0, num_iterations, eps):
     return jax.lax.fori_loop(0, num_iterations, body, W0)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _beta_w_loop_dense(V, H, W0, num_iterations, beta):
+    """Generalized-beta projection: k W-only MU steps with H fixed
+    (sklearn's transform semantics under a float beta_loss — the
+    update, guards, gamma exponent and beta<1 stabilization are
+    linalg.dense.beta_w_step / mu_update_beta's, W half only)."""
+    from nmftpu.linalg import dense as D
+
+    gamma = D.beta_gamma(beta)
+
+    def body(_, W):
+        W = D.beta_w_step(V, W, H, beta, gamma=gamma)
+        if beta < 1.0:
+            W = jnp.where(W < D._STAB_EPS, 0.0, W)
+        return W
+
+    return jax.lax.fori_loop(0, num_iterations, body, W0)
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _mu_kl_w_loop_dense(V, Ht, h_sum, W0, num_iterations, eps):
     """KL: W ← W ⊙ ((V/(WH)) Hᵀ) / h_sum. Dense V (b, m)."""
@@ -214,6 +233,7 @@ def transform(
     alpha_confidence: float = 0.0,
     W0=None,
     seed: int = 0,
+    beta: float | None = None,
 ) -> TransformResult:
     """Learn nonnegative user factors W for ``data`` ≈ W H with H FIXED.
 
@@ -242,13 +262,27 @@ def transform(
         raise ValueError(
             f"algorithm must be mu|als|hals, got {algorithm!r}"
         )
-    if objective not in ("frobenius", "kl"):
+    if objective not in ("frobenius", "kl", "beta"):
         raise ValueError(
-            f"objective must be frobenius|kl, got {objective!r}"
+            f"objective must be frobenius|kl|beta, got {objective!r}"
         )
-    if algorithm in ("als", "hals") and objective == "kl":
+    if objective == "beta":
+        if beta is None:
+            raise ValueError("objective='beta' needs the beta value")
+        # the specialized loops are both faster and guard-identical
+        if beta == 2.0:
+            objective = "frobenius"
+        elif beta == 1.0:
+            objective = "kl"
+    if algorithm in ("als", "hals") and objective != "frobenius":
         raise ValueError(
             f"{algorithm} transform supports the frobenius objective"
+        )
+    if objective == "beta" and isinstance(data, SparseMatrix):
+        raise ValueError(
+            "generalized-beta transform needs dense rows (the "
+            "denominator samples the full reconstruction); densify "
+            "the batch or use objective='kl'/'frobenius'"
         )
     if alpha_confidence and algorithm != "als":
         raise ValueError(
@@ -347,8 +381,13 @@ def transform(
         Nf = N.astype(dtype)
         W = jax.lax.fori_loop(
             0, num_iterations,
-            lambda _, Wc: D._hals_half_sweep(Nf, Gh, Wc), W0d,
+            lambda _, Wc: D.hals_half_sweep(Nf, Gh, Wc), W0d,
         )
+        iters_done = num_iterations
+    elif objective == "beta":
+        W0d = _init_w(b, r, seed, W0, dtype)
+        W = _beta_w_loop_dense(V, Ht.T.astype(dtype), W0d,
+                               num_iterations, float(beta))
         iters_done = num_iterations
     elif objective == "frobenius":
         W0d = _init_w(b, r, seed, W0, dtype)
@@ -366,7 +405,11 @@ def transform(
         iters_done = num_iterations
 
     # exit-time objective
-    if objective == "kl":
+    if objective == "beta":
+        err = float(D.beta_divergence(V, W, Ht.T.astype(dtype),
+                                      float(beta)))
+        rmsd = float("nan")
+    elif objective == "kl":
         if sparse_in:
             err = float(_kl_error_sparse(vals, rows, Hc, W, h_sum, 1e-12))
         else:

@@ -45,11 +45,32 @@ def _truncated_svd(X, rank: int):
 
         if rank < min(X.shape):
             # deterministic starting vector: ARPACK's default v0 is
-            # random, which would make the init differ call-to-call
-            v0 = np.ones(min(X.shape), dtype=np.float64)
-            U, S, Vt = svds(X.asfptype(), k=rank, v0=v0)
-            order = np.argsort(S)[::-1]  # svds returns ascending
-            return U[:, order], S[order], Vt[order]
+            # random, which would make the init differ call-to-call.
+            # A constant v0 can stall ARPACK on adversarial spectra
+            # (e.g. v0 orthogonal to the dominant subspace), so fall
+            # back to seeded random v0's, and finally to dense LAPACK
+            # when the matrix is small enough to densify.
+            k = min(X.shape)
+            starts = [np.ones(k, dtype=np.float64)]
+            for s in (0, 1):
+                starts.append(
+                    np.random.default_rng(s).standard_normal(k))
+            err = None
+            for v0 in starts:
+                try:
+                    U, S, Vt = svds(X.asfptype(), k=rank, v0=v0)
+                except Exception as e:  # ArpackNoConvergence/ArpackError
+                    err = e
+                    continue
+                if np.all(np.isfinite(S)) and np.all(S >= 0):
+                    order = np.argsort(S)[::-1]  # svds returns ascending
+                    return U[:, order], S[order], Vt[order]
+            if X.shape[0] * X.shape[1] > 50_000_000:
+                raise RuntimeError(
+                    "nndsvd: truncated svds failed to converge on all "
+                    "start vectors and the matrix is too large to "
+                    "densify; use init_method='kmeans*' or 'random' "
+                    f"instead (last error: {err})")
         X = np.asarray(X.todense())
 
     X = np.asarray(X)
@@ -75,6 +96,14 @@ def nndsvd_init(X, rank: int, variant: str = "nndsvda", eps: float = 1e-6,
     U, S, Vt = _truncated_svd(X, rank)
     W = np.zeros((n, rank))
     H = np.zeros((rank, m))
+
+    # The per-component loop below follows the canonical published
+    # algorithm (Boutsidis & Gallopoulos 2008, Algorithm NNDSVD) in
+    # sklearn's formulation/naming (sklearn.decomposition._nmf
+    # `_initialize_nmf`, BSD-3) — kept textually close on purpose: the
+    # facade guarantees bit-parity with sklearn's init, so the exact
+    # operation order (norms, tie-breaks, /100 variant fills) must
+    # match that implementation.
 
     # leading singular triplet is nonnegative up to sign
     W[:, 0] = np.sqrt(S[0]) * np.abs(U[:, 0])

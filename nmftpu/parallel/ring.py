@@ -236,7 +236,7 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         r = W.shape[1]
         XHt, _ = ring.rotate_w(vals, rows, cols, H, v_ht)
         G = lax.psum(H @ H.T, AXIS_RING) + l2 * jnp.eye(r, dtype=W.dtype)
-        return D._hals_half_sweep(XHt - l1, G, W)
+        return D.hals_half_sweep(XHt - l1, G, W)
 
     def w_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS W half: ONE rotation carries both the per-row
@@ -304,7 +304,7 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         r = W.shape[1]
         XtW = ring.reduce_h(vals, rows, cols, lambda l: wt_v(l, W)).T
         G = lax.psum(W.T @ W, AXIS_RING) + l2 * jnp.eye(r, dtype=W.dtype)
-        return D._hals_half_sweep(XtW - l1, G, H.T).T
+        return D.hals_half_sweep(XtW - l1, G, H.T).T
 
     def h_als_weighted(vals, rows, cols, W, H, alpha, lam):
         """Ring iALS H half: per-column Gram deltas need only the

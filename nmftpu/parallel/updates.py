@@ -112,14 +112,14 @@ def _upd_w_hals(local, W, H, l2, l1, eps):
     r = W.shape[1]
     XHt = lax.psum(v_ht(local, H), AXIS_ITEMS) - l1
     G = lax.psum(H @ H.T, AXIS_ITEMS) + l2 * jnp.eye(r, dtype=W.dtype)
-    return D._hals_half_sweep(XHt, G, W)
+    return D.hals_half_sweep(XHt, G, W)
 
 
 def _upd_h_hals(local, W, H, l2, l1, eps):
     r = W.shape[1]
     XtW = lax.psum(wt_v(local, W), AXIS_USERS).T - l1   # (bc, r)
     G = lax.psum(W.T @ W, AXIS_USERS) + l2 * jnp.eye(r, dtype=W.dtype)
-    return D._hals_half_sweep(XtW, G, H.T).T
+    return D.hals_half_sweep(XtW, G, H.T).T
 
 
 def _upd_w_als_weighted(local, W, H, alpha, lam, eps):

@@ -396,13 +396,14 @@ class NMF(TransformerMixin, BaseEstimator):
         data, _ = _as_nmftpu_input(X)
         t_obj, t_beta = _beta_objective(self.beta_loss)
         if t_obj is Objective.BETA:
-            raise NotImplementedError(
-                f"transform() under beta_loss={self.beta_loss!r} is not "
-                "implemented (the fold-in projection supports Frobenius "
-                "and KL); refit new rows with fit_transform, or use "
-                "beta_loss in {2, 1}"
-            )
-        obj = "kl" if t_obj is Objective.KL else "frobenius"
+            # generalized-beta projection needs dense rows (the
+            # denominator samples the full reconstruction, exactly as
+            # sklearn's _fit_transform(update_H=False) does)
+            if hasattr(data, "to_csr"):
+                data = np.asarray(data.to_csr().todense())
+            obj = "beta"
+        else:
+            obj = "kl" if t_obj is Objective.KL else "frobenius"
         seed = self.random_state if isinstance(
             self.random_state, (int, np.integer)) else 0
         # fold-in supports mu and one-shot als; the penalized algorithms
@@ -424,6 +425,21 @@ class NMF(TransformerMixin, BaseEstimator):
             kwargs["objective"] = obj
             kwargs["num_iterations"] = int(self.max_iter)
             kwargs["eps"] = float(self.eps) if self.eps else 1e-12
+            if obj == "beta":
+                kwargs["beta"] = float(t_beta)
+            # sklearn's transform (update_H=False) initializes W to the
+            # constant sqrt(mean(X)/k) (sklearn _nmf.py:1225); matching
+            # it makes the MU trajectories identical, not just the
+            # fixed point
+            if hasattr(data, "to_coo"):  # SparseMatrix
+                x_mean = float(np.sum(data.to_coo().data)) / (
+                    data.shape[0] * data.shape[1])
+            else:
+                x_mean = float(np.mean(data))
+            k = self.components_.shape[0]
+            kwargs["W0"] = np.full(
+                (data.shape[0], k), np.sqrt(max(x_mean, 0.0) / k),
+                dtype=np.float32)
         else:
             # the projection must solve the SAME weighted/regularized
             # system the model was fit with (iALS extension params)
@@ -849,7 +865,7 @@ def non_negative_factorization(
             XHt = Xd @ Hd.T - l1_w
 
             def body(_, Wc):
-                return D._hals_half_sweep(XHt, G, Wc)
+                return D.hals_half_sweep(XHt, G, Wc)
 
             return jax.lax.fori_loop(0, int(max_iter), body, W0)
 

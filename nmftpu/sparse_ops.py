@@ -492,12 +492,12 @@ def hals_update_sparse(coo, W, H, eps=1e-9, order="WH", l2_w=0.0,
     eye = jnp.eye(r, dtype=W.dtype)
 
     def sweep_w(W, H):
-        return D._hals_half_sweep(
+        return D.hals_half_sweep(
             v_ht(coo, H) - l1_w, H @ H.T + l2_w * eye, W
         )
 
     def sweep_h(W, H):
-        return D._hals_half_sweep(
+        return D.hals_half_sweep(
             wt_v(coo, W).T - l1_h, W.T @ W + l2_h * eye, H.T
         ).T
 

@@ -159,8 +159,40 @@ def test_beta_facade_guards(rng):
     est = NMF(n_components=3, solver="mu", beta_loss=1.5, max_iter=5,
               tol=0.0)
     est.fit(V)
-    with pytest.raises(NotImplementedError, match="transform"):
-        est.transform(V)
+    # transform under a general beta is IMPLEMENTED (W-only beta-MU
+    # fold-in, nmftpu.foldin._beta_w_loop_dense)
+    Wt = est.transform(V[:4])
+    assert Wt.shape == (4, 3) and np.isfinite(Wt).all() and (Wt >= 0).all()
+
+
+def test_beta_transform_matches_sklearn(rng):
+    """Facade transform under float beta_loss tracks sklearn's
+    transform given the SAME components. (Fitting both libraries
+    end-to-end and comparing is NOT robust: the objective is
+    multimodal and 200 iterations amplify reduction-order roundoff
+    into different local minima run-to-run — so fit with sklearn
+    once and test only the projection, which is what this facade
+    path implements.)"""
+    from sklearn.decomposition import NMF as SkNMF
+
+    from nmftpu.sklearn_api import NMF
+
+    V, _, _ = _problem(rng)
+    Vnew = V[:6] + 0.05
+    for bl in (1.5, 0.5, "itakura-saito"):
+        sk = SkNMF(n_components=4, init="nndsvda", solver="mu",
+                   beta_loss=bl, max_iter=200, tol=0.0)
+        sk.fit(V.copy())
+        want = sk.transform(Vnew.copy())
+        est = NMF(n_components=4, init="nndsvda", solver="mu",
+                  beta_loss=bl, max_iter=200, tol=0.0, eps=0.0,
+                  dtype="float64")
+        # graft sklearn's fit so both transforms see identical H
+        est.components_ = sk.components_.copy()
+        est.n_components_ = sk.components_.shape[0]
+        got = est.transform(Vnew)
+        # fold-in runs f32 (serving path) vs sklearn's f64 loop
+        assert (np.abs(got - want).max() / np.abs(want).max()) < 1e-3, bl
 
 
 def test_beta_api_nmf_entry(rng):

@@ -76,6 +76,68 @@ def test_hals_sparse_and_sharded_match_dense(rng):
         ), engine
 
 
+def test_hals_sweep_impls_agree(rng):
+    """The three half-sweep implementations (sequential oracle,
+    MXU-blocked XLA, fused Pallas kernel in interpret mode) are the
+    same update: exact in f64, roundoff-equivalent in f32."""
+    import jax.numpy as jnp
+
+    from nmftpu.kernels import hals_sweep as hk
+    from nmftpu.linalg import dense as D
+
+    n, r = 70, 24
+    XHt = rng.normal(size=(n, r)).astype(np.float64)
+    A = rng.normal(size=(r, r))
+    G = (A @ A.T + np.eye(r)).astype(np.float64)
+    W = np.abs(rng.normal(size=(n, r))).astype(np.float64)
+    Ws = np.asarray(D._hals_half_sweep(
+        jnp.asarray(XHt), jnp.asarray(G), jnp.asarray(W)))
+    for b in (1, 8, 16, 24):
+        Wb = np.asarray(D._hals_half_sweep_blocked(
+            jnp.asarray(XHt), jnp.asarray(G), jnp.asarray(W), block=b))
+        np.testing.assert_allclose(Wb, Ws, rtol=1e-10, atol=1e-12)
+    # Pallas kernel (f32) is the same exact math as blocked at equal
+    # block; it computes the base GEMM transposed ((b,r)@(r,n) vs
+    # (n,r)@(r,b)), so agreement is f32-roundoff, not bit-identity.
+    f = np.float32
+    Wb32 = np.asarray(D._hals_half_sweep_blocked(
+        jnp.asarray(XHt.astype(f)), jnp.asarray(G.astype(f)),
+        jnp.asarray(W.astype(f)), block=8))
+    Wp32 = np.asarray(hk.hals_sweep(
+        jnp.asarray(XHt.astype(f)), jnp.asarray(G.astype(f)),
+        jnp.asarray(W.astype(f)), block=8, interpret=True))
+    scale = np.abs(Wb32).max()
+    np.testing.assert_allclose(Wp32, Wb32, rtol=0, atol=3e-5 * scale)
+    # and both stay within roundoff of the f64 sequential oracle
+    np.testing.assert_allclose(Wp32, Ws, rtol=0, atol=1e-4 * scale)
+    # dispatcher: auto on CPU routes f32 -> blocked, f64 -> blocked,
+    # r < 16 -> sequential; all shapes preserved
+    out = D.hals_half_sweep(jnp.asarray(XHt), jnp.asarray(G),
+                            jnp.asarray(W))
+    assert out.shape == (n, r)
+
+
+def test_nndsvd_svds_guard(rng):
+    """Sparse NNDSVD survives an svds failure on the constant start
+    vector (falls back to random v0 / dense LAPACK)."""
+    import scipy.sparse as sps
+
+    from nmftpu.init.nndsvd import nndsvd_init
+
+    # v0 = ones is orthogonal to the dominant singular subspace of this
+    # matrix (columns sum to zero pattern is adversarial for ARPACK);
+    # small enough that even a triple svds failure densifies fine.
+    X = sps.random(60, 40, density=0.2, random_state=0,
+                   data_rvs=lambda k: rng.uniform(0.1, 1.0, k))
+    from nmftpu.sparse import SparseMatrix
+
+    W, H = nndsvd_init(
+        SparseMatrix.from_scipy(X) if hasattr(SparseMatrix, "from_scipy")
+        else X, 5)
+    assert W.shape == (60, 5) and H.shape == (5, 40)
+    assert np.isfinite(W).all() and np.isfinite(H).all()
+
+
 def test_hals_guards(rng):
     V, _, _ = _problem(rng, dtype=np.float32)
     with pytest.raises(ValueError, match="KL"):
