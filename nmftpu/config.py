@@ -332,12 +332,19 @@ class NmfConfig:
                 f"mask must be 'none' or 'observed', got {self.mask!r}"
             )
         if self.mask == "observed":
-            if self.algorithm is not Algorithm.MU or self.objective not in (
-                Objective.FROBENIUS, Objective.KL,
-            ):
+            ok = (
+                self.algorithm is Algorithm.MU
+                and self.objective in (Objective.FROBENIUS, Objective.KL)
+            ) or (
+                self.algorithm is Algorithm.ALS
+                and self.objective is Objective.FROBENIUS
+            )
+            if not ok:
                 raise ValueError(
                     "mask='observed' (matrix completion) is implemented "
-                    "for the MU algorithm under Frobenius/KL; got "
+                    "for MU under Frobenius/KL (scatter, ELL and grid "
+                    "engines) and ALS under Frobenius (exact completion "
+                    "ALS, scatter and grid engines); got "
                     f"{self.algorithm}/{self.objective}"
                 )
             if self.alpha_confidence > 0.0:
@@ -347,8 +354,8 @@ class NmfConfig:
                 )
             if self.v_storage != "float32":
                 raise ValueError(
-                    "mask='observed' runs the scatter engine at "
-                    "v_storage='float32' (exact observed values)"
+                    "mask='observed' keeps v_storage='float32' (exact "
+                    "observed values)"
                 )
         if not 0.0 <= self.theta <= 1.0:
             raise ValueError(f"theta must be in [0, 1], got {self.theta}")

@@ -30,15 +30,21 @@ _RUNNER_CACHE: dict[tuple, Callable] = {}
 
 def _sharded_ops(config: NmfConfig, mesh, scoo: ShardedCOO) -> LoopOps:
     make_aux, update, effective_h = build_sharded_update(config, mesh, scoo)
-    fro, kl = build_sharded_errors(mesh, scoo)
+    masked = config.mask == "observed"
+    fro, kl = build_sharded_errors(mesh, scoo, masked=masked)
     return LoopOps(
         make_aux=make_aux,
         update=update,
         effective_h=effective_h,
         frobenius=lambda V, aux, W, He, svsq: fro(V, W, He, svsq),
         kl=lambda V, aux, W, He: kl(V, W, He),
-        sum_v_sq=lambda V: jnp.sum(V.values * V.values),
-        numel=lambda V: V.shape[0] * V.shape[1],
+        sum_v_sq=lambda V: (
+            jnp.asarray(0.0, jnp.float32) if masked
+            else jnp.sum(V.values * V.values)
+        ),
+        # completion metrics (incl. the RMSD denominator) run over the
+        # observed set, matching the single-device masked bundle
+        numel=lambda V: V.nnz if masked else V.shape[0] * V.shape[1],
     )
 
 
@@ -422,7 +428,10 @@ def prepare_sharded(
         )
 
     if engine == "auto":
-        engine = "ell" if config.algorithm is Algorithm.MU else "scatter"
+        if config.mask == "observed":
+            engine = "scatter"
+        else:
+            engine = "ell" if config.algorithm is Algorithm.MU else "scatter"
     if engine not in ("ell", "scatter", "ring"):
         raise ValueError(
             f"engine must be 'auto', 'ell', 'scatter' or 'ring', "
@@ -430,10 +439,12 @@ def prepare_sharded(
         )
     from nmftpu.config import Objective
 
-    if config.mask == "observed":
+    if config.mask == "observed" and engine != "scatter":
         raise ValueError(
-            "mask='observed' (matrix completion) is single-device "
-            "(scatter engine) for now; use compute_sparse"
+            "mask='observed' (matrix completion) runs the 'scatter' "
+            f"grid engine on the mesh (got engine={engine!r}); the "
+            "masked denominators are per-tile SDDMM+SpMM over the "
+            "stored set"
         )
     if config.objective is Objective.BETA:
         raise ValueError(

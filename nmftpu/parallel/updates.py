@@ -87,6 +87,83 @@ def _upd_h_kl(local, W, H, eps):
     return H * (numer / jnp.maximum(w_sum, eps)[:, None])
 
 
+def _upd_w_fro_masked(local, W, H, eps):
+    """Completion MU W half on the mesh: the dense Gram denominator is
+    replaced by the SDDMM of WH over the LOCAL tile's stored set (tile
+    padding holds v = 0, so it drops out of the mask for free), psum'd
+    like the numerator — the same collective pattern as plain MU."""
+    wh = local.with_values(
+        jnp.where(local.values != 0, sddmm(local, W, H), 0.0)
+    )
+    numer = lax.psum(v_ht(local, H), AXIS_ITEMS)
+    denom = lax.psum(v_ht(wh, H), AXIS_ITEMS)
+    return W * (numer / (denom + eps))
+
+
+def _upd_h_fro_masked(local, W, H, eps):
+    wh = local.with_values(
+        jnp.where(local.values != 0, sddmm(local, W, H), 0.0)
+    )
+    numer = lax.psum(wt_v(local, W), AXIS_USERS)
+    denom = lax.psum(wt_v(wh, W), AXIS_USERS)
+    return H * (numer / (denom + eps))
+
+
+def _upd_w_kl_masked(local, W, H, eps):
+    """Masked KL W half: ratio numerator as usual (v = 0 padding slots
+    contribute nothing), denominator = observed row mass of H (0/1-mask
+    SpMM) instead of the full H row-sums."""
+    ratio = local.with_values(local.values / (sddmm(local, W, H) + eps))
+    mask = local.with_values(
+        (local.values != 0).astype(local.values.dtype)
+    )
+    numer = lax.psum(v_ht(ratio, H), AXIS_ITEMS)
+    denom = lax.psum(v_ht(mask, H), AXIS_ITEMS)
+    return W * (numer / (denom + eps))
+
+
+def _upd_h_kl_masked(local, W, H, eps):
+    ratio = local.with_values(local.values / (sddmm(local, W, H) + eps))
+    mask = local.with_values(
+        (local.values != 0).astype(local.values.dtype)
+    )
+    numer = lax.psum(wt_v(ratio, W), AXIS_USERS)
+    denom = lax.psum(wt_v(mask, W), AXIS_USERS)
+    return H * (numer / (denom + eps))
+
+
+def _upd_w_als_masked(local, W, H, lam, eps):
+    """Sharded exact completion ALS W half: per-row OBSERVED-only Grams
+    from the local tile (0/1 indicator weight — no shared base Gram,
+    unobserved entries carry zero weight), psum'd over items; batched
+    Cholesky solves + clamp. Per-device memory: (block_rows, r, r) f32."""
+    from nmftpu.sparse_ops import _weighted_row_grams
+
+    ind = lambda v: (v != 0)  # noqa: E731
+    dG = lax.psum(
+        _weighted_row_grams(local, H.T.astype(jnp.float32), 0.0,
+                            W.shape[0], weight_fn=ind),
+        AXIS_ITEMS,
+    )
+    rhs = lax.psum(v_ht(local, H), AXIS_ITEMS).astype(jnp.float32)
+    out = D._batched_solve_clamped(dG, rhs, lam, eps)
+    return out.astype(W.dtype)
+
+
+def _upd_h_als_masked(local, W, H, lam, eps):
+    from nmftpu.sparse_ops import _weighted_row_grams
+
+    ind = lambda v: (v != 0)  # noqa: E731
+    dG = lax.psum(
+        _weighted_row_grams(local, W.astype(jnp.float32), 0.0,
+                            H.shape[1], by_cols=True, weight_fn=ind),
+        AXIS_USERS,
+    )
+    rhs = lax.psum(wt_v(local, W), AXIS_USERS).T.astype(jnp.float32)
+    out = D._batched_solve_clamped(dG, rhs, lam, eps)
+    return out.T.astype(H.dtype)
+
+
 def _upd_w_weighted(local, W, H, alpha, eps):
     cv = local.with_values(local.values * (1.0 + alpha * local.values))
     swh = local.with_values(local.values * sddmm(local, W, H))
@@ -209,6 +286,28 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
 
     def ident_h(aux, H):
         return H
+
+    if config.mask == "observed":
+        # matrix completion on the grid mesh: config validation has
+        # already restricted this to MU (fro/KL) and ALS (fro)
+        if alg is Algorithm.MU:
+            if obj is Objective.FROBENIUS:
+                update = make_step(
+                    lambda l, W, H: _upd_w_fro_masked(l, W, H, eps),
+                    lambda l, W, H: _upd_h_fro_masked(l, W, H, eps),
+                )
+            else:
+                update = make_step(
+                    lambda l, W, H: _upd_w_kl_masked(l, W, H, eps),
+                    lambda l, W, H: _upd_h_kl_masked(l, W, H, eps),
+                )
+        else:
+            lw, lh = config.lambda_w, config.lambda_h
+            update = make_step(
+                lambda l, W, H: _upd_w_als_masked(l, W, H, lw, eps),
+                lambda l, W, H: _upd_h_als_masked(l, W, H, lh, eps),
+            )
+        return (lambda scoo: ()), update, ident_h
 
     if alg is Algorithm.MU:
         if obj is Objective.FROBENIUS and config.alpha_confidence > 0.0:
@@ -337,9 +436,52 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
 # ---------------------------------------------------------------------------
 
 
-def build_sharded_errors(mesh, scoo_meta: ShardedCOO):
+def build_sharded_errors(mesh, scoo_meta: ShardedCOO, masked=False):
     """Returns (frobenius(scoo, W, He, svsq), kl(scoo, W, He)) — each one
-    shard_map region producing a replicated scalar."""
+    shard_map region producing a replicated scalar. With masked=True the
+    metrics run over the OBSERVED set only (completion semantics; tile
+    padding holds v = 0, which the mask drops)."""
+    if masked:
+
+        def fro_m(vals, rows, cols, W, H, svsq):
+            local = _local(scoo_meta, vals, rows, cols)
+            v = local.values
+            resid = jnp.where(v != 0, v - sddmm(local, W, H), 0.0)
+            total = lax.psum(
+                lax.psum(jnp.sum(resid * resid), AXIS_USERS), AXIS_ITEMS
+            )
+            return jnp.sqrt(total)
+
+        fro_m_sh = _shmap(
+            mesh, fro_m,
+            in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC, _REP),
+            out_specs=_REP,
+        )
+
+        def kl_m(vals, rows, cols, W, H):
+            local = _local(scoo_meta, vals, rows, cols)
+            v = local.values
+            wh = jnp.maximum(sddmm(local, W, H), 1e-12)
+            term = v * jnp.log(jnp.maximum(v, 1e-12) / wh) - v + wh
+            local_sum = jnp.sum(jnp.where(v != 0, term, 0.0))
+            return lax.psum(lax.psum(local_sum, AXIS_USERS), AXIS_ITEMS)
+
+        kl_m_sh = _shmap(
+            mesh, kl_m,
+            in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC),
+            out_specs=_REP,
+        )
+
+        def frobenius_m(scoo, W, He, svsq):
+            return fro_m_sh(
+                scoo.values, scoo.rows, scoo.cols, W, He,
+                jnp.reshape(svsq, (1,)),
+            )
+
+        def kl_err_m(scoo, W, He):
+            return kl_m_sh(scoo.values, scoo.rows, scoo.cols, W, He)
+
+        return frobenius_m, kl_err_m
 
     def fro(vals, rows, cols, W, H, svsq):
         local = _local(scoo_meta, vals, rows, cols)

@@ -568,3 +568,98 @@ def mu_update_kl_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
         H = upd_h(W, H)
         W = upd_w(W, H)
     return W, H
+
+
+# ---------------------------------------------------------------------------
+# Masked (matrix-completion) updates — mask='observed' on the gather-only
+# layout. The observed set IS the stored set (a zero-valued observation is
+# indistinguishable from unobserved — NmfConfig.mask contract), so the 0/1
+# mask is `vals != 0`, which also neutralizes ELL padding lanes for free.
+# ---------------------------------------------------------------------------
+
+
+def mu_update_frobenius_masked_ell(pair: EllPair, W, H, eps=1e-9,
+                                   order="WH"):
+    """Completion MU under sum_obs (v - wh)^2 on ELL (reference scope:
+    SURVEY.md §5.7 long-axis regime; semantics identical to
+    sparse_ops.mu_update_frobenius_masked, the scatter oracle):
+
+        W <- W * (V_obs H^T) / ((WH)_obs H^T + eps)
+
+    Fused gather-once: ONE table gather per half-step serves the
+    numerator SpMM, the (WH) SDDMM sample, and the masked-denominator
+    SpMM (the scatter engine touches the stored set three times)."""
+    fns = (
+        lambda v, s: v,                              # V_obs
+        lambda v, s: jnp.where(v != 0, s, 0.0),      # (WH)_obs
+    )
+
+    def upd_w(W, H):
+        numer, den = sampled_rowsums_ell(pair.rows, W, H, fns)
+        return W * (numer / (den + eps))
+
+    def upd_h(W, H):
+        numer, den = sampled_rowsums_ell(
+            pair.cols, jnp.asarray(H).T, jnp.asarray(W).T, fns
+        )
+        return H * (numer.T / (den.T + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def mu_update_kl_masked_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
+    """Masked KL MU on ELL: sum_obs v log(v/wh) - v + wh. Numerator is
+    the usual fused ratio SpMM; the denominator is the OBSERVED
+    row/column mass of the partner factor (0/1-mask SpMM) instead of the
+    full row/column sums — both from the same single gather."""
+    fns = (
+        lambda v, s: v / (s + eps),                  # ratio
+        lambda v, s: (v != 0).astype(s.dtype),       # mask
+    )
+
+    def upd_w(W, H):
+        numer, den = sampled_rowsums_ell(pair.rows, W, H, fns)
+        return W * (numer / (den + eps))
+
+    def upd_h(W, H):
+        numer, den = sampled_rowsums_ell(
+            pair.cols, jnp.asarray(H).T, jnp.asarray(W).T, fns
+        )
+        return H * (numer.T / (den.T + eps))
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def frobenius_error_masked_ell(pair: EllPair, W, H) -> jax.Array:
+    """sqrt(sum_obs (v - wh)^2) — the completion residual (matches
+    sparse_ops.frobenius_error_masked)."""
+    s = sddmm_ell(pair.rows, W, H)
+    total = jnp.asarray(0.0, _acc_dtype(jnp.asarray(W).dtype))
+    for orig, samp in zip(pair.rows.buckets, s.buckets):
+        resid = jnp.where(orig.vals != 0, orig.vals - samp.vals, 0.0)
+        total = total + jnp.sum(resid * resid)
+    return jnp.sqrt(total)
+
+
+def kl_error_masked_ell(pair: EllPair, W, H, eps=1e-12) -> jax.Array:
+    """sum_obs v log(v/wh) - v + wh over the observed set only."""
+    s = sddmm_ell(pair.rows, W, H)
+    total = jnp.asarray(0.0, _acc_dtype(jnp.asarray(W).dtype))
+    for orig, samp in zip(pair.rows.buckets, s.buckets):
+        v = orig.vals
+        wh = jnp.maximum(samp.vals, eps)
+        term = v * jnp.log(jnp.maximum(v, eps) / wh) - v + wh
+        total = total + jnp.sum(jnp.where(v != 0, term, 0.0))
+    return total

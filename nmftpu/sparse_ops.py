@@ -400,12 +400,18 @@ def als_family_update_sparse(
 
 
 def _weighted_row_grams(coo, Ht32, alpha, n_rows, by_cols=False,
-                        sub=4096):
-    """(n_rows, r, r) f32: per-row Σ_nz αv · t_c t_cᵀ from the gathered
+                        sub=4096, weight_fn=None):
+    """(n_rows, r, r) f32: per-row Σ_nz w(v) · t_c t_cᵀ from the gathered
     table rows (t = H column / W row). The sparse-aware iALS Gram delta:
     only the OBSERVED entries carry c−1 = αv, so the cost is O(nnz·r²)
     instead of the dense O(n·m·r²). Outer products run in `sub`-sized
-    slices so the (sub, r, r) intermediate stays bounded."""
+    slices so the (sub, r, r) intermediate stays bounded.
+
+    weight_fn overrides the per-entry weight (default αv — iALS);
+    masked completion ALS passes the 0/1 indicator `v != 0` (padding
+    slots hold v = 0, so they contribute nothing under either form)."""
+    if weight_fn is None:
+        weight_fn = lambda v: alpha * v  # noqa: E731
     r = Ht32.shape[1]
     acc0 = jnp.zeros((n_rows, r, r), jnp.float32)
     sub = min(sub, coo.chunk)
@@ -419,7 +425,7 @@ def _weighted_row_grams(coo, Ht32, alpha, n_rows, by_cols=False,
         def piece(start, size, acc):
             sl = lambda a: lax.dynamic_slice_in_dim(a, start, size, 0)
             t = Ht32[sl(tbl)]                                 # (size, r)
-            w = (alpha * sl(v)).astype(jnp.float32)
+            w = weight_fn(sl(v)).astype(jnp.float32)
             outer = jnp.einsum("k,kr,kq->krq", w, t, t)
             return acc.at[sl(idx)].add(outer)
 
@@ -472,6 +478,50 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
         cv = coo.with_values(coo.values * (1.0 + alpha * coo.values))
         rhs = wt_v(cv, W).T.astype(jnp.float32)            # (m, r)
         Hn = D._batched_solve_clamped(G[None] + dG, rhs, lambda_h, eps)
+        return Hn.T.astype(H.dtype)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def als_update_masked_sparse(coo, W, H, lambda_w=0.0, lambda_h=0.0,
+                             eps=1e-9, order="WH"):
+    """Exact matrix-completion ALS: minimizes Σ_obs (v − wh)² + λ‖·‖²
+    by solving, per row u, the OBSERVED-only normal equations
+
+        (Σ_{i∈obs(u)} h_i h_iᵀ + (λ+eps)I) w_u = Σ_{i∈obs(u)} v_ui h_i
+
+    — the iALS solver with a 0/1 confidence (weight 1 on the stored
+    set, 0 elsewhere; no shared base Gram, because unobserved entries
+    carry NO weight, unlike iALS where they weigh 1). Same machinery
+    (`_weighted_row_grams` with the indicator weight, batched
+    Cholesky), same O(nnz·r²) + O((n+m)·r³) cost and (n+m)·r²·4-byte
+    Gram memory (driver-validated). Rows with no observations solve to
+    0 under the (λ+eps) ridge. Nonnegativity via clamping (the
+    reference ALS family's clamp semantics)."""
+    n, m = coo.shape
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    indicator = lambda v: (v != 0)  # noqa: E731
+
+    def upd_w(W, H):
+        Ht32 = H.T.astype(jnp.float32)
+        dG = _weighted_row_grams(coo, Ht32, 0.0, n, weight_fn=indicator)
+        rhs = v_ht(coo, H).astype(jnp.float32)             # (n, r)
+        Wn = D._batched_solve_clamped(dG, rhs, lambda_w, eps)
+        return Wn.astype(W.dtype)
+
+    def upd_h(W, H):
+        W32 = W.astype(jnp.float32)
+        dG = _weighted_row_grams(coo, W32, 0.0, m, by_cols=True,
+                                 weight_fn=indicator)
+        rhs = wt_v(coo, W).T.astype(jnp.float32)           # (m, r)
+        Hn = D._batched_solve_clamped(dG, rhs, lambda_h, eps)
         return Hn.T.astype(H.dtype)
 
     if order == "WH":
@@ -611,6 +661,17 @@ def build_sparse_update(config: NmfConfig):
             lambda coo: (),
             lambda coo, aux, W, H: mu_update_kl_sparse(
                 coo, W, H, eps=eps, order=order
+            ),
+            ident_h,
+        )
+
+    if alg is Algorithm.ALS and config.mask == "observed":
+        lw, lh = config.lambda_w, config.lambda_h
+        return (
+            lambda coo: (),
+            lambda coo, aux, W, H: als_update_masked_sparse(
+                coo, W, H, lambda_w=lw, lambda_h=lh, eps=eps,
+                order=order,
             ),
             ident_h,
         )
@@ -1108,6 +1169,27 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
     effective_h = lambda aux, H: H  # noqa: E731
     make_aux = lambda pair: ()  # noqa: E731
 
+    if config.mask == "observed":
+        # completion on the gather-only layout (MU only; config
+        # validation rejects the rest). Metrics over the OBSERVED set.
+        upd_m = (SE.mu_update_frobenius_masked_ell
+                 if obj is Objective.FROBENIUS
+                 else SE.mu_update_kl_masked_ell)
+        return LoopOps(
+            make_aux=make_aux,
+            update=lambda pair, aux, W, H: upd_m(pair, W, H, eps=eps,
+                                                 order=order),
+            effective_h=effective_h,
+            frobenius=lambda pair, aux, W, He, svsq: (
+                SE.frobenius_error_masked_ell(pair, W, He)
+            ),
+            kl=lambda pair, aux, W, He: SE.kl_error_masked_ell(
+                pair, W, He
+            ),
+            sum_v_sq=lambda pair: jnp.asarray(0.0, jnp.float32),
+            numel=lambda pair: pair.rows.nnz,
+        )
+
     if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
         sw, sh, ow, oh = _als_family_shifts(config)
 
@@ -1218,13 +1300,30 @@ def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
             "(blockwise panels) supports it"
         )
     if config.mask == "observed":
-        if strategy in ("densified", "ell"):
+        if strategy == "densified":
             raise ValueError(
-                f"mask='observed' runs the scatter engine (the masked "
-                f"denominators are SDDMM+SpMM over the stored set); "
-                f"got strategy={strategy!r}"
+                "mask='observed' cannot run the densified engine: "
+                "densifying materializes the unobserved entries as "
+                "zero-valued DATA, which is exactly what the completion "
+                "objective must not do; use 'ell' (MU) or 'scatter'"
             )
-        strategy = "scatter" if strategy == "auto" else strategy
+        if config.algorithm is Algorithm.ALS and strategy == "ell":
+            raise ValueError(
+                "masked ALS (exact completion ALS) runs on the "
+                "'scatter' engine (the per-row Gram deltas read the "
+                "chunked COO layout); use strategy='auto'/'scatter', "
+                "or masked MU for the ELL engine"
+            )
+        if strategy == "auto":
+            if config.algorithm is Algorithm.ALS:
+                strategy = "scatter"
+            elif config.dtype == "float64":
+                # ELL accumulates f32; scatter honors the x64 contract
+                strategy = "scatter"
+            else:
+                # gather-only masked MU: one fused gather per half-step
+                # serves numerator + SDDMM + masked denominator
+                strategy = "ell"
     if config.objective is Objective.BETA and config.dtype == "float64":
         raise ValueError(
             "the generalized beta objective on sparse V runs the "
@@ -1331,15 +1430,17 @@ class SparsePlan:
                 f"{config.v_storage!r}); re-run prepare_sparse"
             )
         if (config.algorithm is Algorithm.ALS
-                and config.alpha_confidence > 0.0
+                and (config.alpha_confidence > 0.0
+                     or config.mask == "observed")
                 and self.strategy != "scatter"):
             raise ValueError(
-                "weighted ALS (iALS) runs on the 'scatter' engine; this "
+                "weighted/masked ALS runs on the 'scatter' engine; this "
                 f"plan's strategy is {self.strategy!r} — re-run "
                 "prepare_sparse with strategy='scatter'"
             )
         if (config.algorithm is Algorithm.ALS
-                and config.alpha_confidence > 0.0):
+                and (config.alpha_confidence > 0.0
+                     or config.mask == "observed")):
             _check_weighted_gram_budget(n, m, config.rank)
         if self.strategy in ("ell", "scatter") \
                 and config.v_storage != "float32":
@@ -1414,13 +1515,15 @@ def prepare_sparse(
             f"got {strategy!r}"
         )
     if (config.algorithm is Algorithm.ALS
-            and config.alpha_confidence > 0.0):
+            and (config.alpha_confidence > 0.0
+                 or config.mask == "observed")):
         if strategy != "scatter":
             raise ValueError(
-                "weighted ALS (iALS) is implemented on the 'scatter' "
-                f"sparse engine (strategy resolved to {strategy!r}); "
-                "use strategy='auto'/'scatter', or the weighted MU "
-                "algorithm for the densified/ELL engines"
+                "weighted ALS (iALS) and masked ALS are implemented on "
+                f"the 'scatter' sparse engine (strategy resolved to "
+                f"{strategy!r}); use strategy='auto'/'scatter', or the "
+                "weighted/masked MU algorithm for the densified/ELL "
+                "engines"
             )
         _check_weighted_gram_budget(n, m, config.rank)
     if config.algorithm is Algorithm.HALS and strategy != "scatter":

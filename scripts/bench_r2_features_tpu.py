@@ -105,31 +105,94 @@ def main():
 
     # ------------------------------------------------------------------
     # 3. generalized beta (1.5) dense update vs Frobenius/KL at 4096^2
+    #    — raw update-step slope (k-iteration jitted fori_loop): the
+    #    driver-level timing is tunnel-noise-dominated at these budgets
     # ------------------------------------------------------------------
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nmftpu.linalg import dense as D
+
     n3 = m3 = 4096
     r3 = 256
-    V3 = np.abs(rng.normal(size=(n3, m3))).astype(np.float32)
+    V3 = jnp.asarray(
+        np.abs(rng.normal(size=(n3, m3))).astype(np.float32) + 0.05)
+    W3 = jnp.asarray(rng.uniform(0.1, 1.0, (n3, r3)), jnp.float32)
+    H3 = jnp.asarray(rng.uniform(0.1, 1.0, (r3, m3)), jnp.float32)
 
-    def run_obj(label, **obj_kw):
-        def go(iters):
-            res = compute(
-                V3,
-                NmfConfig(rank=r3, num_iterations=iters,
-                          check_interval=iters, seed=0, **obj_kw),
-            )
-            float(res.frobenius_error)
+    def slope_update(upd, lo=20, hi=100):
+        @functools.partial(jax.jit, static_argnums=(3,),
+                           donate_argnums=(1, 2))
+        def k_iter(V, W, H, k):
+            W, H = lax.fori_loop(0, k, lambda _, c: upd(V, *c), (W, H))
+            return jnp.sum(W[:1, :1])
 
-        go(30)
-        go(15)
-        t30, t15 = best_of(lambda: go(30)), best_of(lambda: go(15))
-        ms = (t30 - t15) / 15 * 1e3
-        out[f"dense_{label}_ms_per_iter"] = round(ms, 3)
-        print(f"dense {label}: {ms:.2f} ms/iter", flush=True)
+        def run(k):
+            float(k_iter(V3, W3, H3, k))
 
-    run_obj("frobenius")
-    run_obj("kl", objective="kullback-leibler")
-    run_obj("beta1.5", objective="beta-divergence", beta=1.5)
-    run_obj("itakura_saito", objective="itakura-saito")
+        run(lo)
+        run(hi)
+        tl, th = best_of(lambda: run(lo)), best_of(lambda: run(hi))
+        return (th - tl) / (hi - lo)
+
+    for label, upd in (
+        ("frobenius", lambda V, W, H: D.mu_update_frobenius(V, W, H,
+                                                            1e-9)),
+        ("kl", lambda V, W, H: D.mu_update_kl(V, W, H, 1e-9)),
+        ("beta1.5", lambda V, W, H: D.mu_update_beta(V, W, H, 1.5,
+                                                     eps=1e-9)),
+        ("itakura_saito", lambda V, W, H: D.mu_update_beta(V, W, H, 0.0,
+                                                           eps=1e-9)),
+    ):
+        s = slope_update(upd)
+        out[f"dense_{label}_ms_per_iter"] = round(s * 1e3, 3)
+        print(f"dense {label}: {s*1e3:.3f} ms/iter", flush=True)
+
+    # ------------------------------------------------------------------
+    # 4. iALS (exact weighted ALS) per-iteration at ML-20M sparse shape
+    #    vs weighted MU on the same operand (the classic iALS trade:
+    #    ~r x the FLOPs for much faster convergence per iteration)
+    # ------------------------------------------------------------------
+    from nmftpu import sparse as hs
+    from nmftpu.sparse_ops import (
+        als_update_weighted_sparse, device_put_sparse,
+        mu_update_frobenius_weighted_sparse,
+    )
+
+    n4, m4, r4, nnz = 138_000, 27_000, 64, 5_300_000
+    rows = rng.integers(0, n4, nnz).astype(np.int64)
+    cols = rng.integers(0, m4, nnz).astype(np.int64)
+    vals = rng.uniform(1.0, 5.0, nnz).astype(np.float32)
+    coo = device_put_sparse(hs.SparseCOO(rows, cols, vals, (n4, m4)))
+    W4 = jnp.asarray(rng.uniform(0.1, 1.0, (n4, r4)), jnp.float32)
+    H4 = jnp.asarray(rng.uniform(0.1, 1.0, (r4, m4)), jnp.float32)
+
+    for label, upd in (
+        ("ials", lambda c, W, H: als_update_weighted_sparse(
+            c, W, H, 40.0, lambda_w=0.1, lambda_h=0.1)),
+        ("weighted_mu", lambda c, W, H: mu_update_frobenius_weighted_sparse(
+            c, W, H, 40.0)),
+    ):
+        @functools.partial(jax.jit, static_argnums=(3,),
+                           donate_argnums=(1, 2))
+        def k_iter(c, W, H, k, upd=upd):
+            W, H = lax.fori_loop(0, k, lambda _, x: upd(c, *x), (W, H))
+            return jnp.sum(W[:1, :1])
+
+        lo, hi = (2, 8) if label == "ials" else (5, 20)
+
+        def run(k, k_iter=k_iter):
+            float(k_iter(coo, W4, H4, k))
+
+        run(lo)
+        run(hi)
+        tl, th = best_of(lambda: run(lo)), best_of(lambda: run(hi))
+        s = (th - tl) / (hi - lo)
+        out[f"sparse_{label}_ms_per_iter"] = round(s * 1e3, 2)
+        print(f"sparse {label} (138k x 27k, 5.3M nnz, r=64): "
+              f"{s*1e3:.1f} ms/iter", flush=True)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_features.json"), "w") as f:
