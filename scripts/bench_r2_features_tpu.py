@@ -60,10 +60,11 @@ def main():
         W, H, _, _ = minibatch_fit(V, r, max_iter=epochs, **kw)
         np.asarray(H[:1, :1])  # force host fetch (tunnel-safe sync)
 
-    mb(2)
-    mb(1)  # warm both programs
-    t2, t1 = best_of(lambda: mb(2)), best_of(lambda: mb(1))
-    per_epoch = t2 - t1
+    lo_e, hi_e = 2, 10  # tunnel noise is ~100s of ms: slope needs >1 s
+    mb(lo_e)
+    mb(hi_e)  # warm both programs
+    t2, t1 = best_of(lambda: mb(hi_e)), best_of(lambda: mb(lo_e))
+    per_epoch = (t2 - t1) / (hi_e - lo_e)
     steps = -(-n // 4096)
     gflop = 2 * 3 * n * m * r / 1e9  # ~3 O(nmr) GEMMs per step-epoch
     out["minibatch_fused"] = {
