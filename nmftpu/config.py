@@ -172,6 +172,19 @@ class NmfConfig:
     # reported over the observed set.
     mask: str = "none"
 
+    # Per-row solver for the weighted/masked ALS normal equations
+    # (iALS / completion ALS). "exact" = batched Cholesky (the oracle;
+    # XLA's batched factorization is sequential and costs ~1.4 s at
+    # (138k, 64, 64) on a v5e — receipts in PERF.md round 3). "cg" =
+    # warm-started Jacobi-preconditioned conjugate gradient, restarted
+    # from the previous factors each outer iteration (Takács & Pilászy
+    # 2011's ALS-CG): each step is one batched (n, r, r) matvec —
+    # pure bandwidth, no factorization. With the outer ALS loop itself
+    # iterative, cg_steps=3 tracks the exact trajectory to ~1e-3 and
+    # converges to the same objective (tested).
+    als_solver: str = "exact"
+    cg_steps: int = 3
+
     # k-means init (SURVEY.md C8, §3.4).
     kmeans_max_iter: int = 25
 
@@ -330,6 +343,23 @@ class NmfConfig:
         if self.mask not in ("none", "observed"):
             raise ValueError(
                 f"mask must be 'none' or 'observed', got {self.mask!r}"
+            )
+        if self.als_solver not in ("exact", "cg"):
+            raise ValueError(
+                f"als_solver must be 'exact' or 'cg', got "
+                f"{self.als_solver!r}"
+            )
+        if self.cg_steps < 1:
+            raise ValueError(f"cg_steps must be >= 1, got {self.cg_steps}")
+        if self.als_solver == "cg" and not (
+            self.algorithm is Algorithm.ALS
+            and (self.alpha_confidence > 0.0 or self.mask == "observed")
+        ):
+            raise ValueError(
+                "als_solver='cg' applies to the per-row batched solves "
+                "of weighted ALS (alpha_confidence>0) or masked ALS "
+                "(mask='observed'); the plain ALS family solves ONE "
+                "r x r system, where the exact solve is already cheap"
             )
         if self.mask == "observed":
             ok = (

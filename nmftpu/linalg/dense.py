@@ -535,6 +535,59 @@ def _batched_solve_clamped(Gb, rhs, shift, eps):
     return jnp.maximum(sol, 0.0)
 
 
+def _batched_solve_clamped_cg(Gb, rhs, shift, eps, x0, steps=3):
+    """Warm-started Jacobi-preconditioned CG for the per-row normal
+    equations of weighted/masked ALS, then clamp(>=0).
+
+    XLA:TPU's batched Cholesky is SEQUENTIAL over the factorization
+    steps — measured 1.4 s at (138k, 64, 64) f32 on a v5e, dominating
+    the entire iALS iteration (PERF.md round 3). Each CG step is one
+    batched (n, r, r) @ (n, r) matvec — pure HBM bandwidth, ~8 ms at
+    that shape — and because the OUTER ALS loop is itself iterative,
+    warm-starting from the previous factors makes a handful of inner
+    steps sufficient (Takács & Pilászy 2011, ALS-CG): the sequence
+    converges to the same fixed point, tested against the exact path.
+
+    The clamp projects after the solve exactly like the exact path
+    (the reference ALS family's clamp semantics), so negative
+    unconstrained solutions zero identically under both solvers.
+    """
+    r = Gb.shape[-1]
+    diag_mean = jnp.trace(Gb, axis1=-2, axis2=-1)[:, None, None] / r
+    rel_floor = 100.0 * jnp.finfo(Gb.dtype).eps
+    ridge = shift + eps + jnp.maximum(eps, rel_floor) * diag_mean
+    A = Gb + ridge * jnp.eye(r, dtype=Gb.dtype)[None]
+    dinv = 1.0 / jnp.maximum(
+        jnp.diagonal(A, axis1=-2, axis2=-1), jnp.finfo(A.dtype).tiny
+    )                                                     # (n, r) Jacobi
+
+    def matvec(p):
+        return jnp.einsum("nij,nj->ni", A, p)
+
+    x = x0.astype(A.dtype)
+    res = rhs - matvec(x)
+    z = dinv * res
+    p = z
+    rz = jnp.sum(res * z, axis=1, keepdims=True)
+
+    def body(_, c):
+        x, res, p, rz = c
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap, axis=1, keepdims=True)
+        alpha = rz / jnp.where(denom > 0, denom, 1.0)
+        alpha = jnp.where(denom > 0, alpha, 0.0)  # converged rows freeze
+        x = x + alpha * p
+        res = res - alpha * Ap
+        z = dinv * res
+        rz2 = jnp.sum(res * z, axis=1, keepdims=True)
+        beta = rz2 / jnp.where(rz > 0, rz, 1.0)
+        p = z + jnp.where(rz > 0, beta, 0.0) * p
+        return x, res, p, rz2
+
+    x, *_ = lax.fori_loop(0, steps, body, (x, res, p, rz))
+    return jnp.maximum(x, 0.0)
+
+
 def als_update_weighted(V, W, H, alpha, lambda_w=0.0, lambda_h=0.0,
                         eps=1e-9, order="WH", block=1024):
     """Confidence-weighted ALS (iALS, Hu–Koren–Volinsky) with the

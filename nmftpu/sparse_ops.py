@@ -440,8 +440,21 @@ def _weighted_row_grams(coo, Ht32, alpha, n_rows, by_cols=False,
     return acc
 
 
+def _row_solver(solver, cg_steps):
+    """exact batched Cholesky vs warm-started PCG (see
+    linalg.dense._batched_solve_clamped_cg for the receipts)."""
+    if solver == "cg":
+        return lambda Gb, rhs, lam, eps, x0: D._batched_solve_clamped_cg(
+            Gb, rhs, lam, eps, x0, steps=cg_steps
+        )
+    return lambda Gb, rhs, lam, eps, x0: D._batched_solve_clamped(
+        Gb, rhs, lam, eps
+    )
+
+
 def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
-                               lambda_h=0.0, eps=1e-9, order="WH"):
+                               lambda_h=0.0, eps=1e-9, order="WH",
+                               solver="exact", cg_steps=3):
     """Sparse-aware confidence-weighted ALS (iALS): minimizes
     ‖√C ⊙ (V − WH)‖² + λ‖·‖² with C = 1 + αV, like
     `mu_update_frobenius_weighted`, but each half-step solves every
@@ -461,6 +474,7 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
     W = jnp.asarray(W)
     H = jnp.asarray(H)
     r = W.shape[1]
+    solve = _row_solver(solver, cg_steps)
 
     def upd_w(W, H):
         Ht32 = H.T.astype(jnp.float32)
@@ -468,7 +482,7 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
         dG = _weighted_row_grams(coo, Ht32, alpha, n)
         cv = coo.with_values(coo.values * (1.0 + alpha * coo.values))
         rhs = v_ht(cv, H).astype(jnp.float32)              # (n, r)
-        Wn = D._batched_solve_clamped(G[None] + dG, rhs, lambda_w, eps)
+        Wn = solve(G[None] + dG, rhs, lambda_w, eps, W)
         return Wn.astype(W.dtype)
 
     def upd_h(W, H):
@@ -477,7 +491,7 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
         dG = _weighted_row_grams(coo, W32, alpha, m, by_cols=True)
         cv = coo.with_values(coo.values * (1.0 + alpha * coo.values))
         rhs = wt_v(cv, W).T.astype(jnp.float32)            # (m, r)
-        Hn = D._batched_solve_clamped(G[None] + dG, rhs, lambda_h, eps)
+        Hn = solve(G[None] + dG, rhs, lambda_h, eps, H.T)
         return Hn.T.astype(H.dtype)
 
     if order == "WH":
@@ -490,7 +504,8 @@ def als_update_weighted_sparse(coo, W, H, alpha, lambda_w=0.0,
 
 
 def als_update_masked_sparse(coo, W, H, lambda_w=0.0, lambda_h=0.0,
-                             eps=1e-9, order="WH"):
+                             eps=1e-9, order="WH", solver="exact",
+                             cg_steps=3):
     """Exact matrix-completion ALS: minimizes Σ_obs (v − wh)² + λ‖·‖²
     by solving, per row u, the OBSERVED-only normal equations
 
@@ -508,12 +523,13 @@ def als_update_masked_sparse(coo, W, H, lambda_w=0.0, lambda_h=0.0,
     W = jnp.asarray(W)
     H = jnp.asarray(H)
     indicator = lambda v: (v != 0)  # noqa: E731
+    solve = _row_solver(solver, cg_steps)
 
     def upd_w(W, H):
         Ht32 = H.T.astype(jnp.float32)
         dG = _weighted_row_grams(coo, Ht32, 0.0, n, weight_fn=indicator)
         rhs = v_ht(coo, H).astype(jnp.float32)             # (n, r)
-        Wn = D._batched_solve_clamped(dG, rhs, lambda_w, eps)
+        Wn = solve(dG, rhs, lambda_w, eps, W)
         return Wn.astype(W.dtype)
 
     def upd_h(W, H):
@@ -521,7 +537,7 @@ def als_update_masked_sparse(coo, W, H, lambda_w=0.0, lambda_h=0.0,
         dG = _weighted_row_grams(coo, W32, 0.0, m, by_cols=True,
                                  weight_fn=indicator)
         rhs = wt_v(coo, W).T.astype(jnp.float32)           # (m, r)
-        Hn = D._batched_solve_clamped(dG, rhs, lambda_h, eps)
+        Hn = solve(dG, rhs, lambda_h, eps, H.T)
         return Hn.T.astype(H.dtype)
 
     if order == "WH":
@@ -667,11 +683,12 @@ def build_sparse_update(config: NmfConfig):
 
     if alg is Algorithm.ALS and config.mask == "observed":
         lw, lh = config.lambda_w, config.lambda_h
+        sv, cgs = config.als_solver, config.cg_steps
         return (
             lambda coo: (),
             lambda coo, aux, W, H: als_update_masked_sparse(
                 coo, W, H, lambda_w=lw, lambda_h=lh, eps=eps,
-                order=order,
+                order=order, solver=sv, cg_steps=cgs,
             ),
             ident_h,
         )
@@ -679,11 +696,12 @@ def build_sparse_update(config: NmfConfig):
     if alg is Algorithm.ALS and config.alpha_confidence > 0.0:
         a = config.alpha_confidence
         lw, lh = config.lambda_w, config.lambda_h
+        sv, cgs = config.als_solver, config.cg_steps
         return (
             lambda coo: (),
             lambda coo, aux, W, H: als_update_weighted_sparse(
                 coo, W, H, a, lambda_w=lw, lambda_h=lh, eps=eps,
-                order=order,
+                order=order, solver=sv, cg_steps=cgs,
             ),
             ident_h,
         )
@@ -1170,15 +1188,28 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
     make_aux = lambda pair: ()  # noqa: E731
 
     if config.mask == "observed":
-        # completion on the gather-only layout (MU only; config
-        # validation rejects the rest). Metrics over the OBSERVED set.
-        upd_m = (SE.mu_update_frobenius_masked_ell
-                 if obj is Objective.FROBENIUS
-                 else SE.mu_update_kl_masked_ell)
+        # completion on the gather-only layout (MU fro/KL + exact
+        # completion ALS). Metrics over the OBSERVED set.
+        if alg is Algorithm.ALS:
+            lw, lh = config.lambda_w, config.lambda_h
+            sv, cgs = config.als_solver, config.cg_steps
+
+            def upd_m(pair, W, H):
+                return SE.als_update_masked_ell(
+                    pair, W, H, lambda_w=lw, lambda_h=lh, eps=eps,
+                    order=order, solver=sv, cg_steps=cgs,
+                )
+        elif obj is Objective.FROBENIUS:
+            def upd_m(pair, W, H):
+                return SE.mu_update_frobenius_masked_ell(
+                    pair, W, H, eps=eps, order=order)
+        else:
+            def upd_m(pair, W, H):
+                return SE.mu_update_kl_masked_ell(
+                    pair, W, H, eps=eps, order=order)
         return LoopOps(
             make_aux=make_aux,
-            update=lambda pair, aux, W, H: upd_m(pair, W, H, eps=eps,
-                                                 order=order),
+            update=lambda pair, aux, W, H: upd_m(pair, W, H),
             effective_h=effective_h,
             frobenius=lambda pair, aux, W, He, svsq: (
                 SE.frobenius_error_masked_ell(pair, W, He)
@@ -1190,7 +1221,17 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
             numel=lambda pair: pair.rows.nnz,
         )
 
-    if alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
+    if alg is Algorithm.ALS and config.alpha_confidence > 0.0:
+        a = config.alpha_confidence
+        lw, lh = config.lambda_w, config.lambda_h
+        sv, cgs = config.als_solver, config.cg_steps
+
+        def update(pair, aux, W, H):
+            return SE.als_update_weighted_ell_exact(
+                pair, W, H, a, lambda_w=lw, lambda_h=lh, eps=eps,
+                order=order, solver=sv, cg_steps=cgs,
+            )
+    elif alg in (Algorithm.ALS, Algorithm.ACLS, Algorithm.AHCLS):
         sw, sh, ow, oh = _als_family_shifts(config)
 
         def update(pair, aux, W, H):
@@ -1307,22 +1348,13 @@ def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                 "zero-valued DATA, which is exactly what the completion "
                 "objective must not do; use 'ell' (MU) or 'scatter'"
             )
-        if config.algorithm is Algorithm.ALS and strategy == "ell":
-            raise ValueError(
-                "masked ALS (exact completion ALS) runs on the "
-                "'scatter' engine (the per-row Gram deltas read the "
-                "chunked COO layout); use strategy='auto'/'scatter', "
-                "or masked MU for the ELL engine"
-            )
         if strategy == "auto":
-            if config.algorithm is Algorithm.ALS:
-                strategy = "scatter"
-            elif config.dtype == "float64":
+            if config.dtype == "float64":
                 # ELL accumulates f32; scatter honors the x64 contract
                 strategy = "scatter"
             else:
-                # gather-only masked MU: one fused gather per half-step
-                # serves numerator + SDDMM + masked denominator
+                # gather-only masked paths: one fused gather per
+                # half-step serves numerator + SDDMM/Gram + denominator
                 strategy = "ell"
     if config.objective is Objective.BETA and config.dtype == "float64":
         raise ValueError(
@@ -1348,8 +1380,10 @@ def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
         if (config.algorithm is Algorithm.ALS
                 and config.alpha_confidence > 0.0):
             # iALS is sparse-aware by construction (O(nnz·r²) Gram
-            # deltas) — only the scatter engine implements it
-            return "scatter"
+            # deltas); the ELL engine builds them as batched MXU GEMMs
+            # with segment-level scatter (~50x the scatter-COO form on
+            # TPU); scatter remains the f64-exact oracle
+            return "scatter" if config.dtype == "float64" else "ell"
         if config.algorithm is Algorithm.HALS:
             # the cyclic column sweeps read exact numerators: the
             # scatter engine keeps V at full precision
@@ -1432,11 +1466,11 @@ class SparsePlan:
         if (config.algorithm is Algorithm.ALS
                 and (config.alpha_confidence > 0.0
                      or config.mask == "observed")
-                and self.strategy != "scatter"):
+                and self.strategy not in ("scatter", "ell")):
             raise ValueError(
-                "weighted/masked ALS runs on the 'scatter' engine; this "
-                f"plan's strategy is {self.strategy!r} — re-run "
-                "prepare_sparse with strategy='scatter'"
+                "weighted/masked ALS runs on the 'ell' or 'scatter' "
+                f"engines; this plan's strategy is {self.strategy!r} — "
+                "re-run prepare_sparse with strategy='ell'/'scatter'"
             )
         if (config.algorithm is Algorithm.ALS
                 and (config.alpha_confidence > 0.0
@@ -1517,13 +1551,12 @@ def prepare_sparse(
     if (config.algorithm is Algorithm.ALS
             and (config.alpha_confidence > 0.0
                  or config.mask == "observed")):
-        if strategy != "scatter":
+        if strategy not in ("scatter", "ell"):
             raise ValueError(
-                "weighted ALS (iALS) and masked ALS are implemented on "
-                f"the 'scatter' sparse engine (strategy resolved to "
-                f"{strategy!r}); use strategy='auto'/'scatter', or the "
-                "weighted/masked MU algorithm for the densified/ELL "
-                "engines"
+                "weighted ALS (iALS) and masked ALS run on the 'ell' "
+                "(batched-GEMM Gram deltas, the fast path) or 'scatter' "
+                f"(f64-exact oracle) engines; strategy resolved to "
+                f"{strategy!r}"
             )
         _check_weighted_gram_budget(n, m, config.rank)
     if config.algorithm is Algorithm.HALS and strategy != "scatter":

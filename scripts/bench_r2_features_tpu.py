@@ -170,8 +170,15 @@ def main():
     W4 = jnp.asarray(rng.uniform(0.1, 1.0, (n4, r4)), jnp.float32)
     H4 = jnp.asarray(rng.uniform(0.1, 1.0, (r4, m4)), jnp.float32)
 
+    from nmftpu.sparse_ell import (
+        als_update_masked_ell, als_update_weighted_ell_exact,
+        build_ell_pair,
+    )
+
+    pair = build_ell_pair(hs.SparseCOO(rows, cols, vals, (n4, m4)))
+
     for label, upd in (
-        ("ials", lambda c, W, H: als_update_weighted_sparse(
+        ("ials_scatter_chol", lambda c, W, H: als_update_weighted_sparse(
             c, W, H, 40.0, lambda_w=0.1, lambda_h=0.1)),
         ("weighted_mu", lambda c, W, H: mu_update_frobenius_weighted_sparse(
             c, W, H, 40.0)),
@@ -182,10 +189,37 @@ def main():
             W, H = lax.fori_loop(0, k, lambda _, x: upd(c, *x), (W, H))
             return jnp.sum(W[:1, :1])
 
-        lo, hi = (2, 8) if label == "ials" else (5, 20)
+        lo, hi = (2, 8) if "chol" in label else (5, 20)
 
         def run(k, k_iter=k_iter):
             float(k_iter(coo, W4, H4, k))
+
+        run(lo)
+        run(hi)
+        tl, th = best_of(lambda: run(lo)), best_of(lambda: run(hi))
+        s = (th - tl) / (hi - lo)
+        out[f"sparse_{label}_ms_per_iter"] = round(s * 1e3, 2)
+        print(f"sparse {label} (138k x 27k, 5.3M nnz, r=64): "
+              f"{s*1e3:.1f} ms/iter", flush=True)
+
+    # ELL engine iALS/masked-ALS: batched-GEMM Gram deltas (+CG solver)
+    for label, upd in (
+        ("ials_ell_exact", lambda p, W, H: als_update_weighted_ell_exact(
+            p, W, H, 40.0, 0.1, 0.1)),
+        ("ials_ell_cg3", lambda p, W, H: als_update_weighted_ell_exact(
+            p, W, H, 40.0, 0.1, 0.1, solver="cg", cg_steps=3)),
+        ("masked_als_ell_cg3", lambda p, W, H: als_update_masked_ell(
+            p, W, H, 0.1, 0.1, solver="cg", cg_steps=3)),
+    ):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def k_iter(p, W, H, k, upd=upd):
+            W, H = lax.fori_loop(0, k, lambda _, c: upd(p, *c), (W, H))
+            return jnp.sum(W[:1, :1])
+
+        lo, hi = (2, 8) if "exact" in label else (3, 12)
+
+        def run(k, k_iter=k_iter):
+            float(k_iter(pair, W4, H4, k))
 
         run(lo)
         run(hi)

@@ -105,11 +105,12 @@ def test_masked_guards(rng):
         compute(Vobs, cfg)
     with pytest.raises(ValueError, match="densif"):
         compute_sparse(hs.from_dense(Vobs), cfg, strategy="densified")
-    # masked ALS is scatter-only (per-row Gram deltas)
+    # masked ALS runs ell/scatter only (per-row Gram deltas)
     cfg_als = NmfConfig(rank=3, mask="observed", algorithm="als",
                         num_iterations=2)
-    with pytest.raises(ValueError, match="scatter"):
-        compute_sparse(hs.from_dense(Vobs), cfg_als, strategy="ell")
+    with pytest.raises(ValueError, match="densif"):
+        compute_sparse(hs.from_dense(Vobs), cfg_als,
+                       strategy="densified")
     from nmftpu.parallel import compute_sharded, make_grid_mesh
 
     # the sharded masked path runs the scatter grid engine only
@@ -184,19 +185,22 @@ def _np_masked_als(Vobs, obs, W, H, iters, lam, eps=1e-9):
 
 def test_masked_als_matches_dense_oracle(rng):
     """Exact completion ALS (iALS solver, 0/1 confidence) solves the
-    same observed-only normal equations as the per-row numpy oracle."""
+    same observed-only normal equations as the per-row numpy oracle —
+    on BOTH engines (scatter COO and batched-GEMM ELL)."""
     V, Vobs, obs = _observed_problem(rng)
     W0 = np.abs(rng.normal(size=(40, 3))).astype(np.float32) + 0.1
     H0 = np.abs(rng.normal(size=(3, 32))).astype(np.float32) + 0.1
     cfg = NmfConfig(rank=3, mask="observed", algorithm="als",
                     lambda_w=0.05, lambda_h=0.05, num_iterations=3,
                     init_method="copy_existing", check_interval=3)
-    res = compute_sparse(hs.from_dense(Vobs), cfg, W0=W0, H0=H0)
     W_ref, H_ref = _np_masked_als(Vobs, obs, W0, H0, 3, 0.05)
-    np.testing.assert_allclose(np.asarray(res.W), W_ref, rtol=2e-3,
-                               atol=2e-4)
-    np.testing.assert_allclose(np.asarray(res.H), H_ref, rtol=2e-3,
-                               atol=2e-4)
+    for strategy in ("scatter", "ell"):
+        res = compute_sparse(hs.from_dense(Vobs), cfg, W0=W0, H0=H0,
+                             strategy=strategy)
+        np.testing.assert_allclose(np.asarray(res.W), W_ref, rtol=2e-3,
+                                   atol=2e-4, err_msg=strategy)
+        np.testing.assert_allclose(np.asarray(res.H), H_ref, rtol=2e-3,
+                                   atol=2e-4, err_msg=strategy)
 
 
 def test_masked_als_completes_fast(rng):

@@ -74,6 +74,81 @@ def test_sparse_matches_dense(rng):
     )
 
 
+def test_ials_ell_matches_scatter(rng):
+    """The ELL iALS engine (batched-GEMM Gram deltas + fused RHS from
+    one gather) is the same update as the scatter oracle — and both
+    match the dense formulation."""
+    V = _implicit(rng, 40, 32, 4)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 32)).astype(np.float32)
+    cfg = NmfConfig(
+        rank=4, algorithm=Algorithm.ALS, alpha_confidence=6.0,
+        lambda_w=0.1, lambda_h=0.1, num_iterations=8,
+        init_method="copy_existing", check_interval=4,
+    )
+    rs = compute_sparse(hs.from_dense(V), cfg, W0=W0, H0=H0,
+                        strategy="scatter")
+    re = compute_sparse(hs.from_dense(V), cfg, W0=W0, H0=H0,
+                        strategy="ell")
+    np.testing.assert_allclose(
+        np.asarray(re.W), np.asarray(rs.W), rtol=5e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(re.H), np.asarray(rs.H), rtol=5e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        re.frobenius_error, rs.frobenius_error, rtol=1e-4
+    )
+
+
+def test_ials_cg_solver_tracks_exact(rng):
+    """als_solver='cg' (warm-started Jacobi-PCG, Takács & Pilászy's
+    ALS-CG) converges to the same weighted objective as the exact
+    batched-Cholesky path, on both sparse engines; masked ALS too."""
+    V = _implicit(rng, 40, 32, 4)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 32)).astype(np.float32)
+    base = dict(rank=4, algorithm=Algorithm.ALS, alpha_confidence=6.0,
+                lambda_w=0.1, lambda_h=0.1, num_iterations=15,
+                init_method="copy_existing", check_interval=15)
+    r_ex = compute_sparse(hs.from_dense(V), NmfConfig(**base),
+                          W0=W0, H0=H0, strategy="ell")
+    for strategy in ("ell", "scatter"):
+        r_cg = compute_sparse(
+            hs.from_dense(V),
+            NmfConfig(**base, als_solver="cg", cg_steps=3),
+            W0=W0, H0=H0, strategy=strategy,
+        )
+        # converges to the same objective class: CG must be no worse
+        # than 2% above the exact path (clamped ALS is a heuristic —
+        # trajectories differ slightly; CG sometimes lands LOWER)
+        assert (float(r_cg.frobenius_error)
+                <= 1.02 * float(r_ex.frobenius_error)), (
+            strategy, float(r_cg.frobenius_error),
+            float(r_ex.frobenius_error),
+        )
+    # masked completion ALS under CG still completes
+    obs = rng.random((40, 32)) < 0.6
+    obs[:, :2] = True
+    obs[:2, :] = True
+    Wt = np.abs(rng.normal(size=(40, 3))).astype(np.float32) + 0.2
+    Ht = np.abs(rng.normal(size=(3, 32))).astype(np.float32) + 0.2
+    Vt = Wt @ Ht
+    Vobs = np.where(obs, Vt, 0.0).astype(np.float32)
+    cfg_m = NmfConfig(rank=3, mask="observed", algorithm="als",
+                      lambda_w=1e-3, lambda_h=1e-3, num_iterations=30,
+                      seed=4, init_method="all_random_values",
+                      check_interval=30, als_solver="cg", cg_steps=4)
+    res = compute_sparse(hs.from_dense(Vobs), cfg_m)
+    recon = np.asarray(res.W) @ np.asarray(res.H)
+    rel = (np.linalg.norm((recon - Vt)[~obs])
+           / np.linalg.norm(Vt[~obs]))
+    assert rel < 0.08, f"CG masked completion relerr {rel:.3f}"
+    # guard: cg on the plain ALS family is rejected
+    with pytest.raises(ValueError, match="cg"):
+        NmfConfig(rank=3, algorithm="als", als_solver="cg")
+
+
 def test_weighted_objective_beats_mu_per_iteration(rng):
     """The exact solver reaches a lower weighted objective than the
     multiplicative steps in the same iteration budget."""
@@ -103,9 +178,14 @@ def test_routing_and_guards(rng):
     cfg = NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=4.0,
                     num_iterations=3)
     plan = prepare_sparse(sp, cfg)
-    assert plan.strategy == "scatter"  # auto routes iALS to scatter
-    with pytest.raises(ValueError, match="iALS"):
-        prepare_sparse(sp, cfg, strategy="ell")
+    assert plan.strategy == "ell"  # auto routes iALS to the ELL engine
+    import dataclasses as _dc
+
+    plan64 = prepare_sparse(
+        sp, _dc.replace(cfg, dtype="float64"))
+    assert plan64.strategy == "scatter"  # f64 keeps the exact oracle
+    with pytest.raises(ValueError, match="ALS"):
+        prepare_sparse(sp, cfg, strategy="densified")
     with pytest.raises(ValueError, match="weighted"):
         NmfConfig(rank=3, algorithm=Algorithm.ALS, alpha_confidence=1.0,
                   v_storage="int8")
