@@ -166,10 +166,11 @@ class NmfConfig:
     # Masked factorization (matrix completion): "none" fits all nm
     # entries (zeros are data — the reference's semantics); "observed"
     # fits ONLY the stored nonzeros (the explicit-feedback completion
-    # objective sum_obs d(v, wh)). Sparse scatter engine, MU fro/KL;
-    # zero-valued observations are indistinguishable from unobserved
-    # (the sparse container's nonzero set IS the mask). Errors/RMSD are
-    # reported over the observed set.
+    # objective sum_obs d(v, wh)). MU fro/KL on the scatter, ELL and
+    # grid engines; exact completion ALS (algorithm='als') on
+    # scatter/ELL/grid. Zero-valued observations are indistinguishable
+    # from unobserved (the sparse container's nonzero set IS the mask).
+    # Errors/RMSD are reported over the observed set.
     mask: str = "none"
 
     # Per-row solver for the weighted/masked ALS normal equations

@@ -464,6 +464,8 @@ def _can_fuse(V, monitor, dtype):
     if monitor:
         return False
     arr = getattr(V, "X", V)  # unwrap the facade's _RowSource
+    if isinstance(arr, jax.Array):
+        return True  # already device-resident: trivially fusible
     if not isinstance(arr, np.ndarray) or isinstance(arr, np.memmap):
         return False
     return arr.shape[0] * arr.shape[1] * jnp.dtype(dtype).itemsize \
@@ -556,7 +558,7 @@ def minibatch_fit(
                 "max_no_improvement=None, or fused=False/'auto'"
             )
         if use_fused and not isinstance(
-            getattr(V, "X", V), np.ndarray
+            getattr(V, "X", V), (np.ndarray, jax.Array)
         ):
             raise ValueError(
                 "fused=True needs an in-memory dense ndarray (memmap/"

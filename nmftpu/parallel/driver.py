@@ -558,3 +558,182 @@ def compute_sharded(
         chunk=chunk, engine=engine,
     )
     return plan.run(W0=W0, H0=H0, callback=callback, interrupt=interrupt)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host row-shard ingestion (BASELINE.json config #4 scale path)
+# ---------------------------------------------------------------------------
+
+
+def prepare_sharded_rowshards(
+    local_mat: host_sparse.SparseMatrix,
+    row_offset: int,
+    global_shape: tuple[int, int],
+    config: NmfConfig,
+    mesh=None,
+    balance: bool = True,
+    chunk: int = 8192,
+) -> "ShardedPlan":
+    """Build a ShardedPlan when EACH PROCESS holds only its own row
+    shard of V (its file shard) — no host ever materializes the full
+    nonzero set, the contract `partition_sparse` cannot honor (it
+    builds the full (pu, pi, cap) tiles on every process).
+
+    local_mat: this process's rows, with LOCAL row indices (0-based);
+    row_offset: index of this process's first row in the GLOBAL matrix.
+    The shard must cover exactly the row blocks owned by this process's
+    devices on the mesh's 'users' axis (processes stack along 'users' —
+    the make_grid_mesh default device order; asserted at build time).
+
+    Load balance: rows must be pre-shuffled OFFLINE across file shards
+    (a one-time shuffle at dataset creation — at 100M+ rows that is a
+    disk-level operation, not an ingest-time one). `balance=True`
+    applies the seeded COLUMN permutation only (identical on every
+    process — drawn from config.seed, no communication needed).
+
+    Data-dependent inits (mean-columns / k-means) are not supported on
+    this path (they would need a second global partition); use random
+    or copy_existing.
+    """
+    import jax.experimental.multihost_utils as mhu
+
+    from nmftpu.config import Initialization
+    from nmftpu.parallel.mesh import make_grid_mesh
+    from nmftpu.parallel.sharded_coo import ShardedCOO, _round_up
+
+    if mesh is None:
+        mesh = make_grid_mesh()
+    shardings = factor_shardings(mesh)
+    dtype = resolve_dtype(config.dtype)
+    n, m = global_shape
+    pu, pi = mesh.devices.shape
+    if config.init_method in (
+        Initialization.MEAN_COLUMNS,
+        Initialization.K_MEANS_AND_RANDOM_VALUES,
+        Initialization.K_MEANS_AND_NON_NEGATIVE_WTV,
+        Initialization.K_MEANS_AND_ABSOLUTE_WTV,
+    ):
+        raise ValueError(
+            "row-shard ingestion supports random/copy_existing inits "
+            "only (data-dependent inits need a second global partition)"
+        )
+
+    coo = local_mat.to_coo()
+    rows = coo.row.astype(np.int64) + int(row_offset)
+    if balance:
+        col_perm = np.random.default_rng(config.seed).permutation(
+            m
+        ).astype(np.int32)
+        cols = col_perm[coo.col]
+    else:
+        col_perm = np.arange(m, dtype=np.int32)
+        cols = coo.col
+    row_perm = np.arange(n, dtype=np.int32)
+
+    block_rows = _round_up((n + pu - 1) // pu, 8)
+    block_cols = _round_up((m + pi - 1) // pi, 8)
+
+    # this process's devices own these users-axis blocks
+    my_tiles_r = sorted({
+        int(np.argwhere((d == mesh.devices).any(axis=1))[0, 0])
+        for d in jax.local_devices() if d in mesh.devices
+    })
+    lo = row_offset
+    hi = row_offset + local_mat.shape[0]
+    for tr in my_tiles_r:
+        if tr * block_rows < lo or min((tr + 1) * block_rows, n) > hi:
+            raise ValueError(
+                f"local row shard [{lo}, {hi}) does not cover this "
+                f"process's users-block {tr} "
+                f"[{tr*block_rows}, {min((tr+1)*block_rows, n)}); align "
+                "file shards with the mesh's users-axis blocks"
+            )
+
+    tile_r = rows // block_rows
+    tile_c = cols // block_cols
+    tile_id = tile_r * pi + tile_c
+    local_counts = np.bincount(tile_id, minlength=pu * pi)
+    # one tiny allgather establishes the GLOBAL cap + value mass
+    local_stats = np.concatenate(
+        [local_counts.astype(np.float64), [float(np.sum(coo.data))]]
+    )
+    if jax.process_count() > 1:
+        gathered = np.asarray(mhu.process_allgather(local_stats))
+        counts = gathered[:, :-1].sum(axis=0)
+        total_v = float(gathered[:, -1].sum())
+    else:
+        counts = local_stats[:-1]
+        total_v = float(local_stats[-1])
+    cap = max(int(counts.max()), 1)
+    chunk = min(chunk, _round_up(cap, 256))
+    cap = _round_up(cap, chunk)
+    mean_v = total_v / (float(n) * float(m))
+
+    order = np.argsort(tile_id, kind="stable")
+    sorted_tiles = tile_id[order]
+    starts = np.searchsorted(sorted_tiles, np.arange(pu * pi))
+    ends = np.searchsorted(sorted_tiles, np.arange(pu * pi) + 1)
+
+    def build_tile(ti, tj):
+        t = ti * pi + tj
+        sel = order[starts[t]:ends[t]]
+        k = len(sel)
+        vals = np.zeros(cap, dtype=np.dtype(dtype))
+        lr = np.zeros(cap, dtype=np.int32)
+        lc = np.zeros(cap, dtype=np.int32)
+        vals[:k] = coo.data[sel]
+        lr[:k] = rows[sel] - ti * block_rows
+        lc[:k] = cols[sel] - tj * block_cols
+        return vals, lr, lc
+
+    cache = {}
+
+    def cb(which):
+        def inner(idx):
+            ti = idx[0].start if idx[0].start is not None else 0
+            tj = idx[1].start if idx[1].start is not None else 0
+            key = (ti, tj)
+            if key not in cache:
+                cache[key] = build_tile(ti, tj)
+            return cache[key][which][None, None, :]
+
+        return inner
+
+    shape3 = (pu, pi, cap)
+    values = jax.make_array_from_callback(shape3, shardings["tile"],
+                                          cb(0))
+    lrows = jax.make_array_from_callback(shape3, shardings["tile"], cb(1))
+    lcols = jax.make_array_from_callback(shape3, shardings["tile"], cb(2))
+    cache.clear()
+
+    nnz_local = np.array([coo.nnz], np.float64)
+    if jax.process_count() > 1:
+        nnz_global = int(np.asarray(mhu.process_allgather(
+            nnz_local)).sum())
+    else:
+        nnz_global = int(nnz_local[0])
+
+    operand = ShardedCOO(
+        values=values, rows=lrows, cols=lcols, shape=(n, m),
+        nnz=nnz_global, chunk=chunk, mesh_shape=(pu, pi),
+        block_rows=block_rows, block_cols=block_cols,
+    )
+
+    class _ShapeOnly:
+        """Stands in for V: the plan needs only .shape on this path."""
+
+        def __init__(self, shape):
+            self.shape = shape
+
+    partition_key = (
+        operand.shape, operand.values.shape, str(dtype),
+        tuple(mesh.devices.flat), mesh.axis_names, "rowshards",
+    )
+    return ShardedPlan(
+        V=_ShapeOnly((n, m)), config=config, mesh=mesh,
+        shardings=shardings, engine="scatter", operand=operand,
+        row_perm=row_perm, col_perm=col_perm,
+        padded_shape=operand.padded_shape, mean_v=mean_v, dtype=dtype,
+        row_axis=None, col_axis=None, chunk=chunk, balance=balance,
+        partition_key=partition_key,
+    )

@@ -17,6 +17,21 @@ import dataclasses
 import numpy as np
 
 
+def _two_key_order(major, minor, minor_extent):
+    """argsort by (major, minor). When major*extent+minor fits int64 the
+    two keys fuse into ONE int64 quicksort — ~4x faster than np.lexsort
+    at 100M nnz (the cfg4 ingest hot spot; BENCH_host_partition.json).
+    Equal fused keys are exact duplicates, so stability is irrelevant."""
+    major = np.asarray(major, np.int64)
+    minor = np.asarray(minor, np.int64)
+    extent = int(minor_extent)
+    if extent > 0 and major.size and (
+        int(major.max()) < (2**63 - 1) // max(extent, 1)
+    ):
+        return np.argsort(major * extent + minor)
+    return np.lexsort((minor, major))
+
+
 class SparseMatrix:
     """Base class for nmftpu host sparse containers."""
 
@@ -79,12 +94,12 @@ class SparseCOO(SparseMatrix):
         return self
 
     def to_csr(self) -> "SparseCSR":
-        n = self.shape[0]
-        order = np.lexsort((self.col, self.row))
-        row = self.row[order]
+        n, m = self.shape
+        order = _two_key_order(self.row, self.col, m)
         indptr = np.zeros(n + 1, dtype=np.int64)
-        np.add.at(indptr, row + 1, 1)
-        np.cumsum(indptr, out=indptr)
+        np.cumsum(
+            np.bincount(self.row, minlength=n), out=indptr[1:]
+        )
         return SparseCSR(
             indptr=indptr,
             indices=self.col[order],
@@ -93,12 +108,12 @@ class SparseCOO(SparseMatrix):
         )
 
     def to_csc(self) -> "SparseCSC":
-        m = self.shape[1]
-        order = np.lexsort((self.row, self.col))
-        col = self.col[order]
+        n, m = self.shape
+        order = _two_key_order(self.col, self.row, n)
         indptr = np.zeros(m + 1, dtype=np.int64)
-        np.add.at(indptr, col + 1, 1)
-        np.cumsum(indptr, out=indptr)
+        np.cumsum(
+            np.bincount(self.col, minlength=m), out=indptr[1:]
+        )
         return SparseCSC(
             indptr=indptr,
             indices=self.row[order],

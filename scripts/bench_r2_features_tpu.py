@@ -49,8 +49,13 @@ def main():
     # 1. epoch-fused mini-batch: ML-20M-shaped dense panels
     #    (26744 x 16384 f32 = 1.75 GB resident), batch 4096, rank 64
     # ------------------------------------------------------------------
+    import jax.numpy as _jnp
+
     n, m, r = 26744, 16384, 64
-    V = np.abs(rng.normal(size=(n, m))).astype(np.float32)
+    # device-resident V: re-uploading 1.75 GB per call over the tunnel
+    # is seconds of noise that swamps the per-epoch slope
+    V = jax.device_put(_jnp.asarray(
+        np.abs(rng.normal(size=(n, m))).astype(np.float32)))
     W0 = np.abs(rng.normal(size=(n, r))).astype(np.float32)
     H0 = np.abs(rng.normal(size=(r, m))).astype(np.float32)
     kw = dict(batch_size=4096, tol=0.0, max_no_improvement=None,

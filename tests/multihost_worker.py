@@ -46,6 +46,32 @@ def main():
     assert np.isfinite(res.frobenius_error)
     print(f"RESULT {res.frobenius_error:.6f}", flush=True)
 
+    # row-shard ingestion: THIS process feeds only its own half of the
+    # rows (its "file shard"); result must match the full-matrix
+    # balance=False run exactly (same tiles, same init)
+    from nmftpu.parallel.driver import prepare_sharded_rowshards
+    from nmftpu.sparse import SparseCOO
+
+    res_full = compute_sharded(sp, cfg, mesh=mesh, chunk=256,
+                               balance=False)
+    coo = sp.to_coo()
+    n, m = sp.shape
+    half = 64  # block_rows for n=120 on pu=2 (rounded up to 8)
+    lo, hi = pid * half, min((pid + 1) * half, n)
+    sel = (coo.row >= lo) & (coo.row < hi)
+    local = SparseCOO(coo.row[sel] - lo, coo.col[sel], coo.data[sel],
+                      (hi - lo, m))
+    plan = prepare_sharded_rowshards(
+        local, lo, (n, m), cfg, mesh=mesh, balance=False, chunk=256,
+    )
+    res_rs = plan.run()
+    assert np.isfinite(res_rs.frobenius_error)
+    diff = abs(float(res_rs.frobenius_error)
+               - float(res_full.frobenius_error))
+    assert diff <= 1e-4 * float(res_full.frobenius_error), (
+        res_rs.frobenius_error, res_full.frobenius_error)
+    print(f"ROWSHARD {res_rs.frobenius_error:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -54,3 +54,13 @@ def test_two_process_sharded_compute():
     ]
     assert len(results) == 2
     assert results[0] == results[1], "processes disagree on the error"
+    rowshard = [
+        line.split()[1]
+        for rc, out, _ in outs
+        for line in out.splitlines()
+        if line.startswith("ROWSHARD")
+    ]
+    assert len(rowshard) == 2, "row-shard ingestion did not run"
+    assert rowshard[0] == rowshard[1], (
+        "processes disagree on the row-shard error"
+    )
