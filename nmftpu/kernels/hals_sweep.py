@@ -34,7 +34,8 @@ compile time).
 
 The in-block correction coefficients are fed as a host-precomputed
 stack of TRANSPOSED diagonal blocks (`GbbT[kb*b + t, s'] =
-G[s+t, s+s']`), so the kernel needs no lane-dynamic access into G and
+G[s+s', s+t]`, i.e. column t of the stacked block carries
+G[s+t, s+t']), so the kernel needs no lane-dynamic access into G and
 no symmetry assumption.
 
 Padding: rows (lanes) pad with zeros — their updates are
@@ -142,7 +143,9 @@ def hals_sweep(XHt, G, W, *, block=16, tile_n=None, interpret=False):
         XHt = jnp.pad(XHt, ((0, np_ - n), (0, rp - r)))
         W = jnp.pad(W, ((0, np_ - n), (0, rp - r)))
         G = jnp.pad(G, ((0, rp - r), (0, rp - r)))
-    # Transposed-block correction stack: GbbT[kb*b+t, s'] = G[s+t, s+s'].
+    # Transposed-block correction stack: GbbT[kb*b+t, s'] = G[s+s', s+t]
+    # (the .T below), so GbbT[:, t] supplies G[s+t, s+t'] — exactly the
+    # column the correction step consumes; no symmetry assumption.
     nb = rp // block
     GbbT = jnp.concatenate(
         [G[k * block:(k + 1) * block, k * block:(k + 1) * block].T

@@ -382,8 +382,12 @@ class ShardedPlan:
             col_axis=self.col_axis, init_scoo=init_scoo,
         )
 
-        result = execute(self.operand, config, runner, init_fn,
-                         numel=n * m)
+        result = execute(
+            self.operand, config, runner, init_fn,
+            # masked runs report every metric (incl. rmsd's denominator)
+            # over the OBSERVED set, mirroring SparsePlan.run
+            numel=(self.V.nnz if config.mask == "observed" else n * m),
+        )
 
         if jax.process_count() > 1 or not unpermute:
             # Multi-host (or unpermute=False): the factors stay
@@ -650,6 +654,19 @@ def prepare_sharded_rowshards(
             )
 
     tile_r = rows // block_rows
+    # converse of the block-coverage check above: every LOCAL nonzero
+    # must land in a users-block this process owns, else it would be
+    # silently dropped (the tile callback only materializes owned
+    # tiles) while still inflating the allgathered cap/nnz —
+    # overlapping or over-extended file shards fail loudly instead
+    stray = np.setdiff1d(np.unique(tile_r), np.asarray(my_tiles_r))
+    if stray.size:
+        raise ValueError(
+            f"local row shard [{lo}, {hi}) contains rows in users-"
+            f"block(s) {stray.tolist()} not owned by this process "
+            f"(owned: {my_tiles_r}); file shards must partition the "
+            "row space along the mesh's users-axis blocks"
+        )
     tile_c = cols // block_cols
     tile_id = tile_r * pi + tile_c
     local_counts = np.bincount(tile_id, minlength=pu * pi)

@@ -132,11 +132,13 @@ def _upd_h_kl_masked(local, W, H, eps):
     return H * (numer / (denom + eps))
 
 
-def _upd_w_als_masked(local, W, H, lam, eps):
+def _upd_w_als_masked(local, W, H, lam, eps, solve):
     """Sharded exact completion ALS W half: per-row OBSERVED-only Grams
     from the local tile (0/1 indicator weight — no shared base Gram,
     unobserved entries carry zero weight), psum'd over items; batched
-    Cholesky solves + clamp. Per-device memory: (block_rows, r, r) f32."""
+    per-row solves (exact Cholesky or warm-started PCG per
+    config.als_solver) + clamp. Per-device memory: (block_rows, r, r)
+    f32."""
     from nmftpu.sparse_ops import _weighted_row_grams
 
     ind = lambda v: (v != 0)  # noqa: E731
@@ -146,11 +148,11 @@ def _upd_w_als_masked(local, W, H, lam, eps):
         AXIS_ITEMS,
     )
     rhs = lax.psum(v_ht(local, H), AXIS_ITEMS).astype(jnp.float32)
-    out = D._batched_solve_clamped(dG, rhs, lam, eps)
+    out = solve(dG, rhs, lam, eps, W.astype(jnp.float32))
     return out.astype(W.dtype)
 
 
-def _upd_h_als_masked(local, W, H, lam, eps):
+def _upd_h_als_masked(local, W, H, lam, eps, solve):
     from nmftpu.sparse_ops import _weighted_row_grams
 
     ind = lambda v: (v != 0)  # noqa: E731
@@ -160,7 +162,7 @@ def _upd_h_als_masked(local, W, H, lam, eps):
         AXIS_USERS,
     )
     rhs = lax.psum(wt_v(local, W), AXIS_USERS).T.astype(jnp.float32)
-    out = D._batched_solve_clamped(dG, rhs, lam, eps)
+    out = solve(dG, rhs, lam, eps, H.T.astype(jnp.float32))
     return out.T.astype(H.dtype)
 
 
@@ -199,12 +201,14 @@ def _upd_h_hals(local, W, H, l2, l1, eps):
     return D.hals_half_sweep(XtW, G, H.T).T
 
 
-def _upd_w_als_weighted(local, W, H, alpha, lam, eps):
+def _upd_w_als_weighted(local, W, H, alpha, lam, eps, solve):
     """Sharded iALS W half-step: per-row weighted Grams from the LOCAL
     tile's nonzeros (sparse_ops._weighted_row_grams), psum'd over the
     items axis so every W shard sees its rows' full Σ αv h hᵀ; the base
     Gram and c⊙v right-hand sides follow the plain-ALS psum pattern.
-    Per-device memory: (block_rows, r, r) f32."""
+    Per-row solves honor config.als_solver (exact Cholesky vs
+    warm-started PCG, x0 = the incoming shard). Per-device memory:
+    (block_rows, r, r) f32."""
     from nmftpu.sparse_ops import _weighted_row_grams
 
     G = lax.psum((H @ H.T).astype(jnp.float32), AXIS_ITEMS)
@@ -215,11 +219,11 @@ def _upd_w_als_weighted(local, W, H, alpha, lam, eps):
     )
     cv = local.with_values(local.values * (1.0 + alpha * local.values))
     rhs = lax.psum(v_ht(cv, H), AXIS_ITEMS).astype(jnp.float32)
-    out = D._batched_solve_clamped(G[None] + dG, rhs, lam, eps)
+    out = solve(G[None] + dG, rhs, lam, eps, W.astype(jnp.float32))
     return out.astype(W.dtype)
 
 
-def _upd_h_als_weighted(local, W, H, alpha, lam, eps):
+def _upd_h_als_weighted(local, W, H, alpha, lam, eps, solve):
     from nmftpu.sparse_ops import _weighted_row_grams
 
     G = lax.psum((W.T @ W).astype(jnp.float32), AXIS_USERS)
@@ -230,7 +234,7 @@ def _upd_h_als_weighted(local, W, H, alpha, lam, eps):
     )
     cv = local.with_values(local.values * (1.0 + alpha * local.values))
     rhs = lax.psum(wt_v(cv, W), AXIS_USERS).T.astype(jnp.float32)
-    out = D._batched_solve_clamped(G[None] + dG, rhs, lam, eps)
+    out = solve(G[None] + dG, rhs, lam, eps, H.T.astype(jnp.float32))
     return out.T.astype(H.dtype)
 
 
@@ -302,10 +306,15 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
                     lambda l, W, H: _upd_h_kl_masked(l, W, H, eps),
                 )
         else:
+            from nmftpu.sparse_ops import _row_solver
+
             lw, lh = config.lambda_w, config.lambda_h
+            solve = _row_solver(config.als_solver, config.cg_steps)
             update = make_step(
-                lambda l, W, H: _upd_w_als_masked(l, W, H, lw, eps),
-                lambda l, W, H: _upd_h_als_masked(l, W, H, lh, eps),
+                lambda l, W, H: _upd_w_als_masked(l, W, H, lw, eps,
+                                                  solve),
+                lambda l, W, H: _upd_h_als_masked(l, W, H, lh, eps,
+                                                  solve),
             )
         return (lambda scoo: ()), update, ident_h
 
@@ -338,11 +347,16 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
         return (lambda scoo: ()), update, ident_h
 
     if alg is Algorithm.ALS and config.alpha_confidence > 0.0:
+        from nmftpu.sparse_ops import _row_solver
+
         a = config.alpha_confidence
         lw, lh = config.lambda_w, config.lambda_h
+        solve = _row_solver(config.als_solver, config.cg_steps)
         update = make_step(
-            lambda l, W, H: _upd_w_als_weighted(l, W, H, a, lw, eps),
-            lambda l, W, H: _upd_h_als_weighted(l, W, H, a, lh, eps),
+            lambda l, W, H: _upd_w_als_weighted(l, W, H, a, lw, eps,
+                                                solve),
+            lambda l, W, H: _upd_h_als_weighted(l, W, H, a, lh, eps,
+                                                solve),
         )
         return (lambda scoo: ()), update, ident_h
 

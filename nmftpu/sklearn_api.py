@@ -37,7 +37,9 @@ Semantics notes vs sklearn (`sklearn/decomposition/_nmf.py`):
     AND any float (generalized beta divergence with sklearn's gamma
     exponent and beta<1 stabilization — factor parity tested at
     beta ∈ {0.5, 1.5, 2.5} and 'itakura-saito'). transform() under a
-    general beta is not implemented (fold-in is Frobenius/KL).
+    general beta folds in via W-only beta-MU steps on dense rows
+    (foldin._beta_w_loop_dense); sparse inputs at a general beta
+    raise with a densify hint.
   * Extra TPU-side parameters (``mesh``, ``strategy``, ``v_storage``,
     ``num_runs``, ``algorithm``) default to the sklearn-equivalent
     behavior and are ignored by sklearn-written call sites.

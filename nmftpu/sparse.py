@@ -21,7 +21,14 @@ def _two_key_order(major, minor, minor_extent):
     """argsort by (major, minor). When major*extent+minor fits int64 the
     two keys fuse into ONE int64 quicksort — ~4x faster than np.lexsort
     at 100M nnz (the cfg4 ingest hot spot; BENCH_host_partition.json).
-    Equal fused keys are exact duplicates, so stability is irrelevant."""
+
+    Duplicate-coordinate caveat: the fused sort is deterministic (same
+    input -> same permutation) but NOT input-order stable, so duplicate
+    (row, col) entries land in unspecified relative order; downstream
+    they are summed, and only the f32 rounding of that sum can differ
+    from the old lexsort order. kind='stable' (radix) would restore
+    input order but measures 2.3x slower at 30M keys — not worth it for
+    an input class (duplicate coordinates) the loaders never emit."""
     major = np.asarray(major, np.int64)
     minor = np.asarray(minor, np.int64)
     extent = int(minor_extent)

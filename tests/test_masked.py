@@ -249,3 +249,7 @@ def test_masked_sharded_matches_single_device(rng):
             float(rs.frobenius_error), float(r1.frobenius_error),
             rtol=1e-3,
         )
+        # rmsd divides by the OBSERVED count on both paths (advisor r3:
+        # the sharded path used to divide by sqrt(n*m))
+        np.testing.assert_allclose(float(rs.rmsd), float(r1.rmsd),
+                                   rtol=1e-3)

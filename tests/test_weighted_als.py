@@ -327,3 +327,51 @@ def test_plan_run_checks_gram_budget(rng):
         del os.environ["NMFTPU_WEIGHTED_GRAM_BUDGET_BYTES"]
     res = plan.run(config=ials)  # under the default budget: runs
     assert np.isfinite(res.frobenius_error)
+
+
+def test_sharded_grid_honors_cg_solver(rng):
+    """The grid-mesh iALS/masked-ALS updates route config.als_solver
+    (advisor r3: they used to hardcode the exact Cholesky path). The
+    sharded CG run must match the single-device CG run — and differ
+    from the sharded exact run, proving the knob is honored."""
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    V = _implicit(rng, 40, 32, 4)
+    W0 = rng.uniform(0.1, 1.0, (40, 4)).astype(np.float32)
+    H0 = rng.uniform(0.1, 1.0, (4, 32)).astype(np.float32)
+    mesh = make_grid_mesh((2, 4))
+    base = dict(rank=4, algorithm=Algorithm.ALS, alpha_confidence=6.0,
+                lambda_w=0.1, lambda_h=0.1, num_iterations=4,
+                init_method="copy_existing", check_interval=4)
+    cfg_cg = NmfConfig(**base, als_solver="cg", cg_steps=2)
+    r1 = compute_sparse(hs.from_dense(V), cfg_cg, W0=W0, H0=H0,
+                        strategy="scatter")
+    rs = compute_sharded(hs.from_dense(V), cfg_cg, W0=W0, H0=H0,
+                         mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rs.W), np.asarray(r1.W),
+                               rtol=2e-3, atol=2e-4)
+    rs_ex = compute_sharded(hs.from_dense(V), NmfConfig(**base),
+                            W0=W0, H0=H0, mesh=mesh)
+    assert not np.allclose(np.asarray(rs.W), np.asarray(rs_ex.W),
+                           rtol=1e-6, atol=1e-7)
+
+    # masked completion ALS on the grid under CG: parity with the
+    # single-device scatter engine
+    obs = rng.random((40, 32)) < 0.6
+    obs[:, :2] = True
+    obs[:2, :] = True
+    Vobs = np.where(obs, V + 0.5, 0.0).astype(np.float32)
+    cfg_m = NmfConfig(rank=3, mask="observed", algorithm="als",
+                      lambda_w=0.05, lambda_h=0.05, num_iterations=4,
+                      init_method="copy_existing", check_interval=4,
+                      als_solver="cg", cg_steps=2)
+    W0m = W0[:, :3].copy()
+    H0m = H0[:3].copy()
+    r1m = compute_sparse(hs.from_dense(Vobs), cfg_m, W0=W0m, H0=H0m,
+                         strategy="scatter")
+    rsm = compute_sharded(hs.from_dense(Vobs), cfg_m, W0=W0m, H0=H0m,
+                          mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rsm.W), np.asarray(r1m.W),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(rsm.rmsd), float(r1m.rmsd),
+                               rtol=1e-3)
