@@ -541,6 +541,103 @@ def kl_error_ell(pair: EllPair, W, H, eps=1e-12) -> jax.Array:
     return total + jnp.sum(W, axis=0) @ jnp.sum(H, axis=1)
 
 
+def mu_update_beta_ell(pair: EllPair, W, H, beta, eps=1e-9, order="WH",
+                       block=2048):
+    """Generalized beta-divergence MU on the gather-only ELL layout
+    (beyond-HBM float beta_loss; round-3 verdict item 7): the numerator
+    reuses the fused gather-once machinery (sampled_rowsums_ell with
+    the coefficient v * WH^(beta-2)), the dense-in-FLOPs denominator
+    streams panels via sparse_ops.beta_denom_{w,h}_blocked. Guards /
+    gamma / beta<1 stabilization are sklearn's (linalg.dense
+    .mu_update_beta is the oracle). ELL padding lanes carry v = 0, so
+    their coefficient is 0 * finite (the beta<2 EPSILON clamp keeps the
+    sampled-garbage power finite) — exact no-ops."""
+    from nmftpu.linalg import dense as D
+    from nmftpu.sparse_ops import (beta_denom_h_blocked,
+                                   beta_denom_w_blocked)
+
+    gamma = D.beta_gamma(beta)
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+
+    if beta == 0.0:
+        def cf(v, s):
+            sc = jnp.maximum(s, D.EPSILON)
+            return v / (sc * sc)
+    elif beta < 2.0:
+        def cf(v, s):
+            return v * jnp.maximum(s, D.EPSILON) ** (beta - 2.0)
+    else:
+        def cf(v, s):
+            return v * s ** (beta - 2.0)
+    coeff = (cf,)
+
+    def stab(X):
+        if beta < 1.0:
+            return jnp.where(X < D._STAB_EPS, 0.0, X)
+        return X
+
+    def apply(F, numer, denom):
+        denom = jnp.where(denom == 0.0, D.EPSILON, denom)
+        d = numer / denom
+        if gamma != 1.0:
+            d = d ** gamma
+        return stab(F * d)
+
+    def upd_w(W, H):
+        numer, = sampled_rowsums_ell(pair.rows, W, H, coeff)
+        denom = beta_denom_w_blocked(W, H, beta, block)
+        return apply(W, numer, denom)
+
+    def upd_h(W, H):
+        numer, = sampled_rowsums_ell(pair.cols, H.T, W.T, coeff)
+        denom = beta_denom_h_blocked(W, H, beta, block)
+        return apply(H, numer.T, denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def beta_divergence_ell(pair: EllPair, W, H, beta, block=2048):
+    """D_beta(V || WH) with sklearn's sparse-X semantics on ELL (twin of
+    sparse_ops.beta_divergence_sparse; padding lanes carry v = 0 and
+    are dropped by the v > EPSILON filter)."""
+    from nmftpu.linalg import dense as D
+    from nmftpu.sparse_ops import beta_sum_wh_blocked
+
+    s = sddmm_ell(pair.rows, W, H)
+    acc_dt = _acc_dtype(jnp.asarray(W).dtype)
+    n, m = pair.shape
+    sum_x_beta = jnp.asarray(0.0, acc_dt)
+    sum_x_wh = jnp.asarray(0.0, acc_dt)
+    sum_div = jnp.asarray(0.0, acc_dt)
+    sum_log_div = jnp.asarray(0.0, acc_dt)
+    for orig, samp in zip(pair.rows.buckets, s.buckets):
+        v = orig.vals
+        keep = v > D.EPSILON
+        wh_c = jnp.maximum(samp.vals, D.EPSILON)
+        if beta == 0.0:
+            div = (v / wh_c).astype(acc_dt)
+            sum_div += jnp.sum(jnp.where(keep, div, 0.0))
+            sum_log_div += jnp.sum(jnp.where(
+                keep, jnp.log(jnp.where(keep, div, 1.0)), 0.0))
+        else:
+            sum_x_beta += jnp.sum(jnp.where(
+                keep, (v ** beta).astype(acc_dt), 0.0))
+            sum_x_wh += jnp.sum(jnp.where(
+                keep, (v * wh_c ** (beta - 1.0)).astype(acc_dt), 0.0))
+    if beta == 0.0:
+        return sum_div - float(n) * float(m) - sum_log_div
+    sum_wh_beta = beta_sum_wh_blocked(W, H, beta, block)
+    res = sum_x_beta - beta * sum_x_wh + (beta - 1.0) * sum_wh_beta
+    return res / (beta * (beta - 1.0))
+
+
 def mu_update_kl_ell(pair: EllPair, W, H, eps=1e-9, order="WH"):
     """Sparse MU (KL): fused gather-once ratio+SpMM per half-step — the
     table rows are gathered once and reused for the (WH) sample AND the

@@ -258,6 +258,178 @@ def mu_update_kl_sparse(coo, W, H, eps=1e-9, order="WH"):
     return W, H
 
 
+def _beta_pwr_d(WH, beta):
+    """Denominator power of one beta-MU half-step, sklearn's guard:
+    clamp WH up to EPSILON only when beta < 1 (see linalg.dense
+    ._beta_powers; the numerator's separate guard lives with the
+    SDDMM-sampled values below)."""
+    WH_d = jnp.maximum(WH, D.EPSILON) if beta < 1.0 else WH
+    return WH_d ** (beta - 1.0)
+
+
+def beta_denom_w_blocked(W, H, beta, block=2048):
+    """(WH)^(beta-1) H^T -> (n, r) via a lax.scan over column panels of
+    H: the beta-MU W denominator is DENSE regardless of V's sparsity
+    (the power does not factor like beta=2's W(HH^T) or beta=1's row
+    sums), but it never needs the full (n, m) matrix — peak memory is
+    one (n, block) panel. Zero-pad columns contribute nothing: the
+    panel's H^T rows are zero there."""
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    r, m = H.shape
+    nb = -(-m // block)
+    Hp = jnp.pad(H, ((0, 0), (0, nb * block - m)))
+    Hb = Hp.reshape(r, nb, block).transpose(1, 0, 2)      # (nb, r, blk)
+
+    def body(acc, Hblk):
+        WH = W @ Hblk                                      # (n, blk)
+        return acc + _beta_pwr_d(WH, beta) @ Hblk.T, None
+
+    acc0 = jnp.zeros((W.shape[0], r), W.dtype)
+    acc, _ = lax.scan(body, acc0, Hb)
+    return acc
+
+
+def beta_denom_h_blocked(W, H, beta, block=2048):
+    """W^T (WH)^(beta-1) -> (r, m) via row panels of W (twin of
+    beta_denom_w_blocked; zero-pad rows likewise drop out)."""
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    n, r = W.shape
+    nb = -(-n // block)
+    Wp = jnp.pad(W, ((0, nb * block - n), (0, 0)))
+    Wb = Wp.reshape(nb, block, r)
+
+    def body(acc, Wblk):
+        WH = Wblk @ H                                      # (blk, m)
+        return acc + Wblk.T @ _beta_pwr_d(WH, beta), None
+
+    acc0 = jnp.zeros((r, H.shape[1]), H.dtype)
+    acc, _ = lax.scan(body, acc0, Wb)
+    return acc
+
+
+def beta_sum_wh_blocked(W, H, beta, block=2048):
+    """sum over ALL nm entries of (WH)^beta, blockwise (the only term of
+    the sparse beta divergence that touches the zero positions). Pad
+    columns are masked explicitly: for beta < 0 their 0^beta would be
+    +inf, which jnp.where drops (select, not multiply)."""
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+    r, m = H.shape
+    nb = -(-m // block)
+    Hp = jnp.pad(H, ((0, 0), (0, nb * block - m)))
+    Hb = Hp.reshape(r, nb, block).transpose(1, 0, 2)
+    acc_dt = _scatter_acc_dtype(W.dtype)
+    col = jnp.arange(block)
+
+    def body(carry, Hblk):
+        acc, i = carry
+        WH = (W @ Hblk).astype(acc_dt)
+        valid = (i * block + col) < m
+        term = jnp.where(valid[None, :], WH ** beta, 0.0)
+        return (acc + jnp.sum(term), i + 1), None
+
+    (acc, _), _ = lax.scan(body, (jnp.asarray(0.0, acc_dt), 0), Hb)
+    return acc
+
+
+def _beta_numer_values(coo, W, H, beta, wh_nz=None):
+    """values * WH^(beta-2) sampled at the nonzeros — the whole beta-MU
+    numerator weight (sklearn's separate numerator guard: clamp WH up
+    to EPSILON when beta < 2). This is the part that is pure gathered-
+    dot-product work, shared with the KL path's machinery."""
+    if wh_nz is None:
+        wh_nz = sddmm(coo, W, H)
+    wh_n = jnp.maximum(wh_nz, D.EPSILON) if beta < 2.0 else wh_nz
+    if beta == 0.0:
+        pwr = 1.0 / (wh_n * wh_n)
+    else:
+        pwr = wh_n ** (beta - 2.0)
+    return coo.with_values(coo.values * pwr)
+
+
+def mu_update_beta_sparse(coo, W, H, beta, eps=1e-9, order="WH",
+                          block=2048):
+    """Generalized beta-divergence MU on the scatter engine — the
+    beyond-HBM route for float beta_loss (round-3 verdict item 7).
+
+    Numerator: (WH)^(beta-2) . V is nonzero only at V's stored set, so
+    it is one SDDMM + one scatter-SpMM per half-step — the same fused
+    gather machinery as KL. Denominator: (WH)^(beta-1) H^T is dense in
+    FLOPs (O(nmr), unavoidable for general beta) but streamed through
+    (n, block) panels, never materializing nm. Guards, gamma exponent
+    and beta<1 stabilization are sklearn's, guard-for-guard (see
+    linalg.dense.mu_update_beta, the dense oracle). `eps` accepted for
+    registry-signature uniformity but unused — the guards are the
+    fixed EPSILON clamps."""
+    gamma = D.beta_gamma(beta)
+    W = jnp.asarray(W)
+    H = jnp.asarray(H)
+
+    def stab(X):
+        if beta < 1.0:
+            return jnp.where(X < D._STAB_EPS, 0.0, X)
+        return X
+
+    def apply(F, numer, denom):
+        denom = jnp.where(denom == 0.0, D.EPSILON, denom)
+        d = numer / denom
+        if gamma != 1.0:
+            d = d ** gamma
+        return stab(F * d)
+
+    def upd_w(W, H):
+        ratio = _beta_numer_values(coo, W, H, beta)
+        numer = v_ht(ratio, H)
+        denom = beta_denom_w_blocked(W, H, beta, block)
+        return apply(W, numer, denom)
+
+    def upd_h(W, H):
+        ratio = _beta_numer_values(coo, W, H, beta)
+        numer = wt_v(ratio, W)
+        denom = beta_denom_h_blocked(W, H, beta, block)
+        return apply(H, numer, denom)
+
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def beta_divergence_sparse(coo, W, H, beta, block=2048):
+    """D_beta(V || WH) with sklearn's sparse-X semantics, guard-for-
+    guard (_beta_divergence's sparse branch): stored values filtered to
+    v > EPSILON, sampled WH clamped up to EPSILON, and the one term
+    that touches the zero positions — sum (WH)^beta — computed
+    blockwise over all nm entries (beta=0's version of that term is
+    the constant nm)."""
+    wh = sddmm(coo, W, H)
+    v = coo.values
+    keep = v > D.EPSILON
+    wh_c = jnp.maximum(wh, D.EPSILON)
+    acc_dt = _scatter_acc_dtype(jnp.asarray(W).dtype)
+    n, m = coo.shape
+    if beta == 0.0:
+        div = (v / wh_c).astype(acc_dt)
+        return (
+            jnp.sum(jnp.where(keep, div, 0.0))
+            - float(n) * float(m)
+            - jnp.sum(jnp.where(keep, jnp.log(jnp.where(keep, div, 1.0)),
+                                0.0))
+        )
+    sum_wh_beta = beta_sum_wh_blocked(W, H, beta, block)
+    sum_x_wh = jnp.sum(jnp.where(
+        keep, (v * wh_c ** (beta - 1.0)).astype(acc_dt), 0.0
+    ))
+    sum_x_beta = jnp.sum(jnp.where(keep, (v ** beta).astype(acc_dt), 0.0))
+    res = sum_x_beta - beta * sum_x_wh + (beta - 1.0) * sum_wh_beta
+    return res / (beta * (beta - 1.0))
+
+
 def mu_update_frobenius_weighted_sparse(coo, W, H, alpha, eps=1e-9,
                                         order="WH"):
     """Implicit-feedback confidence weighting c = 1 + alpha*v on observed
@@ -673,6 +845,16 @@ def build_sparse_update(config: NmfConfig):
                 ),
                 ident_h,
             )
+        if obj is Objective.BETA:
+            b_ = config.beta
+            return (
+                lambda coo: (),
+                lambda coo, aux, W, H: mu_update_beta_sparse(
+                    coo, W, H, b_, eps=eps, order=order
+                ),
+                ident_h,
+            )
+        assert obj is Objective.KL, obj
         return (
             lambda coo: (),
             lambda coo, aux, W, H: mu_update_kl_sparse(
@@ -928,6 +1110,13 @@ def _sparse_ops_bundle(config: NmfConfig) -> LoopOps:
             sum_v_sq=lambda coo: jnp.asarray(0.0, jnp.float32),
             numel=lambda coo, _nnz=None: coo.nnz,
         )
+    if config.objective is Objective.BETA:
+        b_ = config.beta
+        divergence = lambda coo, aux, W, He: beta_divergence_sparse(  # noqa: E731
+            coo, W, He, b_
+        )
+    else:
+        divergence = lambda coo, aux, W, He: kl_error(coo, W, He)  # noqa: E731
     return LoopOps(
         make_aux=make_aux,
         update=update,
@@ -935,7 +1124,7 @@ def _sparse_ops_bundle(config: NmfConfig) -> LoopOps:
         frobenius=lambda coo, aux, W, He, svsq: frobenius_error(
             coo, W, He, svsq
         ),
-        kl=lambda coo, aux, W, He: kl_error(coo, W, He),
+        kl=divergence,
         sum_v_sq=lambda coo: jnp.sum(
             jnp.square(coo.values.astype(
                 _scatter_acc_dtype(coo.values.dtype)
@@ -1294,11 +1483,24 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
             def update(pair, aux, W, H):
                 return SE.mu_update_frobenius_ell(pair, W, H, eps=eps,
                                                   order=order)
+    elif obj is Objective.BETA:
+        b_ = config.beta
+
+        def update(pair, aux, W, H):
+            return SE.mu_update_beta_ell(pair, W, H, b_, eps=eps,
+                                         order=order)
     else:
 
         def update(pair, aux, W, H):
             return SE.mu_update_kl_ell(pair, W, H, eps=eps, order=order)
 
+    if obj is Objective.BETA:
+        bd_ = config.beta
+        divergence = lambda pair, aux, W, He: SE.beta_divergence_ell(  # noqa: E731
+            pair, W, He, bd_
+        )
+    else:
+        divergence = lambda pair, aux, W, He: SE.kl_error_ell(pair, W, He)  # noqa: E731
     return LoopOps(
         make_aux=make_aux,
         update=update,
@@ -1306,7 +1508,7 @@ def _ell_ops_bundle(config: NmfConfig) -> LoopOps:
         frobenius=lambda pair, aux, W, He, svsq: SE.frobenius_error_ell(
             pair, W, He, svsq
         ),
-        kl=lambda pair, aux, W, He: SE.kl_error_ell(pair, W, He),
+        kl=divergence,
         sum_v_sq=lambda pair: SE.sum_v_sq_ell(pair.rows),
         numel=lambda pair: pair.shape[0] * pair.shape[1],
     )
@@ -1331,15 +1533,6 @@ def _check_weighted_gram_budget(n: int, m: int, rank: int) -> None:
 
 def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                       m: int) -> str:
-    if config.objective is Objective.BETA and strategy in (
-        "scatter", "ell",
-    ):
-        raise ValueError(
-            f"strategy={strategy!r} cannot run the generalized beta "
-            "objective: the MU denominator (WH)^(beta-1) H^T is dense "
-            "regardless of V's sparsity, so only the 'densified' engine "
-            "(blockwise panels) supports it"
-        )
     if config.mask == "observed":
         if strategy == "densified":
             raise ValueError(
@@ -1356,27 +1549,18 @@ def _resolve_strategy(V, config: NmfConfig, strategy: str, n: int,
                 # gather-only masked paths: one fused gather per
                 # half-step serves numerator + SDDMM/Gram + denominator
                 strategy = "ell"
-    if config.objective is Objective.BETA and config.dtype == "float64":
-        raise ValueError(
-            "the generalized beta objective on sparse V runs the "
-            "densified engine, which stores bf16 panels — incompatible "
-            "with the dtype='float64' exactness contract; use the dense "
-            "driver (nmftpu.driver.compute) for double-precision beta"
-        )
     if strategy == "auto":
         if config.objective is Objective.BETA:
+            # every engine runs a float beta_loss now (r3 verdict item
+            # 7): densified when V fits HBM densely (fastest — MXU
+            # panels), ELL beyond it (gather numerators + streamed
+            # denominators), scatter for the f64 exactness contract
+            if config.dtype == "float64":
+                return "scatter"
             v_bytes_b = 1 if config.v_storage == "int8" else 2
-            if v_bytes_b * n * m > DENSIFY_BUDGET_BYTES:
-                raise ValueError(
-                    "the generalized beta objective needs the densified "
-                    f"engine, but a {n}x{m} dense panel matrix exceeds "
-                    "the densify budget "
-                    f"({DENSIFY_BUDGET_BYTES / 2**30:.1f} GiB; "
-                    "NMFTPU_DENSIFY_BUDGET_BYTES) — shard the problem "
-                    "or use beta in {2, 1} (Frobenius/KL), which run "
-                    "on every sparse engine"
-                )
-            return "densified"
+            if v_bytes_b * n * m <= DENSIFY_BUDGET_BYTES:
+                return "densified"
+            return "ell"
         if (config.algorithm is Algorithm.ALS
                 and config.alpha_confidence > 0.0):
             # iALS is sparse-aware by construction (O(nnz·r²) Gram

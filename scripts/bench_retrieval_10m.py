@@ -1,33 +1,46 @@
-"""Retrieval serving at the 10M-item scale (BASELINE.json config #5;
-round-1 verdict item 5): bandwidth-shaped bench of blocked top-k MIPS
-with block-bucketed seen-exclusion, exact vs approx with candidate-k'
-sweep.
+"""Retrieval serving at the 10M-item scale (BASELINE.json config #5's
+headline scale; round-2/3 verdict item: the measured artifact).
 
-m is chosen block-divisible so the kernel takes the zero-copy path (no
-padded duplicate of the 2.5 GB table). Synthetic seen lists (~100/user)
-exercise the exclusion scatter exactly as production would.
+Covers the full demanded matrix on one v5e chip:
+  * table residency: f32 / bf16 / int8 at rank 256 (the int8 table is
+    ~2.7 GB — actually resident on-chip), plus f32 rank 64 for
+    continuity with the 500k-item numbers in PERF.md;
+  * exact vs `lax.approx_max_k` with a candidate-k' recall sweep;
+  * block-bucketed seen-exclusion overhead (on vs off).
+
+Item tables are generated ON DEVICE (jax.random) — no 10.7 GB
+host->device transfer through the tunnel. m is block-divisible so the
+kernel takes the zero-copy path (no padded duplicate of the table).
+Synthetic seen lists (~100/user) exercise the exclusion scatter exactly
+as production would.
+
+Writes BENCH_retrieval_10m.json at the repo root.
 
 Usage: python scripts/bench_retrieval_10m.py [--items 10485760]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=640 * 16384)  # 10.49M
-    ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--block", type=int, default=16384)
+    ap.add_argument("--mega", type=int, default=1048576)
     ap.add_argument("--seen", type=int, default=100)
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "BENCH_retrieval_10m.json"))
     args = ap.parse_args()
 
     import jax
@@ -35,19 +48,14 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/nmftpu_jax_cache")
     from nmftpu.retrieval.exclusion import build_block_exclusion
-    from nmftpu.retrieval.mips import topk_mips_blocked
+    from nmftpu.retrieval.mips import topk_mips_blocked, topk_mips_excluded
     from nmftpu.sparse import SparseCSR
 
-    m, r, b, k = args.items, args.rank, args.batch, args.k
+    m, b, k = args.items, args.batch, args.k
     rng = np.random.default_rng(0)
-    print(f"items={m/1e6:.2f}M rank={r} batch={b} k={k} "
+    dev = jax.devices()[0]
+    print(f"device={dev.device_kind} items={m/1e6:.2f}M batch={b} k={k} "
           f"block={args.block}", flush=True)
-    print(f"H table: {m*r*4/1e9:.2f} GB f32", flush=True)
-
-    H = jax.device_put(
-        jnp.asarray(rng.standard_normal((r, m), dtype=np.float32))
-    )
-    Wq = jnp.asarray(rng.standard_normal((b, r), dtype=np.float32))
 
     # synthetic seen lists for the batch users (ids 0..b-1)
     seen_counts = rng.poisson(args.seen, b).clip(1, 4 * args.seen)
@@ -60,48 +68,169 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"exclusion build (host): {t_build*1e3:.1f} ms for "
           f"{indptr[-1]} seen pairs -> E={lists[0].shape[1]}", flush=True)
-
-    score_gb = m * r * 4 / 1e9  # H read once per batch
-
-    def bench(label, **kw):
-        fn = lambda Wq: topk_mips_blocked(  # noqa: E731
-            Wq, H, k, block=args.block, exclude_lists=lists, **kw
-        )
-        # warm
-        s, i = fn(Wq)
-        float(jnp.sum(s))
-        best = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            s, i = fn(Wq)
-            float(jnp.sum(s))
-            best = min(best, time.perf_counter() - t0)
-        qps = b / best
-        print(f"{label:34s} {best*1e3:8.1f} ms/batch  {qps:10.0f} q/s  "
-              f"({score_gb/best:.0f} GB/s table read)", flush=True)
-        return s, i, best
-
-    s_ex, i_ex, t_ex = bench("exact")
-    results = {}
-    for ck in (32, 100, 256, 512):
-        s_ap, i_ap, t_ap = bench(f"approx candidate_k={ck}",
-                                 method="approx", candidate_k=ck)
-        # recall vs exact
-        got, want = np.asarray(i_ap), np.asarray(i_ex)
-        rec = np.mean([
-            len(set(got[u]) & set(want[u])) / k for u in range(b)
-        ])
-        results[ck] = (t_ap, rec)
-        print(f"    recall vs exact: {rec:.4f}  "
-              f"speedup {t_ex/t_ap:.1f}x", flush=True)
-
-    # seen items must never surface
-    got = np.asarray(i_ex)
-    viol = 0
+    # padded (b, S) seen array for the oversampling exclusion form
+    S = int(seen_counts.max())
+    seen_arr = np.full((b, S), -1, np.int32)
     for u in range(b):
-        su = set(indices[indptr[u]:indptr[u+1]].tolist())
-        viol += len(su & set(got[u].tolist()))
-    print(f"seen-exclusion violations (exact): {viol}", flush=True)
+        su = np.unique(indices[indptr[u]:indptr[u + 1]])
+        seen_arr[u, :len(su)] = su
+    seen_arr = jnp.asarray(seen_arr)
+    print(f"seen width S={S} -> oversampled candidate width k+S="
+          f"{k + S}", flush=True)
+
+    rows = []
+
+    def bench(label, fn, table_gb, reps=5):
+        s, i = fn()
+        float(jnp.sum(s))  # warm (compile) + host sync
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s, i = fn()
+            float(jnp.sum(s))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        spread = (max(times) - best) / best
+        qps = b / best
+        print(f"{label:44s} {best*1e3:8.1f} ms/batch  {qps:10.0f} q/s  "
+              f"({table_gb/best:6.0f} GB/s table read, "
+              f"spread {spread*100:.0f}%)", flush=True)
+        return s, i, best, spread
+
+    def run_config(name, r, table_dtype):
+        key = jax.random.PRNGKey(7)
+        gen = jax.jit(
+            lambda key: jax.random.normal(key, (r, m), dtype=jnp.float32)
+            if table_dtype != "bfloat16"
+            else jax.random.normal(key, (r, m), dtype=jnp.bfloat16)
+        )
+        h_scale = None
+        if table_dtype == "int8":
+            # two-pass BLOCKWISE generate+quantize: peak device memory is
+            # the int8 table + one f32 chunk (the one-shot f32 table +
+            # int8 copy OOM'd the 16 GB chip at r=256)
+            nch = 10
+            cw = m // nch
+            gen_chunk = jax.jit(lambda k: jax.random.normal(
+                k, (r, cw), dtype=jnp.float32))
+            amax = max(
+                float(jnp.max(jnp.abs(gen_chunk(jax.random.fold_in(key, i)))))
+                for i in range(nch)
+            )
+            h_scale = amax / 127.0
+            quant = jax.jit(lambda k: jnp.clip(
+                jnp.round(gen_chunk(k) / h_scale), -127, 127
+            ).astype(jnp.int8))
+            H = jnp.concatenate(
+                [quant(jax.random.fold_in(key, i)) for i in range(nch)],
+                axis=1,
+            )
+            H.block_until_ready()
+        else:
+            H = gen(key)
+            H.block_until_ready()
+        bytes_per = jnp.dtype(H.dtype).itemsize
+        table_gb = m * r * bytes_per / 1e9
+        print(f"\n== {name}: rank={r} table={table_dtype} "
+              f"{table_gb:.2f} GB on-chip ==", flush=True)
+        Wq = jnp.asarray(rng.standard_normal((b, r)).astype(np.float32))
+
+        # exact oracle, oversampling-exclusion form (top_k is sort-bound
+        # ~0.34 ns/elem/row, so block size barely matters for exact)
+        s_ex, i_ex, t_ex, sp_ex = bench(
+            f"{name} exact oversample-excl",
+            lambda: topk_mips_excluded(Wq, H, k, seen_arr,
+                                       block=args.block,
+                                       h_scale=h_scale), table_gb)
+        rows.append(dict(config=name, rank=r, table_dtype=table_dtype,
+                         table_gb=round(table_gb, 2), method="exact",
+                         block=args.block, exclusion="oversample",
+                         ms_per_batch=round(t_ex*1e3, 1),
+                         qps=round(b/t_ex), spread=round(sp_ex, 3)))
+
+        # the old per-block scatter form, for the overhead comparison
+        _, _, t_sc, sp_sc = bench(
+            f"{name} exact scatter-excl",
+            lambda: topk_mips_blocked(Wq, H, k, block=args.block,
+                                      exclude_lists=lists,
+                                      h_scale=h_scale), table_gb)
+        rows.append(dict(config=name, rank=r, table_dtype=table_dtype,
+                         table_gb=round(table_gb, 2), method="exact",
+                         block=args.block, exclusion="scatter",
+                         ms_per_batch=round(t_sc*1e3, 1),
+                         qps=round(b/t_sc), spread=round(sp_sc, 3)))
+
+        # approx serving path: MEGABLOCKS + oversampling exclusion.
+        # approx_max_k runs at score-read bandwidth (unlike top_k's
+        # sort) and the fused GEMM->approx step never materializes the
+        # (b, block) scores, so ~10 megablock steps replace 640 sorts.
+        want = np.asarray(i_ex)
+        for blk, ck in ((args.block, 100), (args.mega, 100),
+                        (args.mega, 512), (args.mega, 2048)):
+            try:
+                s_ap, i_ap, t_ap, sp_ap = bench(
+                    f"{name} approx blk={blk//1024}k ck={ck}",
+                    lambda: topk_mips_excluded(
+                        Wq, H, k, seen_arr, block=blk, method="approx",
+                        candidate_k=ck, h_scale=h_scale), table_gb)
+            except Exception as e:  # noqa: BLE001 — e.g. 2 GB score
+                # buffer on top of the 10.7 GB f32 table can OOM
+                print(f"    blk={blk} ck={ck} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                rows.append(dict(config=name, rank=r,
+                                 table_dtype=table_dtype, method="approx",
+                                 block=blk, candidate_k=ck,
+                                 error=f"{type(e).__name__}"))
+                continue
+            got = np.asarray(i_ap)
+            rec = float(np.mean([
+                len(set(got[u]) & set(want[u])) / k for u in range(b)
+            ]))
+            print(f"    recall vs exact: {rec:.4f}  "
+                  f"speedup {t_ex/t_ap:.1f}x", flush=True)
+            rows.append(dict(config=name, rank=r, table_dtype=table_dtype,
+                             table_gb=round(table_gb, 2), method="approx",
+                             block=blk, candidate_k=ck,
+                             exclusion="oversample",
+                             ms_per_batch=round(t_ap*1e3, 1),
+                             qps=round(b/t_ap),
+                             recall_vs_exact=round(rec, 4),
+                             spread=round(sp_ap, 3)))
+
+        # seen items must never surface (exact path)
+        viol = 0
+        for u in range(b):
+            su = set(indices[indptr[u]:indptr[u+1]].tolist())
+            viol += len(su & set(want[u].tolist()))
+        print(f"    seen-exclusion violations (exact): {viol}", flush=True)
+        assert viol == 0
+        del H
+        return t_ex
+
+    for name, r, dt in (
+        ("f32_r64", 64, "float32"),
+        ("f32_r256", 256, "float32"),     # 10.7 GB: the f32 ceiling
+        ("bf16_r256", 256, "bfloat16"),
+        ("int8_r256", 256, "int8"),       # 2.7 GB: the headline table
+    ):
+        try:
+            run_config(name, r, dt)
+        except Exception as e:  # noqa: BLE001 — record OOMs, keep going
+            print(f"{name} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            rows.append(dict(config=name, rank=r, table_dtype=dt,
+                             error=f"{type(e).__name__}: {str(e)[:200]}"))
+
+    out = dict(
+        device=dev.device_kind, items=m, batch=b, k=k, block=args.block,
+        mean_seen_per_user=args.seen,
+        exclusion_build_host_ms=round(t_build*1e3, 1),
+        timing="min of 5 (spread = (max-min)/min), post-compile",
+        results=rows,
+    )
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -132,19 +132,101 @@ def test_beta_engine_guards(rng):
     sp = hs.from_dense(V32)
     cfg = NmfConfig(rank=3, objective="beta-divergence", beta=0.5,
                     num_iterations=2)
-    for strategy in ("scatter", "ell"):
-        with pytest.raises(ValueError, match="densified"):
-            compute_sparse(sp, cfg, strategy=strategy)
     from nmftpu.parallel import compute_sharded, make_grid_mesh
 
     with pytest.raises(ValueError, match="beta"):
         compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
     from nmftpu.sparse_ops import _resolve_strategy
 
+    # f64 beta routes to the exact scatter engine; f32 beyond the
+    # densify budget routes to ELL (r3 verdict item 7: every single-
+    # device engine runs a float beta_loss)
     cfg64 = NmfConfig(rank=3, objective="beta-divergence", beta=0.5,
                       dtype="float64")
-    with pytest.raises(ValueError, match="float64"):
-        _resolve_strategy(None, cfg64, "auto", 40, 30)
+    assert _resolve_strategy(None, cfg64, "auto", 40, 30) == "scatter"
+    cfg32 = NmfConfig(rank=3, objective="beta-divergence", beta=0.5)
+    assert _resolve_strategy(None, cfg32, "auto", 40, 30) == "densified"
+    assert _resolve_strategy(None, cfg32, "auto", 10**6, 10**6) == "ell"
+
+
+@pytest.mark.parametrize("beta", [0.5, 1.5, 2.5, 0.0])
+def test_beta_sparse_engines_match_dense(rng, beta):
+    """Scatter and ELL beta-MU track the dense oracle (which is itself
+    sklearn-parity-tested above) — numerators via the fused gather
+    machinery, denominators streamed blockwise."""
+    import dataclasses
+
+    V, W0, H0 = _problem(rng)
+    sp = hs.from_dense(V)
+    cfg = NmfConfig(rank=4, objective="beta-divergence", beta=beta,
+                    num_iterations=8, init_method="copy_existing",
+                    check_interval=4, dtype="float64")
+    r_dense = compute(V, cfg, W0=W0, H0=H0)
+    r_sc = compute_sparse(sp, cfg, W0=W0, H0=H0, strategy="scatter")
+    np.testing.assert_allclose(np.asarray(r_sc.W), np.asarray(r_dense.W),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_sc.H), np.asarray(r_dense.H),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(r_sc.kl_error),
+                               float(r_dense.kl_error), rtol=1e-6)
+    # ELL accumulates f32: compare at f32 tolerance
+    cfg32 = dataclasses.replace(cfg, dtype="float32")
+    r_d32 = compute(V.astype(np.float32), cfg32,
+                    W0=W0.astype(np.float32), H0=H0.astype(np.float32))
+    r_ell = compute_sparse(hs.from_dense(V.astype(np.float32)), cfg32,
+                           W0=W0.astype(np.float32),
+                           H0=H0.astype(np.float32), strategy="ell")
+    np.testing.assert_allclose(np.asarray(r_ell.W), np.asarray(r_d32.W),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(float(r_ell.kl_error),
+                               float(r_d32.kl_error), rtol=1e-3)
+
+
+def test_beta_sparse_with_zeros_matches_sklearn(rng):
+    """Sparse-X beta parity directly against sklearn (zeros present —
+    the case the guards exist for), scatter f64 exact."""
+    from sklearn.decomposition import NMF as SkNMF
+
+    V, W0, H0 = _problem(rng)
+    V = np.where(rng.random(V.shape) < 0.4, 0.0, V)
+    V[:, 0] += 0.2
+    V[0, :] += 0.2
+    sk = SkNMF(n_components=4, solver="mu", beta_loss=1.5,
+               init="custom", max_iter=10, tol=0.0)
+    W_sk = sk.fit_transform(V.copy(), W=W0.copy(), H=H0.copy())
+    cfg = NmfConfig(rank=4, objective="beta-divergence", beta=1.5,
+                    num_iterations=10, init_method="copy_existing",
+                    check_interval=10, dtype="float64")
+    r = compute_sparse(hs.from_dense(V), cfg, W0=W0, H0=H0,
+                       strategy="scatter")
+    np.testing.assert_allclose(np.asarray(r.W), W_sk, rtol=1e-7,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r.H), sk.components_,
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_beta_divergence_sparse_matches_sklearn(rng):
+    """beta_divergence_sparse / beta_divergence_ell == sklearn's
+    _beta_divergence on sparse X (guard-for-guard: v > EPSILON filter,
+    WH clamp, blockwise sum over the zero positions)."""
+    import scipy.sparse as sps
+    from sklearn.decomposition._nmf import _beta_divergence
+
+    from nmftpu.sparse_ell import beta_divergence_ell, build_ell_pair
+    from nmftpu.sparse_ops import beta_divergence_sparse, device_put_sparse
+
+    V, W0, H0 = _problem(rng)
+    V = np.where(rng.random(V.shape) < 0.4, 0.0, V)
+    sp = hs.from_dense(V)
+    coo = device_put_sparse(sp, dtype="float64")
+    pair = build_ell_pair(sp, dtype="float64")
+    X = sps.csr_matrix(V)
+    for beta in (0.5, 1.5, 2.5, 0.0):
+        ref = float(_beta_divergence(X, W0, H0, beta))
+        ours = float(beta_divergence_sparse(coo, W0, H0, beta))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+        ours_ell = float(beta_divergence_ell(pair, W0, H0, beta))
+        np.testing.assert_allclose(ours_ell, ref, rtol=1e-6)
 
 
 def test_beta_facade_guards(rng):
