@@ -14,16 +14,29 @@ import os
 
 import numpy as np
 
-from nmftpu.retrieval.mips import topk_mips_blocked
+from nmftpu.retrieval.mips import topk_mips_blocked, topk_mips_excluded
 from nmftpu.sparse import SparseCSR, SparseMatrix
+
+# Single-device approx serving scans MEGABLOCKS: approx_max_k runs at
+# score-read bandwidth (unlike top_k's sort), and the fused GEMM->scan
+# step never materializes the (b, block) scores — measured 20x over 16k
+# blocks at m=10M (PERF.md round 4). Exact top_k is width-linear, so
+# block size barely matters there; megablocks are safe for both.
+_SERVE_BLOCK = 1 << 20
+# Oversampling exclusion retrieves k+S candidates and drops seen items
+# with one broadcast-compare at the end (exact; keeps the GEMM->scan
+# fusion the per-block scatter breaks). Falls back to the scatter-list
+# form when the batch's widest seen list would blow up the candidate
+# width.
+_MAX_OVERSAMPLE_SEEN = 4096
 
 
 class Recommender:
     """Top-k recommendation serving over factor embedding tables."""
 
     def __init__(self, W, H, train: SparseMatrix | None = None,
-                 mesh=None, block: int = 8192, method: str = "approx",
-                 table_dtype: str = "float32"):
+                 mesh=None, block: int | None = None,
+                 method: str = "approx", table_dtype: str = "float32"):
         import jax
         import jax.numpy as jnp
 
@@ -34,6 +47,14 @@ class Recommender:
             )
         self.W = np.asarray(W)  # queries stay f32 (row-gathered, small)
         self.mesh = mesh
+        if block is None:
+            # sharded scans keep the historical default (the exclusion
+            # lists are bucketed per shard-block); single-device scans
+            # take the megablock serving path, clamped to the catalog
+            # (a block wider than m would PAD the table to block width)
+            m_items = int(np.asarray(H).shape[1])
+            block = (8192 if mesh is not None
+                     else max(1, min(_SERVE_BLOCK, m_items)))
         self.block = block
         self.method = method  # "approx": TPU approx_max_k serving path
         self.table_dtype = table_dtype
@@ -72,9 +93,12 @@ class Recommender:
             self._prepared = prepare_table(self.H, scale=self._h_scale)
         return self._prepared
 
-    def _topk(self, Wq, k, lists, candidate_k):
+    def _topk(self, Wq, k, lists, candidate_k, seen=None):
         """Shared blocked/sharded top-k dispatch for all serving entry
-        points."""
+        points. Single-device exclusion prefers the oversampling form
+        (`seen`, a padded (b, S) id array) — it preserves the
+        GEMM->scan fusion the per-block scatter breaks; `lists` is the
+        sharded / wide-seen fallback."""
         if self.mesh is not None:
             from nmftpu.parallel import topk_mips_sharded
 
@@ -82,6 +106,12 @@ class Recommender:
                 Wq, self.H, k, mesh=self.mesh, block=self.block,
                 exclude_lists=lists, method=self.method,
                 candidate_k=candidate_k, h_scale=self._h_scale,
+            )
+        if seen is not None:
+            return topk_mips_excluded(
+                Wq, self.H, k, seen, block=self.block,
+                method=self.method, candidate_k=candidate_k,
+                h_scale=self._h_scale,
             )
         return topk_mips_blocked(
             Wq, self.H, k, block=self.block, exclude_lists=lists,
@@ -121,6 +151,21 @@ class Recommender:
             shards=shards,
         )
 
+    def _seen_padded(self, csr: SparseCSR, user_ids, k: int):
+        """Padded (b, S) seen-item array for the oversampling exclusion
+        form, or None when the batch's widest seen list is too wide for
+        oversampling (k + S candidates per block — the scatter-list
+        fallback stays cheap there) or exceeds the block width."""
+        counts = np.diff(csr.indptr)[user_ids]
+        S = int(counts.max()) if counts.size else 0
+        if S == 0 or k + S > min(_MAX_OVERSAMPLE_SEEN, self.block):
+            return None
+        seen = np.full((len(user_ids), S), -1, np.int32)
+        for row, u in enumerate(np.asarray(user_ids)):
+            lo, hi = csr.indptr[u], csr.indptr[u + 1]
+            seen[row, :hi - lo] = csr.indices[lo:hi]
+        return seen
+
     def recommend(self, user_ids, k: int = 100,
                   exclude_seen: bool = True, candidate_k: int | None = None):
         """Top-k items for each user id. Returns (scores, item_ids),
@@ -131,8 +176,13 @@ class Recommender:
         the score."""
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
-        lists = self._exclusion(user_ids) if exclude_seen else None
-        s, i = self._topk(Wq, k, lists, candidate_k)
+        seen = lists = None
+        if exclude_seen and self._train_csr is not None:
+            if self.mesh is None:
+                seen = self._seen_padded(self._train_csr, user_ids, k)
+            if seen is None:
+                lists = self._exclusion(user_ids)
+        s, i = self._topk(Wq, k, lists, candidate_k, seen=seen)
         return np.asarray(s), np.asarray(i)
 
     # -- cold users: fold-in against the frozen item table -----------------
@@ -251,19 +301,25 @@ class Recommender:
               "lambda_w": 1e-6, "seed": 0}
         kw.update(fold_in_kwargs)
         Wq = self._fold_in_csr(csr, **kw)
-        lists = None
+        seen = lists = None
         if exclude_history:
-            from nmftpu.parallel.mesh import AXIS_ITEMS
-            from nmftpu.retrieval.exclusion import build_block_exclusion
+            all_rows = np.arange(csr.shape[0], dtype=np.int64)
+            if self.mesh is None:
+                seen = self._seen_padded(csr, all_rows, k)
+            if seen is None:
+                from nmftpu.parallel.mesh import AXIS_ITEMS
+                from nmftpu.retrieval.exclusion import (
+                    build_block_exclusion,
+                )
 
-            shards = self.mesh.shape[AXIS_ITEMS] if self.mesh is not None \
-                else 1
-            lists = build_block_exclusion(
-                np.arange(csr.shape[0], dtype=np.int64), csr,
-                self.n_items, self.block, shards=shards,
-            )
+                shards = (self.mesh.shape[AXIS_ITEMS]
+                          if self.mesh is not None else 1)
+                lists = build_block_exclusion(
+                    all_rows, csr, self.n_items, self.block,
+                    shards=shards,
+                )
         s, i = self._topk(np.asarray(Wq, np.float32), k, lists,
-                          candidate_k)
+                          candidate_k, seen=seen)
         return np.asarray(s), np.asarray(i)
 
     def score(self, user_id: int, item_ids) -> np.ndarray:

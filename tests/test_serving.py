@@ -329,3 +329,34 @@ def test_config_dtype_aliases(rng):
     assert cfg.dtype == "float32"
     with _p.raises(ValueError, match="use_pallas"):
         NmfConfig(rank=2, use_pallas=True, dtype="double")
+
+
+def test_oversampling_exclusion_matches_scatter(rng):
+    """Single-device exclusion dispatch: with narrow seen lists the
+    Recommender routes through topk_mips_excluded (oversampled
+    candidates, no per-block scatter — the megablock serving path) and
+    must agree with the scatter-list form exactly; wide seen lists fall
+    back to the lists form."""
+    V, res = _fit(rng, n=30, m=400, r=4)
+    seen_mask = rng.random((30, 400)) < 0.05
+    train = from_dense(np.where(seen_mask, V, 0.0))
+    rec = Recommender(res.W, res.H, train=train, method="exact")
+    assert rec.block == 400  # clamped to the catalog, not 1<<20
+    uids = [0, 5, 9]
+    seen = rec._seen_padded(rec._train_csr, np.asarray(uids), k=7)
+    assert seen is not None  # narrow lists -> oversampling path
+    s1, i1 = rec.recommend(uids, k=7, exclude_seen=True)
+    # force the scatter-lists form for the same query
+    s2, i2 = rec._topk(rec.W[uids], 7, rec._exclusion(np.asarray(uids)),
+                       None)
+    np.testing.assert_allclose(s1, np.asarray(s2), rtol=1e-6)
+    for r_ in range(3):
+        assert set(i1[r_].tolist()) == set(np.asarray(i2)[r_].tolist())
+    # no seen item surfaces
+    csr = rec._train_csr
+    for r_, u in enumerate(uids):
+        su = set(csr.indices[csr.indptr[u]:csr.indptr[u + 1]].tolist())
+        assert not (su & set(i1[r_].tolist()))
+    # wide seen lists (k + S > block) -> dispatch returns None
+    assert rec._seen_padded(rec._train_csr, np.asarray(uids),
+                            k=399) is None
