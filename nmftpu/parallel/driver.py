@@ -29,9 +29,15 @@ _RUNNER_CACHE: dict[tuple, Callable] = {}
 
 
 def _sharded_ops(config: NmfConfig, mesh, scoo: ShardedCOO) -> LoopOps:
+    from nmftpu.config import Objective
+
     make_aux, update, effective_h = build_sharded_update(config, mesh, scoo)
     masked = config.mask == "observed"
     fro, kl = build_sharded_errors(mesh, scoo, masked=masked)
+    if config.objective is Objective.BETA:
+        from nmftpu.parallel.updates import build_sharded_beta_error
+
+        kl = build_sharded_beta_error(mesh, scoo, config.beta)
     return LoopOps(
         make_aux=make_aux,
         update=update,
@@ -431,8 +437,10 @@ def prepare_sharded(
             f"rank {config.rank} exceeds min(V.shape) = {min(n, m)}"
         )
 
+    from nmftpu.config import Objective as _Obj
+
     if engine == "auto":
-        if config.mask == "observed":
+        if config.mask == "observed" or config.objective is _Obj.BETA:
             engine = "scatter"
         else:
             engine = "ell" if config.algorithm is Algorithm.MU else "scatter"
@@ -450,13 +458,12 @@ def prepare_sharded(
             "masked denominators are per-tile SDDMM+SpMM over the "
             "stored set"
         )
-    if config.objective is Objective.BETA:
+    if config.objective is Objective.BETA and engine != "scatter":
         raise ValueError(
-            "the generalized beta objective is not implemented on the "
-            "sparse sharded engines (its MU denominator is dense); use "
-            "the dense mesh path (compute(V, cfg, mesh=...)) or the "
-            "single-device densified engine, or beta in {2, 1} "
-            "(Frobenius/KL) which run on every engine"
+            "the generalized beta objective runs the 'scatter' grid "
+            f"engine on the mesh (got engine={engine!r}): its dense "
+            "MU denominator streams per-tile (W H_local)^(beta-1) "
+            "panels, psum'd over the mesh axes"
         )
     if config.v_storage != "float32":
         # Sharded tiles keep values at the compute dtype; honoring

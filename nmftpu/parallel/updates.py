@@ -87,6 +87,52 @@ def _upd_h_kl(local, W, H, eps):
     return H * (numer / jnp.maximum(w_sum, eps)[:, None])
 
 
+def _upd_w_beta(local, W, H, beta, eps):
+    """Generalized beta-MU W half on the grid mesh: the numerator is
+    the usual psum'd SpMM with SDDMM-powered values (nonzero only at
+    the stored set); the dense-in-FLOPs denominator streams
+    (W (H_local))^(beta-1) H_localᵀ panels per device, psum'd over the
+    items axis. Padding rows/cols start at zero and the multiplicative
+    form keeps them zero (driver padding contract), so they never
+    contribute. Guards/gamma/stabilization are sklearn's (linalg.dense
+    .mu_update_beta is the oracle)."""
+    from nmftpu.linalg import dense as DL
+    from nmftpu.sparse_ops import _beta_numer_values, beta_denom_w_blocked
+
+    gamma = DL.beta_gamma(beta)
+    ratio = _beta_numer_values(local, W, H, beta)
+    numer = lax.psum(v_ht(ratio, H), AXIS_ITEMS)
+    blk = max(1, min(2048, H.shape[1]))
+    denom = lax.psum(beta_denom_w_blocked(W, H, beta, blk), AXIS_ITEMS)
+    denom = jnp.where(denom == 0.0, DL.EPSILON, denom)
+    d = numer / denom
+    if gamma != 1.0:
+        d = d ** gamma
+    out = W * d
+    if beta < 1.0:
+        out = jnp.where(out < DL._STAB_EPS, 0.0, out)
+    return out
+
+
+def _upd_h_beta(local, W, H, beta, eps):
+    from nmftpu.linalg import dense as DL
+    from nmftpu.sparse_ops import _beta_numer_values, beta_denom_h_blocked
+
+    gamma = DL.beta_gamma(beta)
+    ratio = _beta_numer_values(local, W, H, beta)
+    numer = lax.psum(wt_v(ratio, W), AXIS_USERS)
+    blk = max(1, min(2048, W.shape[0]))
+    denom = lax.psum(beta_denom_h_blocked(W, H, beta, blk), AXIS_USERS)
+    denom = jnp.where(denom == 0.0, DL.EPSILON, denom)
+    d = numer / denom
+    if gamma != 1.0:
+        d = d ** gamma
+    out = H * d
+    if beta < 1.0:
+        out = jnp.where(out < DL._STAB_EPS, 0.0, out)
+    return out
+
+
 def _upd_w_fro_masked(local, W, H, eps):
     """Completion MU W half on the mesh: the dense Gram denominator is
     replaced by the SDDMM of WH over the LOCAL tile's stored set (tile
@@ -330,7 +376,14 @@ def build_sharded_update(config: NmfConfig, mesh, scoo_meta: ShardedCOO):
                 lambda l, W, H: _upd_w_fro(l, W, H, eps),
                 lambda l, W, H: _upd_h_fro(l, W, H, eps),
             )
+        elif obj is Objective.BETA:
+            b_ = config.beta
+            update = make_step(
+                lambda l, W, H: _upd_w_beta(l, W, H, b_, eps),
+                lambda l, W, H: _upd_h_beta(l, W, H, b_, eps),
+            )
         else:
+            assert obj is Objective.KL, obj
             update = make_step(
                 lambda l, W, H: _upd_w_kl(l, W, H, eps),
                 lambda l, W, H: _upd_h_kl(l, W, H, eps),
@@ -544,3 +597,76 @@ def build_sharded_errors(mesh, scoo_meta: ShardedCOO, masked=False):
         return kl_sh(scoo.values, scoo.rows, scoo.cols, W, He)
 
     return frobenius, kl_err
+
+
+def build_sharded_beta_error(mesh, scoo_meta: ShardedCOO, beta: float):
+    """D_beta(V || WH) on the grid mesh, sklearn's sparse-X semantics
+    (twin of sparse_ops.beta_divergence_sparse): stored-set terms from
+    the local tiles, the zero-position term sum (WH)^beta from per-tile
+    (W H_local)^beta panels with pad rows/cols masked (a padded zero
+    would be +inf at beta < 0; real WH zeros inf exactly as sklearn)."""
+    from nmftpu.linalg import dense as DL
+
+    n, m = scoo_meta.shape
+    br, bc = scoo_meta.block_rows, scoo_meta.block_cols
+
+    def _sum_wh_beta_local(W, H):
+        ti = lax.axis_index(AXIS_USERS)
+        tj = lax.axis_index(AXIS_ITEMS)
+        row_valid = (ti * br + jnp.arange(br)) < n        # (br,)
+        blk = max(1, min(2048, bc))
+        nb = -(-bc // blk)
+        Hp = jnp.pad(H, ((0, 0), (0, nb * blk - bc)))
+        Hb = Hp.reshape(H.shape[0], nb, blk).transpose(1, 0, 2)
+        col = jnp.arange(blk)
+
+        def body(carry, x):
+            i, Hblk = x
+            WH = (W @ Hblk).astype(jnp.float32)
+            gcol = tj * bc + i * blk + col
+            valid = row_valid[:, None] & (
+                ((i * blk + col) < bc) & (gcol < m)
+            )[None, :]
+            term = jnp.where(valid, WH ** beta, 0.0)
+            return carry + jnp.sum(term), None
+
+        acc, _ = lax.scan(
+            body, jnp.asarray(0.0, jnp.float32),
+            (jnp.arange(nb), Hb),
+        )
+        return acc
+
+    def beta_err(vals, rows, cols, W, H):
+        local = _local(scoo_meta, vals, rows, cols)
+        v = local.values
+        wh = sddmm(local, W, H)
+        keep = v > DL.EPSILON
+        wh_c = jnp.maximum(wh, DL.EPSILON)
+        if beta == 0.0:
+            div = (v / wh_c).astype(jnp.float32)
+            s_div = jnp.sum(jnp.where(keep, div, 0.0))
+            s_log = jnp.sum(jnp.where(
+                keep, jnp.log(jnp.where(keep, div, 1.0)), 0.0))
+            total = lax.psum(
+                lax.psum(s_div - s_log, AXIS_USERS), AXIS_ITEMS
+            )
+            return total - float(n) * float(m)
+        s_xb = jnp.sum(jnp.where(keep, (v ** beta).astype(jnp.float32),
+                                 0.0))
+        s_xwh = jnp.sum(jnp.where(
+            keep, (v * wh_c ** (beta - 1.0)).astype(jnp.float32), 0.0))
+        local_sum = (s_xb - beta * s_xwh
+                     + (beta - 1.0) * _sum_wh_beta_local(W, H))
+        total = lax.psum(lax.psum(local_sum, AXIS_USERS), AXIS_ITEMS)
+        return total / (beta * (beta - 1.0))
+
+    beta_sh = _shmap(
+        mesh, beta_err,
+        in_specs=(_TILE, _TILE, _TILE, _W_SPEC, _H_SPEC),
+        out_specs=_REP,
+    )
+
+    def err(scoo, W, He):
+        return beta_sh(scoo.values, scoo.rows, scoo.cols, W, He)
+
+    return err

@@ -134,8 +134,11 @@ def test_beta_engine_guards(rng):
                     num_iterations=2)
     from nmftpu.parallel import compute_sharded, make_grid_mesh
 
-    with pytest.raises(ValueError, match="beta"):
-        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
+    # grid-mesh beta runs (see test_beta_sharded_matches_single_device);
+    # the ring and ELL sharded engines still reject with guidance
+    with pytest.raises(ValueError, match="scatter"):
+        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)),
+                        engine="ring")
     from nmftpu.sparse_ops import _resolve_strategy
 
     # f64 beta routes to the exact scatter engine; f32 beyond the
@@ -323,3 +326,32 @@ def test_beta_normalized_objectives_hit_algorithm_guards():
     cfg = NmfConfig(rank=4, algorithm="als",
                     objective="beta-divergence", beta=2.0)
     assert cfg.objective is Objective.FROBENIUS  # fine: ALS+fro
+
+
+@pytest.mark.parametrize("beta", [0.5, 1.5, 2.5, 0.0])
+def test_beta_sharded_matches_single_device(rng, beta):
+    """Grid-mesh beta-MU (per-tile powered-SDDMM numerators, streamed
+    panel denominators psum'd over the mesh axes) matches the
+    single-device scatter engine, divergence included."""
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    V, W0, H0 = _problem(rng)
+    V32 = V.astype(np.float32)
+    V32 = np.where(rng.random(V32.shape) < 0.3, 0.0, V32)
+    V32[:, 0] += 0.2
+    V32[0, :] += 0.2
+    W032 = W0.astype(np.float32)
+    H032 = H0.astype(np.float32)
+    sp = hs.from_dense(V32)
+    cfg = NmfConfig(rank=4, objective="beta-divergence", beta=beta,
+                    num_iterations=6, init_method="copy_existing",
+                    check_interval=3)
+    r1 = compute_sparse(sp, cfg, W0=W032, H0=H032, strategy="scatter")
+    mesh = make_grid_mesh((2, 4))
+    rs = compute_sharded(sp, cfg, W0=W032, H0=H032, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rs.W), np.asarray(r1.W),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(rs.H), np.asarray(r1.H),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(float(rs.kl_error), float(r1.kl_error),
+                               rtol=2e-3)
