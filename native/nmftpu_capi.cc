@@ -195,7 +195,7 @@ int32_t nmftpu_compute(NmftpuDescription* d) {
   // Pointers cross as integers; the python bridge wraps them with ctypes.
   PyObject* args = Py_BuildValue(
       "(iii s s s I iii s d"
-      " dddddd d"
+      " dddddd dd"
       " KKKK L KK KK)",
       d->n_rows, d->n_cols, d->rank,
       d->algorithm ? d->algorithm : "mu",
@@ -208,7 +208,7 @@ int32_t nmftpu_compute(NmftpuDescription* d) {
       d->threshold_type ? d->threshold_type : "frobenius",
       d->threshold_value,
       d->lambda_w, d->lambda_h, d->alpha_w, d->alpha_h, d->lambda_tik,
-      d->theta, d->alpha_confidence,
+      d->theta, d->alpha_confidence, d->beta,
       (unsigned long long)(uintptr_t)d->dense_values,
       (unsigned long long)(uintptr_t)d->csr_indptr,
       (unsigned long long)(uintptr_t)d->csr_indices,

@@ -42,7 +42,9 @@ typedef struct {
   /* algorithm selection (string enums as in nmftpu.config) */
   const char* algorithm;       /* "mu" | "als" | "acls" | "ahcls" |
                                   "gdcls" | "nsnmf"; NULL -> "mu" */
-  const char* objective;       /* "frobenius" | "kullback-leibler" */
+  const char* objective;       /* "frobenius" | "kullback-leibler" |
+                                  "itakura-saito" | "beta-divergence"
+                                  (the latter reads `beta` below) */
   const char* init_method;     /* e.g. "all_random_values" */
   uint32_t seed;
   int32_t num_iterations;
@@ -53,6 +55,8 @@ typedef struct {
   /* algorithm knobs (ignored when 0) */
   double lambda_w, lambda_h, alpha_w, alpha_h, lambda_tik, theta;
   double alpha_confidence;
+  double beta;                 /* beta-divergence exponent; read only
+                                  when objective == "beta-divergence" */
   /* input: dense row-major ... */
   const float* dense_values;   /* n_rows * n_cols, or NULL */
   /* ... or CSR */

@@ -126,6 +126,31 @@ int main(int argc, char** argv) {
       return 10;
   }
 
+  /* generalized beta divergence through the ABI */
+  {
+    NmftpuDescription db = d;
+    db.objective = "beta-divergence";
+    db.beta = 1.5;
+    db.init_method = NULL;
+    db.initial_w = NULL;
+    db.initial_h = NULL;
+    db.num_iterations = 30;
+    float* Wb = malloc(sizeof(float) * n * r);
+    float* Hb = malloc(sizeof(float) * r * m);
+    db.out_w = Wb;
+    db.out_h = Hb;
+    if (nmftpu_compute(&db) != NMFTPU_SUCCESS) {
+      fprintf(stderr, "beta compute failed: %s\n", nmftpu_last_error());
+      return 12;
+    }
+    printf("beta=1.5 error=%.4f iters=%d\n", db.frobenius_error,
+           db.iterations);
+    if (!(db.frobenius_error > 0.0) || db.frobenius_error > norm)
+      return 13;
+    for (int i = 0; i < n * r; ++i)
+      if (Wb[i] < 0.0f) return 14;
+  }
+
   /* both-or-neither input validation */
   {
     NmftpuDescription bad = {0};

@@ -66,7 +66,7 @@ def compute_from_buffers(
     seed, num_iterations, num_runs, check_interval,
     threshold_type, threshold_value,
     lambda_w, lambda_h, alpha_w, alpha_h, lambda_tik, theta,
-    alpha_confidence,
+    alpha_confidence, beta,
     dense_ptr, indptr_ptr, indices_ptr, values_ptr, nnz,
     w0_ptr, h0_ptr, out_w_ptr, out_h_ptr,
 ):
@@ -86,6 +86,10 @@ def compute_from_buffers(
         knobs["alpha_h"] = alpha_h
     if theta:
         knobs["theta"] = theta
+    if objective == "beta-divergence":
+        # beta=0.0 is a real value here (Itakura-Saito), so the knob is
+        # gated on the objective string, not on nonzero-ness
+        knobs["beta"] = beta
 
     if dense_ptr:
         data = np.array(_view(dense_ptr, (n, m), np.float32), copy=True)

@@ -276,12 +276,17 @@ class ShardedPlan:
 
     def _ops(self, config: NmfConfig) -> LoopOps:
         if self.engine == "ring":
+            from nmftpu.config import Objective as _O
             from nmftpu.parallel import ring as RING
 
             make_aux, update, eff_h = RING.build_ring_update(
                 config, self.mesh, self.operand
             )
             fro, kl = RING.build_ring_errors(self.mesh, self.operand)
+            if config.objective is _O.BETA:
+                kl = RING.build_ring_beta_error(
+                    self.mesh, self.operand, config.beta
+                )
             return LoopOps(
                 make_aux=make_aux,
                 update=update,
@@ -458,12 +463,12 @@ def prepare_sharded(
             "masked denominators are per-tile SDDMM+SpMM over the "
             "stored set"
         )
-    if config.objective is Objective.BETA and engine != "scatter":
+    if config.objective is Objective.BETA and engine == "ell":
         raise ValueError(
             "the generalized beta objective runs the 'scatter' grid "
-            f"engine on the mesh (got engine={engine!r}): its dense "
-            "MU denominator streams per-tile (W H_local)^(beta-1) "
-            "panels, psum'd over the mesh axes"
+            "engine or the 'ring' engine on the mesh (got engine="
+            "'ell'): its dense MU denominator streams per-block "
+            "(W H)^(beta-1) panels over the collective dataflow"
         )
     if config.v_storage != "float32":
         # Sharded tiles keep values at the compute dtype; honoring

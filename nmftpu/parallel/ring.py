@@ -25,9 +25,9 @@ pair rotation) + r·n for the W side — higher than the 2-D grid's
 O((n/pu + m/pi)·r); use the ring when the mesh is physically 1-D (a
 single ICI ring) or when the item axis alone must scale.
 
-Supported here: MU (Frobenius, KL, confidence-weighted), ALS/ACLS/AHCLS,
-GDCLS, nsNMF (both objectives) — full parity with the grid engine.
-Selected via `compute_sharded(..., engine="ring")`.
+Supported here: MU (Frobenius, KL, generalized beta, confidence-
+weighted), ALS/ACLS/AHCLS, GDCLS, nsNMF (both objectives) — full parity
+with the grid engine. Selected via `compute_sharded(..., engine="ring")`.
 """
 
 from __future__ import annotations
@@ -213,6 +213,38 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         s_sum = lax.psum(jnp.sum(tf(H), axis=1), AXIS_RING)
         return W * (numer / jnp.maximum(s_sum, eps)[None, :])
 
+    def w_beta(vals, rows, cols, W, H, beta):
+        """Generalized beta-MU W half on the ring: ONE rotation carries
+        both the powered-SDDMM numerator (nonzero only at the stored
+        set) and the dense denominator's per-block panels
+        (W h)^(beta-1) hᵀ, streamed through column sub-panels
+        (sparse_ops.beta_denom_w_blocked) so no (bn, bc) tile-dense
+        intermediate materializes. Guards/gamma/stabilization are
+        sklearn's."""
+        from nmftpu.sparse_ops import (_beta_numer_values,
+                                       beta_denom_w_blocked)
+
+        gamma = D.beta_gamma(beta)
+        r = W.shape[1]
+        blk = max(1, min(2048, H.shape[1]))
+
+        def contrib(l, h):
+            ratio = _beta_numer_values(l, W, h, beta)
+            return jnp.concatenate(
+                [v_ht(ratio, h),
+                 beta_denom_w_blocked(W, h, beta, blk)], axis=1)
+
+        both, _ = ring.rotate_w(vals, rows, cols, H, contrib)
+        numer, denom = both[:, :r], both[:, r:]
+        denom = jnp.where(denom == 0.0, D.EPSILON, denom)
+        d = numer / denom
+        if gamma != 1.0:
+            d = d ** gamma
+        out = W * d
+        if beta < 1.0:
+            out = jnp.where(out < D._STAB_EPS, 0.0, out)
+        return out
+
     def w_weighted(vals, rows, cols, W, H, alpha):
         def contrib(l, h):
             cv = l.with_values(l.values * (1.0 + alpha * l.values))
@@ -280,6 +312,31 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
         numer = ring.pair_reduce_h(vals, rows, cols, H, contrib)
         s_sum = lax.psum(jnp.sum(Wt, axis=0), AXIS_RING)
         return H * (numer / jnp.maximum(s_sum, eps)[:, None])
+
+    def h_beta(vals, rows, cols, W, H, beta):
+        from nmftpu.sparse_ops import (_beta_numer_values,
+                                       beta_denom_h_blocked)
+
+        gamma = D.beta_gamma(beta)
+        r = W.shape[1]
+        blk = max(1, min(2048, W.shape[0]))
+
+        def contrib(l, h):
+            ratio = _beta_numer_values(l, W, h, beta)
+            return jnp.concatenate(
+                [wt_v(ratio, W),
+                 beta_denom_h_blocked(W, h, beta, blk)], axis=0)
+
+        both = ring.pair_reduce_h(vals, rows, cols, H, contrib)
+        numer, denom = both[:r], both[r:]
+        denom = jnp.where(denom == 0.0, D.EPSILON, denom)
+        d = numer / denom
+        if gamma != 1.0:
+            d = d ** gamma
+        out = H * d
+        if beta < 1.0:
+            out = jnp.where(out < D._STAB_EPS, 0.0, out)
+        return out
 
     def h_weighted(vals, rows, cols, W, H, alpha):
         def contrib(l, h):
@@ -374,7 +431,14 @@ def build_ring_update(config: NmfConfig, mesh: Mesh, scoo_meta):
             )
         elif obj is Objective.FROBENIUS:
             update = make_step(w_fro, h_fro)
+        elif obj is Objective.BETA:
+            b_ = config.beta
+            update = make_step(
+                lambda v, r_, c, W, H: w_beta(v, r_, c, W, H, b_),
+                lambda v, r_, c, W, H: h_beta(v, r_, c, W, H, b_),
+            )
         else:
+            assert obj is Objective.KL, obj
             update = make_step(w_kl, h_kl)
         return no_aux, update, ident_h
 
@@ -664,3 +728,105 @@ def build_ring_mu_update(mesh: Mesh, scoo_meta, eps=1e-9, order="WH"):
     cfg = NmfConfig(rank=1, num_iterations=1, eps=eps, update_order=order)
     _, update, _ = build_ring_update(cfg, mesh, scoo_meta)
     return lambda scoo, W, H: update(scoo, (), W, H)
+
+
+def build_ring_beta_error(mesh: Mesh, scoo_meta, beta: float):
+    """D_beta(V || WH) on the ring, sklearn's sparse-X semantics (twin
+    of parallel.updates.build_sharded_beta_error): stored-set terms
+    accumulate over one H rotation; the zero-position term sum (WH)^beta
+    runs a second rotation with per-block (W h)^beta panel sums,
+    streamed through column sub-panels with pad rows/cols masked."""
+    from nmftpu.linalg import dense as DL
+
+    p = mesh.devices.size
+    ring = _Ring(scoo_meta, p)
+    tiles = P(AXIS_RING, None, None)
+    n, m = scoo_meta.shape
+    bn, bc = scoo_meta.block_rows, scoo_meta.block_cols
+
+    def _masked_sum_wh_beta(W, h, row_valid, col0):
+        """sum over the valid entries of (W h)^beta, blocked over h's
+        columns (no (bn, bc) panel materializes)."""
+        blk = max(1, min(2048, bc))
+        nb = -(-bc // blk)
+        hp = jnp.pad(h, ((0, 0), (0, nb * blk - bc)))
+        hb = hp.reshape(h.shape[0], nb, blk).transpose(1, 0, 2)
+        col = jnp.arange(blk)
+
+        def body(carry, x):
+            i, hblk = x
+            WH = (W @ hblk).astype(jnp.float32)
+            valid = row_valid[:, None] & (
+                ((i * blk + col) < bc) & ((col0 + i * blk + col) < m)
+            )[None, :]
+            return carry + jnp.sum(jnp.where(valid, WH ** beta, 0.0)), None
+
+        acc, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                          (jnp.arange(nb), hb))
+        return acc
+
+    def err(vals, rows, cols, W, H):
+        vals, rows, cols = vals[0], rows[0], cols[0]
+        my = lax.axis_index(AXIS_RING)
+        row_valid = (my * bn + jnp.arange(bn)) < n
+
+        if beta == 0.0:
+            def is_terms(l, h):
+                wh = sddmm(l, W, h)
+                v = l.values
+                keep = v > DL.EPSILON
+                div = (v / jnp.maximum(wh, DL.EPSILON)).astype(
+                    jnp.float32)
+                s_div = jnp.sum(jnp.where(keep, div, 0.0))
+                s_log = jnp.sum(jnp.where(
+                    keep, jnp.log(jnp.where(keep, div, 1.0)), 0.0))
+                return s_div - s_log
+
+            total = lax.psum(
+                ring.rotate_w_sum(vals, rows, cols, H, is_terms),
+                AXIS_RING,
+            )
+            return total - float(n) * float(m)
+
+        def nz_terms(l, h):
+            wh = sddmm(l, W, h)
+            v = l.values
+            keep = v > DL.EPSILON
+            wh_c = jnp.maximum(wh, DL.EPSILON)
+            s_xb = jnp.sum(jnp.where(
+                keep, (v ** beta).astype(jnp.float32), 0.0))
+            s_xwh = jnp.sum(jnp.where(
+                keep, (v * wh_c ** (beta - 1.0)).astype(jnp.float32),
+                0.0))
+            return s_xb - beta * s_xwh
+
+        total_nz = lax.psum(
+            ring.rotate_w_sum(vals, rows, cols, H, nz_terms), AXIS_RING
+        )
+
+        # second rotation: sum (WH)^beta over all valid nm positions
+        def body(s, carry):
+            H_rot, acc = carry
+            j = (my - s) % p
+            acc = acc + _masked_sum_wh_beta(W, H_rot, row_valid, j * bc)
+            H_rot = lax.ppermute(H_rot, AXIS_RING, ring.fwd)
+            return (H_rot, acc)
+
+        _, swb = lax.fori_loop(
+            0, p, body, (H, jnp.asarray(0.0, jnp.float32))
+        )
+        swb = lax.psum(swb, AXIS_RING)
+        return (total_nz + (beta - 1.0) * swb) / (beta * (beta - 1.0))
+
+    err_sh = jax.shard_map(
+        err, mesh=mesh,
+        in_specs=(tiles, tiles, tiles, P(AXIS_RING, None),
+                  P(None, AXIS_RING)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def beta_err(scoo, W, He):
+        return err_sh(scoo.values, scoo.rows, scoo.cols, W, He)
+
+    return beta_err

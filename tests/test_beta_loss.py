@@ -134,11 +134,11 @@ def test_beta_engine_guards(rng):
                     num_iterations=2)
     from nmftpu.parallel import compute_sharded, make_grid_mesh
 
-    # grid-mesh beta runs (see test_beta_sharded_matches_single_device);
-    # the ring and ELL sharded engines still reject with guidance
-    with pytest.raises(ValueError, match="scatter"):
+    # grid + ring mesh beta run (test_beta_sharded_matches_single_device);
+    # only the sharded ELL engine rejects, with guidance
+    with pytest.raises(ValueError, match="ring"):
         compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)),
-                        engine="ring")
+                        engine="ell")
     from nmftpu.sparse_ops import _resolve_strategy
 
     # f64 beta routes to the exact scatter engine; f32 beyond the
@@ -354,4 +354,11 @@ def test_beta_sharded_matches_single_device(rng, beta):
     np.testing.assert_allclose(np.asarray(rs.H), np.asarray(r1.H),
                                rtol=3e-3, atol=3e-4)
     np.testing.assert_allclose(float(rs.kl_error), float(r1.kl_error),
+                               rtol=2e-3)
+    # ring engine: same rotation-based dataflow, same answer
+    rr = compute_sharded(sp, cfg, W0=W032, H0=H032, mesh=mesh,
+                         engine="ring")
+    np.testing.assert_allclose(np.asarray(rr.W), np.asarray(r1.W),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(float(rr.kl_error), float(r1.kl_error),
                                rtol=2e-3)
