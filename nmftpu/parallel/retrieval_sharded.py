@@ -14,11 +14,11 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
-from nmftpu.retrieval.mips import topk_mips_blocked
+from nmftpu.retrieval.mips import _drop_seen, topk_mips_blocked
 
 
 def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
-                      exclude_lists=None, method="exact",
+                      exclude_lists=None, seen=None, method="exact",
                       candidate_k=None, h_scale=None):
     """Top-k over an items-sharded table H (r, m).
 
@@ -27,7 +27,12 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
     O(b·m), small-m only. exclude_lists: (ex_user, ex_col) from
     `build_block_exclusion(..., shards=pi)` — block-bucketed pairs,
     (pi·nblocks_loc, E) shard-major so each shard receives exactly its
-    own blocks; the large-m form.
+    own blocks. seen: (b, S) padded GLOBAL item ids (-1 padding) — the
+    OVERSAMPLING exclusion form: every shard retrieves k+S candidates
+    scatter-free (preserving the GEMM->scan fusion the per-block scatter
+    breaks — PERF.md round 4), the cross-shard merge keeps k+S, and one
+    final broadcast-compare drops the seen set. Exact: at most S_u seen
+    items can pollute a user's merged list.
     method: "exact" or "approx" (hardware approx_max_k inside each
     shard's blocked scan; both cross-block and cross-shard merges exact).
     candidate_k: per-block candidate count for the approx path.
@@ -35,26 +40,34 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
     """
     has_mask = exclude_mask is not None
     has_lists = exclude_lists is not None
+    has_seen = seen is not None
+    if has_seen and (has_mask or has_lists):
+        raise ValueError("pass seen OR exclude_mask/exclude_lists, not both")
+    kk = k + (int(seen.shape[1]) if has_seen else 0)
+    ck = (None if candidate_k is None
+          else candidate_k + (kk - k))
 
     def local_topk(Wq, H_loc, *extra):
         m_loc = H_loc.shape[1]
         mask_loc = extra[0] if has_mask else None
         lists_loc = extra[-2:] if has_lists else None
         s, idx = topk_mips_blocked(
-            Wq, H_loc, k, block=min(block, m_loc), exclude_mask=mask_loc,
+            Wq, H_loc, kk, block=min(block, m_loc), exclude_mask=mask_loc,
             exclude_lists=lists_loc, method=method,
-            candidate_k=candidate_k, h_scale=h_scale,
+            candidate_k=ck, h_scale=h_scale,
         )
         shard = lax.axis_index(AXIS_ITEMS)
         gidx = idx + shard * m_loc
         # gather candidates from every item shard, then merge
-        all_s = lax.all_gather(s, AXIS_ITEMS)        # (pi, b, k)
+        all_s = lax.all_gather(s, AXIS_ITEMS)        # (pi, b, kk)
         all_i = lax.all_gather(gidx, AXIS_ITEMS)
         pi, b, _ = all_s.shape
-        cand_s = all_s.transpose(1, 0, 2).reshape(b, pi * k)
-        cand_i = all_i.transpose(1, 0, 2).reshape(b, pi * k)
-        top_s, pos = lax.top_k(cand_s, k)
+        cand_s = all_s.transpose(1, 0, 2).reshape(b, pi * kk)
+        cand_i = all_i.transpose(1, 0, 2).reshape(b, pi * kk)
+        top_s, pos = lax.top_k(cand_s, kk)
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        if has_seen:
+            return _drop_seen(top_s, top_i, extra[-1], k)
         return top_s, top_i
 
     in_specs = [P(), P(None, AXIS_ITEMS)]
@@ -66,6 +79,9 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
         in_specs += [P(AXIS_ITEMS, None), P(AXIS_ITEMS, None)]
         args += [jnp.asarray(exclude_lists[0]),
                  jnp.asarray(exclude_lists[1])]
+    if has_seen:
+        in_specs.append(P())
+        args.append(jnp.asarray(seen))
 
     f = jax.shard_map(
         local_topk, mesh=mesh,

@@ -104,7 +104,7 @@ class Recommender:
 
             return topk_mips_sharded(
                 Wq, self.H, k, mesh=self.mesh, block=self.block,
-                exclude_lists=lists, method=self.method,
+                exclude_lists=lists, seen=seen, method=self.method,
                 candidate_k=candidate_k, h_scale=self._h_scale,
             )
         if seen is not None:
@@ -178,8 +178,7 @@ class Recommender:
         Wq = self.W[user_ids]
         seen = lists = None
         if exclude_seen and self._train_csr is not None:
-            if self.mesh is None:
-                seen = self._seen_padded(self._train_csr, user_ids, k)
+            seen = self._seen_padded(self._train_csr, user_ids, k)
             if seen is None:
                 lists = self._exclusion(user_ids)
         s, i = self._topk(Wq, k, lists, candidate_k, seen=seen)
@@ -304,8 +303,7 @@ class Recommender:
         seen = lists = None
         if exclude_history:
             all_rows = np.arange(csr.shape[0], dtype=np.int64)
-            if self.mesh is None:
-                seen = self._seen_padded(csr, all_rows, k)
+            seen = self._seen_padded(csr, all_rows, k)
             if seen is None:
                 from nmftpu.parallel.mesh import AXIS_ITEMS
                 from nmftpu.retrieval.exclusion import (

@@ -1,6 +1,7 @@
 """Retrieval tests: blocked top-k MIPS vs. brute force, exclusion masks,
 recall@k harness end-to-end on a factorized synthetic matrix."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -261,3 +262,57 @@ def test_exclusion_block_width_mismatch_rejected(rng):
     lists = build_block_exclusion(np.arange(n), csr, m, block=60)
     with pytest.raises(ValueError, match="block"):
         topk_mips_blocked(W, H, k=5, block=51, exclude_lists=lists)
+
+
+def test_sharded_seen_exclusion_matches_lists(rng):
+    """topk_mips_sharded's oversampling `seen` form matches the
+    block-bucketed scatter-lists form exactly across exact and approx
+    methods (same two-stage merge; the seen set is dropped by one
+    broadcast-compare after the cross-shard merge)."""
+    from nmftpu.parallel import make_grid_mesh, topk_mips_sharded
+    from nmftpu.retrieval.exclusion import build_block_exclusion
+    from nmftpu.sparse import SparseCSR
+
+    b, r, m, k, block = 24, 8, 1024, 12, 64
+    mesh = make_grid_mesh((2, 4))
+    pi = mesh.shape["items"]
+    H = jnp.asarray(rng.standard_normal((r, m)).astype(np.float32))
+    Wq = jnp.asarray(rng.standard_normal((b, r)).astype(np.float32))
+    counts = rng.integers(1, 30, b)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    idx = rng.integers(0, m, int(indptr[-1])).astype(np.int64)
+    csr = SparseCSR(indptr, idx, np.ones(len(idx), np.float32), (b, m))
+    lists = build_block_exclusion(np.arange(b), csr, m, block, shards=pi)
+    S = int(counts.max())
+    seen = np.full((b, S), -1, np.int32)
+    for u in range(b):
+        su = np.unique(idx[indptr[u]:indptr[u + 1]])
+        seen[u, :len(su)] = su
+    import jax
+
+    H_dev = jax.device_put(
+        H, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "items"))
+    )
+    s1, i1 = topk_mips_sharded(Wq, H_dev, k, mesh=mesh, block=block,
+                               exclude_lists=lists)
+    s2, i2 = topk_mips_sharded(Wq, H_dev, k, mesh=mesh, block=block,
+                               seen=jnp.asarray(seen))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    for u in range(b):
+        assert (set(np.asarray(i1)[u].tolist())
+                == set(np.asarray(i2)[u].tolist())), u
+        su = set(idx[indptr[u]:indptr[u + 1]].tolist())
+        assert not (su & set(np.asarray(i2)[u].tolist()))
+    # approx path with oversampled candidates: high recall, no seen items
+    s3, i3 = topk_mips_sharded(Wq, H_dev, k, mesh=mesh, block=block,
+                               seen=jnp.asarray(seen), method="approx",
+                               candidate_k=32)
+    rec = np.mean([
+        len(set(np.asarray(i3)[u].tolist())
+            & set(np.asarray(i1)[u].tolist())) / k for u in range(b)
+    ])
+    assert rec > 0.95, rec
+    with pytest.raises(ValueError, match="not both"):
+        topk_mips_sharded(Wq, H_dev, k, mesh=mesh, block=block,
+                          seen=jnp.asarray(seen), exclude_lists=lists)
