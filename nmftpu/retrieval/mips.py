@@ -161,6 +161,82 @@ def _drop_seen(s, i, seen, k):
     return top_s, jnp.take_along_axis(i, pos, axis=1)
 
 
+def topk_mips_certified(Wq, H, k, block=1048576, candidate_k=None,
+                        h_scale=None, seen=None):
+    """Approx-speed top-k with a PER-ROW exactness certificate.
+
+    Pass 1 runs the blocked `approx_max_k` scan (megablocks — score-read
+    bandwidth, not top_k's sort). Pass 2 re-scans the scores counting,
+    per row, how many items strictly exceed the returned kth score
+    (a GEMM + compare-reduce — fuses, no materialized scores). If that
+    count is <= k-1 the approx result provably contains every item that
+    beats its kth score, i.e. it IS the exact top-k up to ties AT the
+    kth score; `certified[u]` says so. Uncertified rows (approx missed
+    something) can be re-run through the exact path by the caller — in
+    practice certification rates are ~100% at candidate_k >= 2k.
+
+    seen: optional (b, S) padded item ids excluded exactly (oversampled
+    candidates in pass 1; their gathered scores are discounted from the
+    count in pass 2).
+
+    Returns (scores (b, k), indices (b, k), certified (b,) bool).
+    """
+    if seen is not None:
+        s, i = topk_mips_excluded(Wq, H, k, seen, block=block,
+                                  method="approx",
+                                  candidate_k=candidate_k,
+                                  h_scale=h_scale)
+    else:
+        s, i = topk_mips_blocked(Wq, H, k, block=block, method="approx",
+                                 candidate_k=candidate_k,
+                                 h_scale=h_scale)
+    certified = _certify(Wq, H, s, block, h_scale, seen, k)
+    return s, i, certified
+
+
+@functools.partial(jax.jit, static_argnames=("block", "k"))
+def _certify(Wq, H, top_s, block, h_scale, seen, k):
+    b = Wq.shape[0]
+    m = H.shape[1]
+    theta = top_s[:, k - 1]                       # (b,) kth-best score
+    nblocks = (m + block - 1) // block
+    pad = nblocks * block - m
+    Hp = H if pad == 0 else jnp.pad(H, ((0, 0), (0, pad)))
+    col_ids = jnp.arange(block, dtype=jnp.int32)
+
+    def body(blk_idx, cnt):
+        Hblk = lax.dynamic_slice_in_dim(Hp, blk_idx * block, block,
+                                        axis=1)
+        sc = _score_dot(Wq, Hblk, h_scale)        # (b, block) f32
+        valid = ((blk_idx * block + col_ids) < m)[None, :]
+        return cnt + jnp.sum(
+            (sc > theta[:, None]) & valid, axis=1, dtype=jnp.int32
+        )
+
+    count = lax.fori_loop(0, nblocks, body,
+                          jnp.zeros((b,), jnp.int32))
+    if seen is not None:
+        # discount excluded items that score above theta: gather their
+        # table columns directly (b*S columns — tiny next to the scan)
+        Hs = jnp.take(H, jnp.clip(seen, 0, m - 1), axis=1)  # (r, b, S)
+        if jnp.issubdtype(H.dtype, jnp.integer):
+            sc_seen = jnp.einsum(
+                "br,rbs->bs", Wq.astype(jnp.bfloat16),
+                Hs.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * h_scale
+        else:
+            sc_seen = jnp.einsum(
+                "br,rbs->bs", Wq.astype(Hs.dtype), Hs,
+                preferred_element_type=jnp.float32,
+            )
+        count = count - jnp.sum(
+            (sc_seen > theta[:, None]) & (seen >= 0), axis=1,
+            dtype=jnp.int32,
+        )
+    return count <= k - 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "block", "method", "candidate_k")
 )

@@ -316,3 +316,59 @@ def test_sharded_seen_exclusion_matches_lists(rng):
     with pytest.raises(ValueError, match="not both"):
         topk_mips_sharded(Wq, H_dev, k, mesh=mesh, block=block,
                           seen=jnp.asarray(seen), exclude_lists=lists)
+
+
+def test_certified_topk(rng):
+    """topk_mips_certified: certified rows equal the exact result up to
+    ties at the kth score; the certificate actually detects misses
+    (forcing a tiny candidate budget must flip rows to uncertified
+    rather than silently returning wrong results as 'exact')."""
+    from nmftpu.retrieval.mips import topk_mips_certified
+
+    b, r, m, k = 32, 8, 4096, 10
+    H = jnp.asarray(rng.standard_normal((r, m)).astype(np.float32))
+    Wq = jnp.asarray(rng.standard_normal((b, r)).astype(np.float32))
+    s_ex, i_ex = topk_mips_blocked(Wq, H, k, block=512)
+    s, i, cert = topk_mips_certified(Wq, H, k, block=512,
+                                     candidate_k=2 * k)
+    cert = np.asarray(cert)
+    assert cert.all(), f"{cert.sum()}/{b} certified at ck=2k"
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ex),
+                               rtol=1e-6)
+    for u in range(b):
+        assert (set(np.asarray(i)[u].tolist())
+                == set(np.asarray(i_ex)[u].tolist())), u
+
+    # with seen exclusion: certificate discounts excluded high scorers
+    seen = np.full((b, 6), -1, np.int32)
+    # exclude each user's top-3 EXACT items — they all score above the
+    # post-exclusion kth score, the exact case the discount exists for
+    seen[:, :3] = np.asarray(i_ex)[:, :3]
+    s1, i1 = topk_mips_blocked(
+        Wq, H, k, block=512,
+        exclude_mask=jnp.zeros((b, m), bool).at[
+            np.repeat(np.arange(b), 3), seen[:, :3].reshape(-1)
+        ].set(True))
+    s2, i2, cert2 = topk_mips_certified(Wq, H, k, block=512,
+                                        candidate_k=2 * k,
+                                        seen=jnp.asarray(seen))
+    cert2 = np.asarray(cert2)
+    assert cert2.all(), f"{cert2.sum()}/{b} certified with seen"
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
+    for u in range(b):
+        assert (set(np.asarray(i2)[u].tolist())
+                == set(np.asarray(i1)[u].tolist())), u
+
+
+def test_certified_topk_detects_misses(rng):
+    """Starving the candidate budget (candidate_k=1 per block, fewer
+    total candidates than k) must yield certified=False, never a wrong
+    result labeled exact."""
+    from nmftpu.retrieval.mips import topk_mips_certified
+
+    b, r, m, k = 8, 4, 4096, 10
+    H = jnp.asarray(rng.standard_normal((r, m)).astype(np.float32))
+    Wq = jnp.asarray(rng.standard_normal((b, r)).astype(np.float32))
+    # 8 blocks x 1 candidate = 8 < k=10 -> top-k carries -inf slots
+    s, i, cert = topk_mips_certified(Wq, H, k, block=512, candidate_k=1)
+    assert not np.asarray(cert).any()
