@@ -184,6 +184,44 @@ class Recommender:
         s, i = self._topk(Wq, k, lists, candidate_k, seen=seen)
         return np.asarray(s), np.asarray(i)
 
+    def recommend_certified(self, user_ids, k: int = 100,
+                            exclude_seen: bool = True,
+                            candidate_k: int | None = None):
+        """Like `recommend` but returns (scores, item_ids, certified):
+        the approx megablock scan plus a count-above-threshold
+        verification pass — certified[u] proves row u IS the exact
+        top-k up to ties at the kth score (see
+        retrieval.mips.topk_mips_certified; ~25x the sort-bound exact
+        scan at m=10M with ~95% rows certified). Uncertified rows can
+        be re-queried through method='exact'. Single-device only (the
+        sharded path serves via `recommend`)."""
+        if self.mesh is not None:
+            raise ValueError(
+                "recommend_certified is single-device; the sharded "
+                "path serves through recommend()"
+            )
+        from nmftpu.retrieval.mips import topk_mips_certified
+
+        user_ids = np.atleast_1d(np.asarray(user_ids))
+        Wq = self.W[user_ids]
+        seen = None
+        if exclude_seen and self._train_csr is not None:
+            seen = self._seen_padded(self._train_csr, user_ids, k)
+            if seen is None and int(
+                np.diff(self._train_csr.indptr)[user_ids].max()
+            ) > 0:
+                raise ValueError(
+                    "a user's seen list is too wide for the certified "
+                    "path's oversampling exclusion (k + S must be <= "
+                    f"min(4096, block={self.block})); use recommend()"
+                )
+        s, i, cert = topk_mips_certified(
+            Wq, self.H, k, block=self.block, candidate_k=candidate_k,
+            h_scale=self._h_scale,
+            seen=None if seen is None else np.asarray(seen),
+        )
+        return np.asarray(s), np.asarray(i), np.asarray(cert)
+
     # -- cold users: fold-in against the frozen item table -----------------
 
     def fold_in(self, item_ids, values=None, *, algorithm: str = "als",

@@ -360,3 +360,28 @@ def test_oversampling_exclusion_matches_scatter(rng):
     # wide seen lists (k + S > block) -> dispatch returns None
     assert rec._seen_padded(rec._train_csr, np.asarray(uids),
                             k=399) is None
+
+
+def test_recommend_certified(rng):
+    """Recommender.recommend_certified: certified rows equal the exact
+    recommend() results; sharded Recommenders reject."""
+    V, res = _fit(rng, n=30, m=600, r=4)
+    seen_mask = rng.random((30, 600)) < 0.03
+    train = from_dense(np.where(seen_mask, V, 0.0))
+    rec = Recommender(res.W, res.H, train=train, method="exact")
+    s_ex, i_ex = rec.recommend([0, 4, 8], k=9)
+    s, i, cert = rec.recommend_certified([0, 4, 8], k=9,
+                                         candidate_k=64)
+    assert cert.shape == (3,)
+    for row in range(3):
+        if cert[row]:
+            np.testing.assert_allclose(s[row], s_ex[row], rtol=1e-6)
+            assert set(i[row].tolist()) == set(i_ex[row].tolist())
+    assert cert.all()  # generous candidate budget certifies everything
+
+    from nmftpu.parallel import make_grid_mesh
+
+    rec_m = Recommender(res.W, res.H, train=train,
+                        mesh=make_grid_mesh((2, 4)), block=75)
+    with pytest.raises(ValueError, match="single-device"):
+        rec_m.recommend_certified([0], k=5)
