@@ -221,16 +221,119 @@ def main():
             rows.append(dict(config=name, rank=r, table_dtype=dt,
                              error=f"{type(e).__name__}: {str(e)[:200]}"))
 
+    # supplementary sweeps on the headline int8/r256 table: batch
+    # scaling and the certified-exact mode (kept inside this script so
+    # a re-run reproduces the WHOLE artifact)
+    extra = {}
+    try:
+        extra = run_supplementary(args, rng, bench_meta=dict(
+            items=m, batch=b, k=k))
+    except Exception as e:  # noqa: BLE001
+        print(f"supplementary sweeps FAILED: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+
     out = dict(
         device=dev.device_kind, items=m, batch=b, k=k, block=args.block,
         mean_seen_per_user=args.seen,
         exclusion_build_host_ms=round(t_build*1e3, 1),
         timing="min of 5 (spread = (max-min)/min), post-compile",
         results=rows,
+        **extra,
     )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {args.out}", flush=True)
+
+
+def run_supplementary(args, rng, bench_meta):
+    """Batch-scaling + certified-exact sweeps on the int8/r256 table."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmftpu.retrieval.mips import (topk_mips_certified,
+                                       topk_mips_excluded)
+
+    m, k = args.items, args.k
+    r = 256
+    key = jax.random.PRNGKey(7)
+    nch = 10
+    cw = m // nch
+    gen_chunk = jax.jit(lambda kk: jax.random.normal(
+        kk, (r, cw), dtype=jnp.float32))
+    amax = max(
+        float(jnp.max(jnp.abs(gen_chunk(jax.random.fold_in(key, i)))))
+        for i in range(nch)
+    )
+    h_scale = amax / 127.0
+    quant = jax.jit(lambda kk: jnp.clip(
+        jnp.round(gen_chunk(kk) / h_scale), -127, 127).astype(jnp.int8))
+    H = jnp.concatenate(
+        [quant(jax.random.fold_in(key, i)) for i in range(nch)], axis=1)
+    H.block_until_ready()
+
+    S = 135
+    seen_all = np.full((4096, S), -1, np.int32)
+    for u in range(4096):
+        su = np.unique(rng.integers(0, m, rng.integers(20, S)))
+        seen_all[u, :len(su)] = su
+
+    def timed5(fn):
+        o = fn()
+        float(jnp.sum(o[0]))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = fn()
+            float(jnp.sum(o[0]))
+            ts.append(time.perf_counter() - t0)
+        return o, min(ts), (max(ts) - min(ts)) / min(ts)
+
+    batch_rows = []
+    for bb in (512, 1024, 2048):
+        Wq = jnp.asarray(rng.standard_normal((bb, r)).astype(np.float32))
+        sa = jnp.asarray(seen_all[:bb])
+        try:
+            _, best, sp = timed5(lambda: topk_mips_excluded(
+                Wq, H, k, sa, block=args.mega, method="approx",
+                candidate_k=100, h_scale=h_scale))
+            print(f"batch-scale b={bb}: {best*1e3:.1f} ms "
+                  f"{bb/best:.0f} q/s", flush=True)
+            batch_rows.append(dict(batch=bb, block=args.mega,
+                                   ms_per_batch=round(best*1e3, 1),
+                                   qps=round(bb/best),
+                                   spread=round(sp, 3)))
+        except Exception as e:  # noqa: BLE001
+            batch_rows.append(dict(batch=bb, block=args.mega,
+                                   error=type(e).__name__))
+
+    cert_rows = []
+    Wq = jnp.asarray(rng.standard_normal((512, r)).astype(np.float32))
+    sa = jnp.asarray(seen_all[:512])
+    for ck in (200, 512):
+        (s, i, c), best, sp = timed5(lambda: topk_mips_certified(
+            Wq, H, k, block=args.mega, candidate_k=ck,
+            h_scale=h_scale, seen=sa))
+        crate = float(np.asarray(c).mean())
+        print(f"certified ck={ck}: {best*1e3:.1f} ms "
+              f"{512/best:.0f} q/s cert={crate:.4f}", flush=True)
+        cert_rows.append(dict(candidate_k=ck,
+                              ms_per_batch=round(best*1e3, 1),
+                              qps=round(512/best),
+                              certified_rate=round(crate, 4),
+                              spread=round(sp, 3)))
+    return {
+        "batch_scaling_int8_r256_approx_ck100": dict(
+            note="q/s plateaus beyond b=512 (per-row score-stream "
+                 "bound); scale with chips, not batch",
+            rows=batch_rows,
+        ),
+        "certified_int8_r256_b512": dict(
+            note="approx megablock scan + count-above-threshold "
+                 "verification pass: certified rows are EXACT up to "
+                 "ties at the kth score",
+            rows=cert_rows,
+        ),
+    }
 
 
 if __name__ == "__main__":

@@ -148,6 +148,14 @@ def main():
     print(f"MASKED {res_mask.frobenius_error:.6f} "
           f"{res_mask.rmsd:.6f}", flush=True)
 
+    # generalized beta on the multi-host grid (streamed panel
+    # denominators + D_beta metric over DCN)
+    cfg_beta = dataclasses.replace(cfg, objective="beta-divergence",
+                                   beta=1.5, num_iterations=3)
+    res_beta = compute_sharded(sp, cfg_beta, mesh=mesh, chunk=256)
+    assert np.isfinite(res_beta.kl_error)
+    print(f"BETA {res_beta.kl_error:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

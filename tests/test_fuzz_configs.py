@@ -77,3 +77,86 @@ def test_sparse_combo_rejects_cleanly_or_runs(alg, obj, store):
         return
     assert np.isfinite(res.frobenius_error)
     assert np.isfinite(np.asarray(res.W)).all()
+
+
+STRATS = ["scatter", "ell", "densified"]
+ENGINES = ["scatter", "ell", "ring"]
+
+
+@pytest.mark.parametrize(
+    "obj,strat",
+    [(o, s) for o in OBJS for s in STRATS][::2],
+)
+def test_sparse_strategy_objective_matrix(obj, strat):
+    """Every (objective, explicit strategy) pair either rejects with
+    guidance or produces finite factors — the round-4 beta expansion
+    made the full matrix legal except documented boundaries."""
+    from nmftpu.sparse_ops import compute_sparse
+
+    _, Vs = _mats()
+    beta = None
+    if isinstance(obj, tuple):
+        obj, beta = obj
+    try:
+        cfg = NmfConfig(rank=3, objective=obj, beta=beta,
+                        num_iterations=4, check_interval=2, seed=1)
+    except ValueError:
+        return
+    try:
+        res = compute_sparse(hs.from_dense(Vs), cfg, strategy=strat)
+    except ValueError as e:
+        assert len(str(e)) > 30
+        return
+    assert np.isfinite(res.frobenius_error)
+    assert np.isfinite(np.asarray(res.W)).all()
+
+
+@pytest.mark.parametrize(
+    "obj,engine",
+    [(o, e) for o in OBJS for e in ENGINES][::2],
+)
+def test_sharded_engine_objective_matrix(obj, engine):
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+
+    _, Vs = _mats(n=32, m=24)
+    beta = None
+    if isinstance(obj, tuple):
+        obj, beta = obj
+    try:
+        cfg = NmfConfig(rank=3, objective=obj, beta=beta,
+                        num_iterations=3, check_interval=3, seed=1)
+    except ValueError:
+        return
+    try:
+        res = compute_sharded(hs.from_dense(Vs), cfg,
+                              mesh=make_grid_mesh((2, 4)), engine=engine)
+    except ValueError as e:
+        assert len(str(e)) > 30
+        return
+    assert np.isfinite(res.frobenius_error)
+    assert np.isfinite(np.asarray(res.W)).all()
+
+
+@pytest.mark.parametrize("mask,solver", [("observed", "exact"),
+                                         ("observed", "cg"),
+                                         ("none", "cg")])
+def test_als_solver_mask_matrix(mask, solver):
+    """als_solver x mask combinations across single-device and grid
+    engines: clean rejection or finite factors."""
+    from nmftpu.parallel import compute_sharded, make_grid_mesh
+    from nmftpu.sparse_ops import compute_sparse
+
+    _, Vs = _mats()
+    try:
+        cfg = NmfConfig(rank=3, algorithm="als", mask=mask,
+                        lambda_w=0.05, lambda_h=0.05,
+                        alpha_confidence=0.0 if mask == "observed" else 6.0,
+                        als_solver=solver, num_iterations=3,
+                        check_interval=3, seed=1)
+    except ValueError:
+        return
+    r1 = compute_sparse(hs.from_dense(Vs), cfg)
+    assert np.isfinite(r1.frobenius_error)
+    rs = compute_sharded(hs.from_dense(Vs), cfg,
+                         mesh=make_grid_mesh((2, 4)))
+    assert np.isfinite(rs.frobenius_error)
