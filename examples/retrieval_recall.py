@@ -33,6 +33,18 @@ def main():
     print(f"recall@{args.k} = {rec:.4f} "
           f"(frobenius_error={res.frobenius_error:.2f})")
 
+    # production serving: megablock approx scan with oversampling
+    # seen-exclusion, plus the certified-exact mode (a second
+    # count-above-threshold pass proves rows exact up to kth-score ties)
+    from nmftpu.serving import Recommender
+
+    server = Recommender(res.W, res.H, train=train)
+    s, i = server.recommend([0, 1, 2], k=10)
+    s2, i2, cert = server.recommend_certified([0, 1, 2], k=10,
+                                              candidate_k=64)
+    print(f"serving: top-10 for 3 users, certified-exact rows: "
+          f"{int(cert.sum())}/3")
+
 
 if __name__ == "__main__":
     main()
