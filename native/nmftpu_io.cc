@@ -229,4 +229,116 @@ int32_t nmio_coo_to_csr(int64_t nnz, int32_t n_rows, const int32_t* rows,
   return 0;
 }
 
+int32_t nmio_csr_build(int64_t nnz, int64_t n_rows, const int32_t* rows,
+                       const int32_t* cols, const float* vals,
+                       int64_t* indptr, int32_t* out_cols,
+                       float* out_vals) {
+  if (nnz < 0 || n_rows < 0) return -1;
+  std::fill(indptr, indptr + n_rows + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t r = rows[k];
+    if (r < 0 || r >= n_rows) return -2;
+    ++indptr[r + 1];
+  }
+  for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] += indptr[r];
+  // Fill DIRECTLY (no permutation array): one sequential pass, random
+  // writes bounded by the row cursor.
+  std::vector<int64_t> cursor(indptr, indptr + n_rows);
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t dst = cursor[rows[k]]++;
+    out_cols[dst] = cols[k];
+    out_vals[dst] = vals[k];
+  }
+  // Per-row (col, val) pair sort, parallel over rows: rows are
+  // independent slices, power-law lengths -> dynamic scheduling.
+#pragma omp parallel
+  {
+    std::vector<std::pair<int32_t, float>> buf;
+#pragma omp for schedule(dynamic, 4096)
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t lo = indptr[r], hi = indptr[r + 1];
+      const int64_t len = hi - lo;
+      if (len < 2) continue;
+      bool sorted = true;
+      for (int64_t i = lo + 1; i < hi; ++i) {
+        if (out_cols[i] < out_cols[i - 1]) { sorted = false; break; }
+      }
+      if (sorted) continue;
+      buf.resize(len);
+      for (int64_t i = 0; i < len; ++i)
+        buf[i] = {out_cols[lo + i], out_vals[lo + i]};
+      std::sort(buf.begin(), buf.end(),
+                [](const auto& a, const auto& b) {
+                  return a.first < b.first;
+                });
+      for (int64_t i = 0; i < len; ++i) {
+        out_cols[lo + i] = buf[i].first;
+        out_vals[lo + i] = buf[i].second;
+      }
+    }
+  }
+  return 0;
+}
+
+namespace {
+
+// Smallest bucket index with width >= len (mirrors numpy's
+// searchsorted(widths, seg_len)); widths ascending, widths[last] >=
+// seg_max is validated by the callers.
+inline int32_t bucket_of(int64_t len, const int32_t* widths,
+                         int32_t n_widths) {
+  int32_t lo = 0, hi = n_widths - 1;
+  while (lo < hi) {
+    const int32_t mid = (lo + hi) / 2;
+    if (widths[mid] >= len) hi = mid; else lo = mid + 1;
+  }
+  return lo;
+}
+
+}  // namespace
+
+int32_t nmio_ell_count(const int64_t* indptr, int64_t n_rows,
+                       int32_t seg_max, const int32_t* widths,
+                       int32_t n_widths, int64_t* seg_counts) {
+  if (n_rows < 0 || seg_max <= 0 || n_widths <= 0) return -1;
+  if (widths[n_widths - 1] < seg_max) return -3;
+  std::fill(seg_counts, seg_counts + n_widths, 0);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t len = indptr[r + 1] - indptr[r];
+    while (len > 0) {
+      const int64_t seg = len < seg_max ? len : seg_max;
+      ++seg_counts[bucket_of(seg, widths, n_widths)];
+      len -= seg;
+    }
+  }
+  return 0;
+}
+
+int32_t nmio_ell_fill(const int64_t* indptr, const int32_t* indices,
+                      const float* data, int64_t n_rows, int32_t seg_max,
+                      const int32_t* widths, int32_t n_widths,
+                      float** vals_ptrs, int32_t** cols_ptrs,
+                      int32_t** rows_ptrs) {
+  if (n_rows < 0 || seg_max <= 0 || n_widths <= 0) return -1;
+  if (widths[n_widths - 1] < seg_max) return -3;
+  std::vector<int64_t> next(n_widths, 0);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t off = indptr[r];
+    const int64_t end = indptr[r + 1];
+    while (off < end) {
+      const int64_t seg = std::min<int64_t>(end - off, seg_max);
+      const int32_t b = bucket_of(seg, widths, n_widths);
+      const int64_t s = next[b]++;
+      const int64_t w = widths[b];
+      std::memcpy(cols_ptrs[b] + s * w, indices + off,
+                  seg * sizeof(int32_t));
+      std::memcpy(vals_ptrs[b] + s * w, data + off, seg * sizeof(float));
+      // padding lanes stay at the caller's zero fill
+      rows_ptrs[b][s] = static_cast<int32_t>(r);
+      off += seg;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

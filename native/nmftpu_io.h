@@ -59,6 +59,38 @@ int32_t nmio_coo_to_csr(int64_t nnz, int32_t n_rows, const int32_t* rows,
                         const int32_t* cols, int64_t* indptr,
                         int64_t* perm);
 
+/* Fused COO -> CSR build: counting-sort by row DIRECTLY into the output
+ * arrays (no permutation round-trip through the caller), then each
+ * row's (col, val) pairs are sorted ascending by col in parallel.
+ * indptr: int64[n_rows+1]; out_cols: int32[nnz]; out_vals: float[nnz].
+ * Canonical CSR, identical ordering to the numpy (row, col) lexsort
+ * except among duplicate (row, col) coordinates (unspecified there,
+ * same caveat as sparse._two_key_order). Returns 0 on success. */
+int32_t nmio_csr_build(int64_t nnz, int64_t n_rows, const int32_t* rows,
+                       const int32_t* cols, const float* vals,
+                       int64_t* indptr, int32_t* out_cols,
+                       float* out_vals);
+
+/* Bucketed-ELL builder (the device layout of nmftpu/sparse_ell.py):
+ * rows split into segments of <= seg_max nonzeros; each segment goes to
+ * the smallest bucket with width >= its length, zero-padded.
+ *
+ * Pass 1 — nmio_ell_count: segment count per bucket (int64[n_widths]).
+ * Pass 2 — nmio_ell_fill: the caller allocates ZEROED per-bucket arrays
+ * (vals float[nseg_b * width_b], cols int32[nseg_b * width_b], rows
+ * int32[nseg_b], possibly over-allocated with padding tails) and passes
+ * them as pointer arrays; segments are written in global (row-major,
+ * then within-row) order — the same order as the numpy builder.
+ * Returns 0 on success. */
+int32_t nmio_ell_count(const int64_t* indptr, int64_t n_rows,
+                       int32_t seg_max, const int32_t* widths,
+                       int32_t n_widths, int64_t* seg_counts);
+int32_t nmio_ell_fill(const int64_t* indptr, const int32_t* indices,
+                      const float* data, int64_t n_rows, int32_t seg_max,
+                      const int32_t* widths, int32_t n_widths,
+                      float** vals_ptrs, int32_t** cols_ptrs,
+                      int32_t** rows_ptrs);
+
 #ifdef __cplusplus
 }
 #endif

@@ -21,6 +21,10 @@ _DEFAULT_SO = os.path.join(_REPO_ROOT, "native", "build", "libnmftpu_io.so")
 _lib = None
 _lib_checked = False
 
+# Inputs below this nonzero count take the pure-numpy paths (ctypes
+# overhead dominates and tests keep byte-identical numpy behavior).
+NATIVE_MIN_NNZ = 1 << 20
+
 
 def _load():
     global _lib, _lib_checked
@@ -54,6 +58,26 @@ def _load():
         ctypes.c_int64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    for name, argtypes in (
+        ("nmio_csr_build",
+         [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 6),
+        ("nmio_ell_count",
+         [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+          ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]),
+        ("nmio_ell_fill",
+         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+          ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+          ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+          ctypes.c_void_p]),
+    ):
+        try:
+            fn = getattr(lib, name)
+        except AttributeError:
+            # stale .so from before these entry points — callers fall
+            # back to numpy
+            continue
+        fn.restype = ctypes.c_int32
+        fn.argtypes = argtypes
     _lib = lib
     return _lib
 
@@ -129,3 +153,94 @@ def coo_to_csr(rows: np.ndarray, cols: np.ndarray, n_rows: int):
     if rc != 0:
         raise RuntimeError(f"nmio_coo_to_csr failed (rc={rc})")
     return indptr, perm
+
+
+def has_csr_build() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "nmio_csr_build")
+
+
+def csr_build(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+              n_rows: int):
+    """Fused native COO->CSR: counting-sort fill + parallel per-row col
+    sort, no permutation round-trip. Returns (indptr int64, indices
+    int32, data float32). Raises RuntimeError when unavailable —
+    callers fall back to the numpy path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nmio_csr_build"):
+        raise RuntimeError("native csr_build unavailable")
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    nnz = len(rows)
+    indptr = np.zeros(n_rows + 1, np.int64)
+    out_cols = np.empty(nnz, np.int32)
+    out_vals = np.empty(nnz, np.float32)
+    rc = lib.nmio_csr_build(
+        nnz, n_rows, _ptr(rows), _ptr(cols), _ptr(vals),
+        _ptr(indptr), _ptr(out_cols), _ptr(out_vals),
+    )
+    if rc != 0:
+        raise RuntimeError(f"nmio_csr_build failed (rc={rc})")
+    return indptr, out_cols, out_vals
+
+
+def ell_build(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+              seg_max: int, widths, pad_segments=None):
+    """Native bucketed-ELL fill (the sparse_ell layout). Returns a list
+    of (vals (nseg_p, w) f32, cols (nseg_p, w) i32, rows (nseg_p,) i32,
+    nseg, width) per NON-EMPTY bucket, segments in the numpy builder's
+    global order. `pad_segments(nseg) -> nseg_p` applies the caller's
+    padding policy at ALLOCATION time (pad tail stays zero except rows,
+    which repeat the last real row so the segment scatter-add can claim
+    sorted indices)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nmio_ell_fill"):
+        raise RuntimeError("native ell_build unavailable")
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float32)
+    widths_arr = np.ascontiguousarray(widths, np.int32)
+    nw = len(widths_arr)
+    n_rows = len(indptr) - 1
+    counts = np.zeros(nw, np.int64)
+    rc = lib.nmio_ell_count(
+        _ptr(indptr), n_rows, int(seg_max), _ptr(widths_arr), nw,
+        _ptr(counts),
+    )
+    if rc != 0:
+        raise RuntimeError(f"nmio_ell_count failed (rc={rc})")
+    pad = pad_segments if pad_segments is not None else (lambda ns: ns)
+    vals_b, cols_b, rows_b = [], [], []
+    vp = (ctypes.c_void_p * nw)()
+    cp = (ctypes.c_void_p * nw)()
+    rp = (ctypes.c_void_p * nw)()
+    for b in range(nw):
+        ns, w = int(counts[b]), int(widths_arr[b])
+        ns_p = max(int(pad(ns)), ns) if ns else 0
+        v = np.zeros((ns_p, w), np.float32)
+        c = np.zeros((ns_p, w), np.int32)
+        r = np.zeros(ns_p, np.int32)
+        vals_b.append(v)
+        cols_b.append(c)
+        rows_b.append(r)
+        vp[b] = v.ctypes.data
+        cp[b] = c.ctypes.data
+        rp[b] = r.ctypes.data
+    rc = lib.nmio_ell_fill(
+        _ptr(indptr), _ptr(indices), _ptr(data), n_rows, int(seg_max),
+        _ptr(widths_arr), nw, ctypes.cast(vp, ctypes.c_void_p),
+        ctypes.cast(cp, ctypes.c_void_p),
+        ctypes.cast(rp, ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"nmio_ell_fill failed (rc={rc})")
+    out = []
+    for b in range(nw):
+        ns = int(counts[b])
+        if ns == 0:
+            continue
+        rows_b[b][ns:] = rows_b[b][ns - 1]
+        out.append((vals_b[b], cols_b[b], rows_b[b], ns,
+                    int(widths_arr[b])))
+    return out

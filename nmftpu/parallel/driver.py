@@ -698,14 +698,12 @@ def prepare_sharded_rowshards(
     cap = _round_up(cap, chunk)
     mean_v = total_v / (float(n) * float(m))
 
-    order = np.argsort(tile_id, kind="stable")
-    sorted_tiles = tile_id[order]
-    starts = np.searchsorted(sorted_tiles, np.arange(pu * pi))
-    ends = np.searchsorted(sorted_tiles, np.arange(pu * pi) + 1)
-
     def build_tile(ti, tj):
+        # tiny key space: one boolean scan per owned tile beats the
+        # stable argsort, and the sorted selection keeps the gathers
+        # monotonic (same rationale as partition_sparse)
         t = ti * pi + tj
-        sel = order[starts[t]:ends[t]]
+        sel = np.flatnonzero(tile_id == t)
         k = len(sel)
         vals = np.zeros(cap, dtype=np.dtype(dtype))
         lr = np.zeros(cap, dtype=np.int32)

@@ -113,12 +113,13 @@ def partition_sparse(
     lrows = np.zeros((pu, pi, cap), dtype=np.int32)
     lcols = np.zeros((pu, pi, cap), dtype=np.int32)
 
-    order = np.argsort(tile_id, kind="stable")
-    sorted_tiles = tile_id[order]
-    starts = np.searchsorted(sorted_tiles, np.arange(pu * pi))
-    ends = np.searchsorted(sorted_tiles, np.arange(pu * pi) + 1)
+    # Grouping by tile: the key space is tiny (pu*pi values), so ONE
+    # boolean scan per tile replaces the O(nnz log nnz) stable argsort —
+    # and the resulting selections are SORTED, so the gathers below run
+    # monotonically instead of randomly (measured ~3x on the 100M-nnz
+    # partition; BENCH_host_partition.json).
     for t in range(pu * pi):
-        sel = order[starts[t]:ends[t]]
+        sel = np.flatnonzero(tile_id == t)
         k = len(sel)
         ti, tj = divmod(t, pi)
         values[ti, tj, :k] = coo.data[sel]

@@ -13,8 +13,31 @@ opportunistically when scipy is installed.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
+
+
+def _native_csr(major, minor, data, n_major):
+    """Fused native CSR build (nmio_csr_build: counting-sort fill +
+    OpenMP per-row col sort — measured ~5x the numpy fused-key sort at
+    100M nnz, BENCH_host_partition.json). Returns (indptr, indices,
+    data) or None to fall back: f32 values only (the native path
+    stores float), large inputs only (ctypes overhead + identical
+    numpy behavior below), NMFTPU_NATIVE_CSR=0 disables."""
+    if os.environ.get("NMFTPU_NATIVE_CSR", "1") == "0":
+        return None
+    try:
+        from nmftpu import native_loader
+
+        if (data.dtype != np.float32
+                or len(data) < native_loader.NATIVE_MIN_NNZ):
+            return None
+        if not native_loader.has_csr_build():
+            return None
+        return native_loader.csr_build(major, minor, data, n_major)
+    except Exception:
+        return None
 
 
 def _two_key_order(major, minor, minor_extent):
@@ -102,6 +125,10 @@ class SparseCOO(SparseMatrix):
 
     def to_csr(self) -> "SparseCSR":
         n, m = self.shape
+        nat = _native_csr(self.row, self.col, self.data, n)
+        if nat is not None:
+            return SparseCSR(indptr=nat[0], indices=nat[1], data=nat[2],
+                             shape=self.shape)
         order = _two_key_order(self.row, self.col, m)
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(
@@ -116,6 +143,10 @@ class SparseCOO(SparseMatrix):
 
     def to_csc(self) -> "SparseCSC":
         n, m = self.shape
+        nat = _native_csr(self.col, self.row, self.data, m)
+        if nat is not None:
+            return SparseCSC(indptr=nat[0], indices=nat[1], data=nat[2],
+                             shape=self.shape)
         order = _two_key_order(self.col, self.row, n)
         indptr = np.zeros(m + 1, dtype=np.int64)
         np.cumsum(

@@ -84,6 +84,43 @@ def build_ell_rows(
     csr = mat.to_csr()
     n, m = csr.shape
     assert buckets[-1] >= seg_max
+
+    def _pad_rule(nseg):
+        nseg_p = ((nseg + chunk_segments - 1) // chunk_segments) * (
+            chunk_segments if nseg > chunk_segments else 1
+        )
+        return max(nseg_p, nseg)
+
+    # Native fast path (nmio_ell_count/fill — one sequential C++ pass,
+    # measured ~10x the vectorized numpy below at 100M nnz): f32 device
+    # dtype + f32 CSR data only; large inputs only (ctypes overhead);
+    # NMFTPU_NATIVE_CSR=0 disables alongside the CSR fast path.
+    import os as _os
+
+    from nmftpu import native_loader
+
+    if (
+        jnp.dtype(dtype) == jnp.float32
+        and csr.data.dtype == np.float32
+        and csr.nnz >= native_loader.NATIVE_MIN_NNZ
+        and _os.environ.get("NMFTPU_NATIVE_CSR", "1") != "0"
+    ):
+        try:
+            nat = native_loader.ell_build(
+                csr.indptr, csr.indices, csr.data, seg_max, buckets,
+                pad_segments=_pad_rule,
+            )
+        except RuntimeError:
+            nat = None
+        if nat is not None:
+            out = [
+                EllBucket(vals=jnp.asarray(v), cols=jnp.asarray(c),
+                          out_row=jnp.asarray(r), width=w)
+                for v, c, r, _ns, w in nat
+            ]
+            return EllRows(buckets=tuple(out), shape=(n, m),
+                           nnz=csr.nnz)
+
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     lens = np.diff(indptr)
 

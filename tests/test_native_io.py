@@ -122,3 +122,95 @@ def test_native_skips_nonrecord_lines(tmp_path):
     assert nat2.matrix.nnz == 3
     np.testing.assert_array_equal(nat2.user_ids, [3, 8])
     np.testing.assert_array_equal(nat2.item_ids, [7, 9])
+
+
+@pytest.mark.skipif(not native_loader.available(),
+                    reason="native lib not built")
+def test_native_csr_build_matches_numpy(rng):
+    """nmio_csr_build == the numpy to_csr path (indptr/indices exact;
+    data identical on unique coordinates)."""
+    if not native_loader.has_csr_build():
+        pytest.skip("stale native lib without nmio_csr_build")
+    from nmftpu.sparse import SparseCOO
+
+    n, m, nnz = 500, 300, 20_000
+    # unique coordinates so ordering among duplicates cannot differ
+    flat = rng.choice(n * m, nnz, replace=False)
+    rows = (flat // m).astype(np.int32)
+    cols = (flat % m).astype(np.int32)
+    vals = rng.uniform(0.1, 5.0, nnz).astype(np.float32)
+    indptr, indices, data = native_loader.csr_build(rows, cols, vals, n)
+    import os
+    os.environ["NMFTPU_NATIVE_CSR"] = "0"
+    try:
+        ref = SparseCOO(rows, cols, vals, (n, m)).to_csr()
+    finally:
+        os.environ.pop("NMFTPU_NATIVE_CSR")
+    np.testing.assert_array_equal(indptr, ref.indptr)
+    np.testing.assert_array_equal(indices, ref.indices)
+    np.testing.assert_array_equal(data, ref.data)
+
+
+@pytest.mark.skipif(not native_loader.available(),
+                    reason="native lib not built")
+def test_native_ell_build_matches_numpy(rng):
+    """nmio_ell_count/fill reproduce the numpy bucketed-ELL builder
+    bucket for bucket, including the padding policy and the sorted
+    out_row tail, across power-law row lengths and long rows that split
+    into multiple segments."""
+    if not native_loader.has_csr_build():
+        pytest.skip("stale native lib without the ELL entry points")
+    from nmftpu.sparse import SparseCOO
+    from nmftpu.sparse_ell import DEFAULT_BUCKETS, build_ell_rows
+
+    n, m = 400, 9000
+    lens = np.minimum(rng.zipf(1.3, n), 4000)
+    rows = np.repeat(np.arange(n, dtype=np.int32), lens)
+    cols = rng.integers(0, m, len(rows)).astype(np.int32)
+    vals = rng.uniform(0.1, 5.0, len(rows)).astype(np.float32)
+    csr = SparseCOO(rows, cols, vals, (n, m)).to_csr()
+
+    seg_max, chunk = 512, 64
+    ref = build_ell_rows(csr, seg_max=seg_max, chunk_segments=chunk)
+
+    def pad(ns):
+        ns_p = ((ns + chunk - 1) // chunk) * (chunk if ns > chunk else 1)
+        return max(ns_p, ns)
+
+    nat = native_loader.ell_build(csr.indptr, csr.indices, csr.data,
+                                  seg_max, DEFAULT_BUCKETS,
+                                  pad_segments=pad)
+    assert len(nat) == len(ref.buckets)
+    for (v, c, r, ns, w), rb in zip(nat, ref.buckets):
+        assert w == rb.width
+        np.testing.assert_array_equal(v, np.asarray(rb.vals))
+        np.testing.assert_array_equal(c, np.asarray(rb.cols))
+        np.testing.assert_array_equal(r, np.asarray(rb.out_row))
+
+
+@pytest.mark.skipif(not native_loader.available(),
+                    reason="native lib not built")
+def test_native_paths_end_to_end_equivalence(rng, monkeypatch):
+    """With the size gate lowered, a full factorization through the
+    native CSR+ELL builders matches the numpy-built run exactly."""
+    if not native_loader.has_csr_build():
+        pytest.skip("stale native lib")
+    from nmftpu import NmfConfig
+    from nmftpu.sparse import SparseCOO
+    from nmftpu.sparse_ops import compute_sparse
+
+    n, m, nnz = 300, 200, 5000
+    flat = rng.choice(n * m, nnz, replace=False)
+    coo = SparseCOO((flat // m).astype(np.int32),
+                    (flat % m).astype(np.int32),
+                    rng.uniform(0.1, 5.0, nnz).astype(np.float32),
+                    (n, m))
+    cfg = NmfConfig(rank=4, num_iterations=6, check_interval=3, seed=0)
+    monkeypatch.setattr(native_loader, "NATIVE_MIN_NNZ", 1)
+    r_nat = compute_sparse(coo, cfg, strategy="ell")
+    monkeypatch.setenv("NMFTPU_NATIVE_CSR", "0")
+    r_np = compute_sparse(coo, cfg, strategy="ell")
+    np.testing.assert_array_equal(np.asarray(r_nat.W),
+                                  np.asarray(r_np.W))
+    np.testing.assert_array_equal(np.asarray(r_nat.H),
+                                  np.asarray(r_np.H))
