@@ -233,7 +233,7 @@ def _local_ell(widths, vals, cols, rows, shape, nnz=-1) -> EllRows:
 
 def build_sharded_ell_update(config, mesh, sell: ShardedEll):
     """Sharded MU updates over ELL tiles. Returns (make_aux, update,
-    effective_h) for the generic loop; MU Frobenius/KL/weighted only."""
+    effective_h) for the generic loop; MU Frobenius/KL/weighted/beta."""
     from nmftpu.config import Algorithm, Objective
 
     if config.algorithm is not Algorithm.MU:
@@ -310,6 +310,66 @@ def build_sharded_ell_update(config, mesh, sell: ShardedEll):
             def upd_h(W, H):
                 WtW = lax.psum(W.T @ W, AXIS_USERS)
                 return H * (numer_h(W) / (WtW @ H + eps))
+
+        elif obj is Objective.BETA:
+            # Generalized beta-MU on ELL tiles: the numerator is the
+            # same fused gather-once transform(SDDMM)+SpMM as KL with
+            # the coefficient v * clamp(WH)^(beta-2) (sklearn's
+            # numerator guard: clamp up to EPSILON when beta < 2; ELL
+            # padding lanes carry v = 0, so their garbage sample is
+            # multiplied away); the dense-in-FLOPs denominator streams
+            # per-device (W H_local)^(beta-1) panels and psums over the
+            # mesh axis — the same collective pattern as the scatter
+            # grid engine (updates._upd_w_beta, linalg.dense
+            # .mu_update_beta is the oracle).
+            from nmftpu.linalg import dense as DL
+            from nmftpu.sparse_ops import (beta_denom_h_blocked,
+                                           beta_denom_w_blocked)
+
+            b_ = config.beta
+            gamma = DL.beta_gamma(b_)
+            if b_ == 0.0:
+                def coef(v, s):
+                    sc = jnp.maximum(s, DL.EPSILON)
+                    return v / (sc * sc)
+            elif b_ < 2.0:
+                def coef(v, s):
+                    return v * jnp.maximum(s, DL.EPSILON) ** (b_ - 2.0)
+            else:
+                def coef(v, s):
+                    return v * s ** (b_ - 2.0)
+            cfns = (coef,)
+
+            def _finish(X, numer, denom):
+                denom = jnp.where(denom == 0.0, DL.EPSILON, denom)
+                d = numer / denom
+                if gamma != 1.0:
+                    d = d ** gamma
+                out = X * d
+                if b_ < 1.0:
+                    out = jnp.where(out < DL._STAB_EPS, 0.0, out)
+                return out
+
+            def upd_w(W, H):
+                numer, = SE.sampled_rowsums_ell(ell_r, W, H, cfns)
+                numer = lax.psum(numer, AXIS_ITEMS)
+                blk = max(1, min(2048, H.shape[1]))
+                denom = lax.psum(
+                    beta_denom_w_blocked(W, H, b_, blk), AXIS_ITEMS
+                )
+                return _finish(W, numer, denom)
+
+            def upd_h(W, H):
+                Wt = jnp.asarray(W).T
+                numer, = SE.sampled_rowsums_ell(
+                    ell_c, jnp.asarray(H).T, Wt, cfns
+                )
+                numer = lax.psum(numer.T, AXIS_USERS)
+                blk = max(1, min(2048, W.shape[0]))
+                denom = lax.psum(
+                    beta_denom_h_blocked(W, H, b_, blk), AXIS_USERS
+                )
+                return _finish(H, numer, denom)
 
         else:  # KL — fused gather-once ratio+SpMM per tile
             rfns = (lambda v, s: v / (s + eps),)
@@ -432,3 +492,70 @@ def build_sharded_ell_errors(mesh, sell: ShardedEll):
         )
 
     return frobenius, kl_err
+
+
+def build_sharded_ell_beta_error(mesh, sell: ShardedEll, beta: float):
+    """D_beta(V || WH) over ELL tiles, sklearn's sparse-X semantics
+    (twin of updates.build_sharded_beta_error): stored-set terms from
+    the per-bucket SDDMM samples (padding lanes carry v = 0 and are
+    dropped by the keep mask), the zero-position term sum (WH)^beta
+    from the shared per-tile panel streamer (updates.sum_wh_beta_tile,
+    pad rows/cols masked). Replicated scalar out."""
+    from nmftpu.linalg import dense as DL
+    from nmftpu.parallel.updates import sum_wh_beta_tile
+
+    nr = len(sell.r_widths)
+    n, m = sell.shape
+    br, bc = sell.block_rows, sell.block_cols
+    rshape = (br, bc)
+
+    def beta_err(*args):
+        r_vals = args[0:nr]
+        r_cols = args[nr:2 * nr]
+        r_rows = args[2 * nr:3 * nr]
+        W, H = args[3 * nr], args[3 * nr + 1]
+        ell_r = _local_ell(sell.r_widths, r_vals, r_cols, r_rows, rshape)
+        s = SE.sddmm_ell(ell_r, W, H)
+        if beta == 0.0:
+            local = jnp.asarray(0.0, jnp.float32)
+            for orig, samp in zip(ell_r.buckets, s.buckets):
+                v = orig.vals
+                keep = v > DL.EPSILON
+                wh_c = jnp.maximum(samp.vals, DL.EPSILON)
+                div = (v / wh_c).astype(jnp.float32)
+                local = local + jnp.sum(jnp.where(keep, div, 0.0))
+                local = local - jnp.sum(jnp.where(
+                    keep, jnp.log(jnp.where(keep, div, 1.0)), 0.0))
+            total = lax.psum(lax.psum(local, AXIS_USERS), AXIS_ITEMS)
+            return total - float(n) * float(m)
+        local = jnp.asarray(0.0, jnp.float32)
+        for orig, samp in zip(ell_r.buckets, s.buckets):
+            v = orig.vals
+            keep = v > DL.EPSILON
+            wh_c = jnp.maximum(samp.vals, DL.EPSILON)
+            local = local + jnp.sum(jnp.where(
+                keep, (v ** beta).astype(jnp.float32), 0.0))
+            local = local - beta * jnp.sum(jnp.where(
+                keep, (v * wh_c ** (beta - 1.0)).astype(jnp.float32),
+                0.0))
+        local = local + (beta - 1.0) * sum_wh_beta_tile(
+            W, H, beta, n, m, br, bc
+        )
+        total = lax.psum(lax.psum(local, AXIS_USERS), AXIS_ITEMS)
+        return total / (beta * (beta - 1.0))
+
+    beta_sh = jax.shard_map(
+        beta_err, mesh=mesh,
+        in_specs=(
+            (_TILE_SEG,) * nr + (_TILE_SEG,) * nr + (_TILE_ROW,) * nr
+            + (_W_SPEC, _H_SPEC)
+        ),
+        out_specs=_REP, check_vma=False,
+    )
+
+    def err(sell_op, W, He):
+        return beta_sh(
+            *sell_op.r_vals, *sell_op.r_cols, *sell_op.r_rows, W, He,
+        )
+
+    return err

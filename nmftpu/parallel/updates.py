@@ -599,42 +599,52 @@ def build_sharded_errors(mesh, scoo_meta: ShardedCOO, masked=False):
     return frobenius, kl_err
 
 
+def sum_wh_beta_tile(W, H, beta, n, m, br, bc):
+    """Per-tile sum of (W H_local)^beta over the VALID region of this
+    device's tile, streamed through (br, blk) panels; pad rows/cols are
+    masked explicitly (a padded zero would be +inf at beta < 0; real WH
+    zeros inf exactly as sklearn). Must run inside shard_map on the
+    ('users','items') grid — the tile offset comes from axis_index.
+    Shared by the scatter and ELL sharded beta errors."""
+    ti = lax.axis_index(AXIS_USERS)
+    tj = lax.axis_index(AXIS_ITEMS)
+    row_valid = (ti * br + jnp.arange(br)) < n        # (br,)
+    blk = max(1, min(2048, bc))
+    nb = -(-bc // blk)
+    Hp = jnp.pad(H, ((0, 0), (0, nb * blk - bc)))
+    Hb = Hp.reshape(H.shape[0], nb, blk).transpose(1, 0, 2)
+    col = jnp.arange(blk)
+
+    def body(carry, x):
+        i, Hblk = x
+        WH = (W @ Hblk).astype(jnp.float32)
+        gcol = tj * bc + i * blk + col
+        valid = row_valid[:, None] & (
+            ((i * blk + col) < bc) & (gcol < m)
+        )[None, :]
+        term = jnp.where(valid, WH ** beta, 0.0)
+        return carry + jnp.sum(term), None
+
+    acc, _ = lax.scan(
+        body, jnp.asarray(0.0, jnp.float32),
+        (jnp.arange(nb), Hb),
+    )
+    return acc
+
+
 def build_sharded_beta_error(mesh, scoo_meta: ShardedCOO, beta: float):
     """D_beta(V || WH) on the grid mesh, sklearn's sparse-X semantics
     (twin of sparse_ops.beta_divergence_sparse): stored-set terms from
     the local tiles, the zero-position term sum (WH)^beta from per-tile
-    (W H_local)^beta panels with pad rows/cols masked (a padded zero
-    would be +inf at beta < 0; real WH zeros inf exactly as sklearn)."""
+    (W H_local)^beta panels with pad rows/cols masked (see
+    sum_wh_beta_tile)."""
     from nmftpu.linalg import dense as DL
 
     n, m = scoo_meta.shape
     br, bc = scoo_meta.block_rows, scoo_meta.block_cols
 
     def _sum_wh_beta_local(W, H):
-        ti = lax.axis_index(AXIS_USERS)
-        tj = lax.axis_index(AXIS_ITEMS)
-        row_valid = (ti * br + jnp.arange(br)) < n        # (br,)
-        blk = max(1, min(2048, bc))
-        nb = -(-bc // blk)
-        Hp = jnp.pad(H, ((0, 0), (0, nb * blk - bc)))
-        Hb = Hp.reshape(H.shape[0], nb, blk).transpose(1, 0, 2)
-        col = jnp.arange(blk)
-
-        def body(carry, x):
-            i, Hblk = x
-            WH = (W @ Hblk).astype(jnp.float32)
-            gcol = tj * bc + i * blk + col
-            valid = row_valid[:, None] & (
-                ((i * blk + col) < bc) & (gcol < m)
-            )[None, :]
-            term = jnp.where(valid, WH ** beta, 0.0)
-            return carry + jnp.sum(term), None
-
-        acc, _ = lax.scan(
-            body, jnp.asarray(0.0, jnp.float32),
-            (jnp.arange(nb), Hb),
-        )
-        return acc
+        return sum_wh_beta_tile(W, H, beta, n, m, br, bc)
 
     def beta_err(vals, rows, cols, W, H):
         local = _local(scoo_meta, vals, rows, cols)

@@ -132,13 +132,13 @@ def test_beta_engine_guards(rng):
     sp = hs.from_dense(V32)
     cfg = NmfConfig(rank=3, objective="beta-divergence", beta=0.5,
                     num_iterations=2)
-    from nmftpu.parallel import compute_sharded, make_grid_mesh
+    from nmftpu.parallel import prepare_sharded, make_grid_mesh
 
-    # grid + ring mesh beta run (test_beta_sharded_matches_single_device);
-    # only the sharded ELL engine rejects, with guidance
-    with pytest.raises(ValueError, match="ring"):
-        compute_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)),
-                        engine="ell")
+    # every sharded engine runs beta (scatter/ring/ELL: see
+    # test_beta_sharded_matches_single_device); auto follows the MU
+    # rule and picks the ELL tiles
+    plan = prepare_sharded(sp, cfg, mesh=make_grid_mesh((2, 4)))
+    assert plan.engine == "ell"
     from nmftpu.sparse_ops import _resolve_strategy
 
     # f64 beta routes to the exact scatter engine; f32 beyond the
@@ -348,7 +348,8 @@ def test_beta_sharded_matches_single_device(rng, beta):
                     check_interval=3)
     r1 = compute_sparse(sp, cfg, W0=W032, H0=H032, strategy="scatter")
     mesh = make_grid_mesh((2, 4))
-    rs = compute_sharded(sp, cfg, W0=W032, H0=H032, mesh=mesh)
+    rs = compute_sharded(sp, cfg, W0=W032, H0=H032, mesh=mesh,
+                         engine="scatter")
     np.testing.assert_allclose(np.asarray(rs.W), np.asarray(r1.W),
                                rtol=3e-3, atol=3e-4)
     np.testing.assert_allclose(np.asarray(rs.H), np.asarray(r1.H),
@@ -361,4 +362,14 @@ def test_beta_sharded_matches_single_device(rng, beta):
     np.testing.assert_allclose(np.asarray(rr.W), np.asarray(r1.W),
                                rtol=3e-3, atol=3e-4)
     np.testing.assert_allclose(float(rr.kl_error), float(r1.kl_error),
+                               rtol=2e-3)
+    # ELL tiles (the auto default for beta+MU since round 4): fused
+    # gather-once numerators + the same streamed panel denominators
+    re_ = compute_sharded(sp, cfg, W0=W032, H0=H032, mesh=mesh,
+                          engine="ell")
+    np.testing.assert_allclose(np.asarray(re_.W), np.asarray(r1.W),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(re_.H), np.asarray(r1.H),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(float(re_.kl_error), float(r1.kl_error),
                                rtol=2e-3)
