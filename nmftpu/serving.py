@@ -36,7 +36,8 @@ class Recommender:
 
     def __init__(self, W, H, train: SparseMatrix | None = None,
                  mesh=None, block: int | None = None,
-                 method: str = "approx", table_dtype: str = "float32"):
+                 method: str = "approx", table_dtype: str = "float32",
+                 reservoir_slots: int = 4096):
         import jax
         import jax.numpy as jnp
 
@@ -44,6 +45,15 @@ class Recommender:
             raise ValueError(
                 f"table_dtype must be float32|bfloat16|int8, "
                 f"got {table_dtype!r}"
+            )
+        if method not in ("approx", "exact", "reservoir"):
+            raise ValueError(
+                f"method must be approx|exact|reservoir, got {method!r}"
+            )
+        if method == "reservoir" and mesh is not None:
+            raise ValueError(
+                "reservoir serving is single-device; sharded meshes "
+                "serve through method='approx'"
             )
         self.W = np.asarray(W)  # queries stay f32 (row-gathered, small)
         self.mesh = mesh
@@ -74,6 +84,16 @@ class Recommender:
             )
         else:
             H_dev = jnp.asarray(np.asarray(H), dtype=jnp.dtype(table_dtype))
+        # the reservoir kernel scans (r, slots) tiles: pad the table to a
+        # slots multiple ONCE at load (a per-call pad would copy the
+        # multi-GB table every batch); n_items/save stay at the true m
+        self.reservoir_slots = int(reservoir_slots)
+        self._m_items = int(H_dev.shape[1])
+        self._H_unpadded = None  # lazy slice cache for fallback paths
+        if method == "reservoir":
+            pad = (-self._m_items) % self.reservoir_slots
+            if pad:
+                H_dev = jnp.pad(H_dev, ((0, 0), (0, pad)))
         if mesh is not None:
             from nmftpu.parallel import factor_shardings
 
@@ -107,6 +127,29 @@ class Recommender:
                 exclude_lists=lists, seen=seen, method=self.method,
                 candidate_k=candidate_k, h_scale=self._h_scale,
             )
+        if self.method == "reservoir":
+            import jax
+
+            from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+
+            if lists is None:
+                # fused GEMM + top-2-per-slot reservoir scan: the score
+                # tile never leaves VMEM (2.2x the megablock approx q/s
+                # at m=10M — PERF.md round 4b); exclusion rides the same
+                # oversampled drop over the 2*slots candidates
+                return reservoir_topk_mips(
+                    Wq, self.H, k, slots=self.reservoir_slots,
+                    seen=None if seen is None else np.asarray(seen),
+                    h_scale=self._h_scale, m_items=self._m_items,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            # wide-seen scatter-lists fallback: megablock approx scan
+            # over the unpadded table (lists treat every column as real)
+            return topk_mips_blocked(
+                Wq, self._serve_table(), k, block=self.block,
+                exclude_lists=lists, method="approx",
+                candidate_k=candidate_k, h_scale=self._h_scale,
+            )
         if seen is not None:
             return topk_mips_excluded(
                 Wq, self.H, k, seen, block=self.block,
@@ -125,7 +168,19 @@ class Recommender:
 
     @property
     def n_items(self) -> int:
-        return self.H.shape[1]
+        return self._m_items
+
+    def _serve_table(self):
+        """The UNPADDED item table, for serving paths that treat every
+        column of their operand as a real item (megablock fallback,
+        certified). Sliced from the padded device table once, lazily —
+        only Recommenders that both pad (reservoir with m % slots != 0)
+        and hit a fallback pay the extra copy."""
+        if self.H.shape[1] == self._m_items:
+            return self.H
+        if self._H_unpadded is None:
+            self._H_unpadded = self.H[:, :self._m_items]
+        return self._H_unpadded
 
     def user_embedding(self, user_ids) -> np.ndarray:
         return self.W[np.asarray(user_ids)]
@@ -158,7 +213,9 @@ class Recommender:
         fallback stays cheap there) or exceeds the block width."""
         counts = np.diff(csr.indptr)[user_ids]
         S = int(counts.max()) if counts.size else 0
-        if S == 0 or k + S > min(_MAX_OVERSAMPLE_SEEN, self.block):
+        cap = (2 * self.reservoir_slots if self.method == "reservoir"
+               else self.block)
+        if S == 0 or k + S > min(_MAX_OVERSAMPLE_SEEN, cap):
             return None
         seen = np.full((len(user_ids), S), -1, np.int32)
         for row, u in enumerate(np.asarray(user_ids)):
@@ -216,8 +273,8 @@ class Recommender:
                     f"min(4096, block={self.block})); use recommend()"
                 )
         s, i, cert = topk_mips_certified(
-            Wq, self.H, k, block=self.block, candidate_k=candidate_k,
-            h_scale=self._h_scale,
+            Wq, self._serve_table(), k, block=self.block,
+            candidate_k=candidate_k, h_scale=self._h_scale,
             seen=None if seen is None else np.asarray(seen),
         )
         return np.asarray(s), np.asarray(i), np.asarray(cert)
@@ -385,14 +442,15 @@ class Recommender:
         # H persists f32 (ml_dtypes .npy files are not portable);
         # table_dtype is re-applied at load (int8 dequantizes first so
         # the reload re-quantizes from true values, not quantized ones)
-        Hf = np.asarray(self.H).astype(np.float32)
+        Hf = np.asarray(self._serve_table()).astype(np.float32)
         if self._h_scale is not None:
             Hf = Hf * self._h_scale
         np.save(os.path.join(path, "H.npy"), Hf)
         meta = {"n_users": self.n_users, "n_items": self.n_items,
                 "rank": int(self.W.shape[1]),
                 "table_dtype": self.table_dtype,
-                "method": self.method, "block": int(self.block)}
+                "method": self.method, "block": int(self.block),
+                "reservoir_slots": self.reservoir_slots}
         if self._train_csr is not None:
             np.savez(
                 os.path.join(path, "train.npz"),
@@ -424,4 +482,5 @@ class Recommender:
         return cls(W, H, train=train, mesh=mesh,
                    block=int(meta.get("block", 8192)),
                    method=meta.get("method", "approx"),
-                   table_dtype=meta.get("table_dtype", "float32"))
+                   table_dtype=meta.get("table_dtype", "float32"),
+                   reservoir_slots=int(meta.get("reservoir_slots", 4096)))

@@ -372,3 +372,99 @@ def test_certified_topk_detects_misses(rng):
     # 8 blocks x 1 candidate = 8 < k=10 -> top-k carries -inf slots
     s, i, cert = topk_mips_certified(Wq, H, k, block=512, candidate_k=1)
     assert not np.asarray(cert).any()
+
+
+# ---------------------------------------------------------------------------
+# Fused reservoir MIPS kernel (kernels/mips_reservoir.py) — interpret-mode
+# parity on CPU; the on-chip recall/throughput receipts live in
+# BENCH_retrieval_10m.json / PERF.md.
+# ---------------------------------------------------------------------------
+
+
+def _slotwise_top2_oracle(full, slots):
+    """NumPy oracle: per (query, slot) keep the best-two (score, id)
+    pairs, slot = item_id mod slots — exactly the kernel's reduction."""
+    b, m = full.shape
+    cand_s = np.full((b, 2 * slots), -np.inf, np.float32)
+    cand_i = np.zeros((b, 2 * slots), np.int32)
+    for q in range(b):
+        for slot in range(slots):
+            ids = np.arange(slot, m, slots)
+            if ids.size == 0:
+                continue
+            order = np.argsort(-full[q, ids], kind="stable")[:2]
+            for pos, o in enumerate(order):
+                cand_s[q, slot + pos * slots] = full[q, ids[o]]
+                cand_i[q, slot + pos * slots] = ids[o]
+    return cand_s, cand_i
+
+
+def test_reservoir_matches_slotwise_oracle(rng):
+    from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+
+    b, r, m, k, slots = 8, 8, 500, 10, 128  # m not a multiple of slots
+    Wq = rng.standard_normal((b, r)).astype(np.float32)
+    H = rng.standard_normal((r, m)).astype(np.float32)
+    full = (Wq.astype(np.float64) @ H.astype(np.float64))
+    s, i = reservoir_topk_mips(jnp.asarray(Wq), jnp.asarray(H), k,
+                               slots=slots, q_block=8, interpret=True)
+    s, i = np.asarray(s), np.asarray(i)
+    cand_s, _ = _slotwise_top2_oracle(full.astype(np.float32), slots)
+    expect_s = -np.sort(-cand_s, axis=1)[:, :k]
+    # bf16 scoring: ids must point at items whose TRUE score matches the
+    # returned score, and the score set must match the oracle's top-k set
+    np.testing.assert_allclose(s, expect_s, rtol=3e-2, atol=3e-2)
+    for q in range(b):
+        np.testing.assert_allclose(s[q], full[q, i[q]], rtol=3e-2,
+                                   atol=3e-2)
+        assert len(set(i[q].tolist())) == k  # no duplicate ids
+
+
+def test_reservoir_exact_when_slots_cover_items(rng):
+    """slots >= m gives every item its own slot — the reservoir is then
+    the exact top-k (up to bf16 scoring)."""
+    from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+    from nmftpu.retrieval import topk_mips
+
+    b, r, m, k = 4, 16, 100, 7
+    Wq = rng.standard_normal((b, r)).astype(np.float32)
+    H = rng.standard_normal((r, m)).astype(np.float32)
+    s_ex, i_ex = topk_mips(jnp.asarray(Wq).astype(jnp.bfloat16),
+                           jnp.asarray(H).astype(jnp.bfloat16), k)
+    s, i = reservoir_topk_mips(jnp.asarray(Wq),
+                               jnp.asarray(H).astype(jnp.bfloat16), k,
+                               slots=128, q_block=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
+
+
+def test_reservoir_seen_exclusion_and_int8(rng):
+    from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+
+    b, r, m, k = 4, 8, 256, 5
+    Wq = rng.standard_normal((b, r)).astype(np.float32)
+    H = rng.standard_normal((r, m)).astype(np.float32)
+    scale = np.abs(H).max() / 127.0
+    H8 = np.clip(np.round(H / scale), -127, 127).astype(np.int8)
+    full = Wq @ (H8.astype(np.float32) * scale)
+    top = np.argsort(-full, axis=1)
+    seen = np.full((b, 3), -1, np.int32)
+    seen[:, :2] = top[:, :2]  # exclude each query's top-2
+    s, i = reservoir_topk_mips(
+        jnp.asarray(Wq), jnp.asarray(H8), k, slots=256,
+        seen=jnp.asarray(seen), h_scale=scale, q_block=4,
+        interpret=True)
+    i = np.asarray(i)
+    for q in range(b):
+        assert not (set(i[q].tolist()) & set(seen[q, :2].tolist()))
+        # exact post-exclusion top-k (slots >= m -> reservoir exact)
+        assert set(i[q].tolist()) == set(top[q, 2:2 + k].tolist())
+
+
+def test_reservoir_int8_requires_scale(rng):
+    from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+
+    Wq = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    H8 = jnp.zeros((4, 64), jnp.int8)
+    with pytest.raises(ValueError, match="quantization scale"):
+        reservoir_topk_mips(Wq, H8, 3, slots=64, q_block=2,
+                            interpret=True)

@@ -385,3 +385,65 @@ def test_recommend_certified(rng):
                         mesh=make_grid_mesh((2, 4)), block=75)
     with pytest.raises(ValueError, match="single-device"):
         rec_m.recommend_certified([0], k=5)
+
+
+# -- reservoir serving (fused Pallas kernel; interpret mode on CPU) --------
+
+
+def test_reservoir_method_end_to_end(rng):
+    """method='reservoir' with slots >= m is the exact top-k (each item
+    owns a slot); m=50 is NOT a slots multiple, so this also covers the
+    construction-time table padding (pad columns must never surface)."""
+    V, res = _fit(rng)
+    rec = Recommender(res.W, res.H, method="reservoir",
+                      reservoir_slots=128)
+    assert rec.n_items == 50 and rec.H.shape[1] == 128  # padded table
+    s, i = rec.recommend([0, 3, 7], k=5, exclude_seen=False)
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    expect = np.argsort(-full[[0, 3, 7]], axis=1)[:, :5]
+    assert (i < 50).all()
+    # bf16 kernel scoring: compare sets via true scores (ties possible)
+    for q in range(3):
+        np.testing.assert_allclose(
+            np.sort(full[[0, 3, 7]][q, i[q]]),
+            np.sort(full[[0, 3, 7]][q, expect[q]]), rtol=2e-2, atol=1e-3)
+
+
+def test_reservoir_seen_exclusion(rng):
+    V, res = _fit(rng, m=40)
+    # each user has seen their top-2 items
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    seen_dense = np.zeros_like(V)
+    top2 = np.argsort(-full, axis=1)[:, :2]
+    for u in range(V.shape[0]):
+        seen_dense[u, top2[u]] = 1.0
+    rec = Recommender(res.W, res.H, train=from_dense(seen_dense),
+                      method="reservoir", reservoir_slots=128)
+    s, i = rec.recommend([1, 2], k=5, exclude_seen=True)
+    for row, u in enumerate([1, 2]):
+        assert not (set(i[row].tolist()) & set(top2[u].tolist()))
+
+
+def test_reservoir_save_load_strips_padding(tmp_path, rng):
+    V, res = _fit(rng, m=50)
+    rec = Recommender(res.W, res.H, train=from_dense(V),
+                      method="reservoir", reservoir_slots=128)
+    rec.save(str(tmp_path / "bundle"))
+    H_saved = np.load(str(tmp_path / "bundle" / "H.npy"))
+    assert H_saved.shape[1] == 50  # padding stripped on save
+    rec2 = Recommender.load(str(tmp_path / "bundle"))
+    assert rec2.method == "reservoir" and rec2.reservoir_slots == 128
+    s1, i1 = rec.recommend([2], k=4, exclude_seen=False)
+    s2, i2 = rec2.recommend([2], k=4, exclude_seen=False)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_reservoir_rejects_mesh_and_bad_method(rng):
+    V, res = _fit(rng)
+    from nmftpu.parallel import make_grid_mesh
+
+    with pytest.raises(ValueError, match="single-device"):
+        Recommender(res.W, res.H, mesh=make_grid_mesh((2, 4)),
+                    method="reservoir")
+    with pytest.raises(ValueError, match="approx|exact|reservoir"):
+        Recommender(res.W, res.H, method="bogus")
