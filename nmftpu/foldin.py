@@ -64,7 +64,9 @@ class PreparedTable:
     Ht: Any     # (m, r) item table, original dtype (int8 with `scale`)
     G: Any      # (r, r) f32 Gram H Hᵀ (scale folded in)
     h_sum: Any  # (r,) f32 row sums (KL denominator; scale folded in)
-    scale: float | None = None  # int8 tables: true H = scale * Ht.T
+    # int8 tables: true H = scale * Ht.T (scalar) or
+    # diag(scale) @ Ht.T ((r,) per-dimension vector)
+    scale: Any = None
 
     @property
     def shape(self):
@@ -72,16 +74,26 @@ class PreparedTable:
         return r, m
 
 
-def prepare_table(H, scale: float | None = None) -> PreparedTable:
+def prepare_table(H, scale=None) -> PreparedTable:
     """Precompute the table-invariant fold-in quantities once.
 
-    scale: for an int8-quantized table (true H = scale * H_int8) —
-    the Gram/row-sum statistics fold the scale in, and gathers up-cast
-    + scale only the observed columns."""
+    scale: for an int8-quantized table — a SCALAR (true H = scale *
+    H_int8) or a (rank,) VECTOR of per-dimension scales (true H =
+    diag(scale) @ H_int8, the serving default). The Gram/row-sum
+    statistics fold the scale in, and gathers up-cast + scale only the
+    observed columns (a (nnz, r) gather broadcasts against the (r,)
+    vector directly)."""
     H = jnp.asarray(H)
     if H.ndim != 2:
         raise ValueError(f"H must be (rank, n_items), got shape {H.shape}")
     Ht = H.T  # (m, r): row-gathers on the sublane axis (PERF.md round 2)
+
+    def fold(G, h_sum, sc):
+        sc = jnp.asarray(sc, jnp.float32)
+        if sc.ndim == 1:
+            return G * (sc[:, None] * sc[None, :]), h_sum * sc, sc
+        return G * (sc * sc), h_sum * sc, float(sc)
+
     if jnp.issubdtype(H.dtype, jnp.integer):
         if scale is None:
             raise ValueError("an integer table needs its quantization "
@@ -90,18 +102,18 @@ def prepare_table(H, scale: float | None = None) -> PreparedTable:
         G = jax.lax.dot_general(
             Hb, Hb.T, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (scale * scale)
-        h_sum = jnp.sum(H, axis=1, dtype=jnp.float32) * scale
-        return PreparedTable(Ht=Ht, G=G, h_sum=h_sum, scale=float(scale))
+        )
+        h_sum = jnp.sum(H, axis=1, dtype=jnp.float32)
+        G, h_sum, sc = fold(G, h_sum, scale)
+        return PreparedTable(Ht=Ht, G=G, h_sum=h_sum, scale=sc)
     G = jax.lax.dot_general(
         H, Ht, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     h_sum = jnp.sum(H, axis=1, dtype=jnp.float32)
     if scale is not None:
-        G = G * (scale * scale)
-        h_sum = h_sum * scale
-        return PreparedTable(Ht=Ht, G=G, h_sum=h_sum, scale=float(scale))
+        G, h_sum, sc = fold(G, h_sum, scale)
+        return PreparedTable(Ht=Ht, G=G, h_sum=h_sum, scale=sc)
     return PreparedTable(Ht=Ht, G=G, h_sum=h_sum)
 
 

@@ -151,6 +151,20 @@ def reservoir_topk_mips(Wq, H, k, slots=4096, seen=None, h_scale=None,
             f"2*slots = {2 * slots} reservoir candidates; raise slots "
             "or trim the per-user seen lists"
         )
+    if h_scale is not None and not jnp.issubdtype(H.dtype, jnp.integer):
+        raise ValueError(
+            "h_scale is only meaningful with an integer item table"
+        )
+    if h_scale is None and jnp.issubdtype(H.dtype, jnp.integer):
+        raise ValueError(
+            "an integer item table needs its quantization scale "
+            "(h_scale)"
+        )
+    vector_scale = h_scale is not None and jnp.asarray(h_scale).ndim == 1
+    if vector_scale:
+        # per-dimension scales (true H = diag(h_scale) @ H_int8) fold
+        # into the QUERY side — free on the scan (see mips._score_dot)
+        Wq = Wq.astype(jnp.float32) * jnp.asarray(h_scale)
     if q_block is None:
         q_block = min(512, max(8, b))
     bp = -(-b // q_block) * q_block
@@ -163,17 +177,8 @@ def reservoir_topk_mips(Wq, H, k, slots=4096, seen=None, h_scale=None,
                                      interpret=interpret)
     cand_s = cand_s[:b]
     cand_i = cand_i[:b]
-    if h_scale is not None:
-        if not jnp.issubdtype(H.dtype, jnp.integer):
-            raise ValueError(
-                "h_scale is only meaningful with an integer item table"
-            )
+    if h_scale is not None and not vector_scale:
         cand_s = cand_s * h_scale
-    elif jnp.issubdtype(H.dtype, jnp.integer):
-        raise ValueError(
-            "an integer item table needs its quantization scale "
-            "(h_scale)"
-        )
     if seen is not None:
         return _drop_seen(cand_s, cand_i, jnp.asarray(seen), k)
     top_s, pos = lax.top_k(cand_s, k)

@@ -27,21 +27,27 @@ def _score_dot(Wq, Hblk, h_scale=None):
     path's bandwidth bill — while the f32 accumulation keeps top-k
     ordering stable (only the ~0.4% per-operand storage rounding
     remains). An int8 table (quarter footprint: 4x the items per chip)
-    carries a per-table `h_scale`: int8->bf16 is exact, and the uniform
-    positive scale folds into the f32 scores AFTER the dot (order-
-    preserving)."""
+    carries `h_scale`: int8->bf16 is exact, and the positive scale is
+    order-preserving — a SCALAR (per-table) folds into the f32 scores
+    AFTER the dot; a (rank,) VECTOR (per-dimension, the serving
+    default: true H = diag(h_scale) @ H_int8) folds into the QUERY side
+    BEFORE the dot (Wq' = Wq * h_scale), costing nothing on the
+    scan."""
     if jnp.issubdtype(Hblk.dtype, jnp.integer):
         if h_scale is None:
             raise ValueError(
                 "an integer item table needs its quantization scale "
                 "(h_scale) — raw int scores would be off by the factor"
             )
+        h_scale = jnp.asarray(h_scale)
+        if h_scale.ndim == 1:
+            Wq = Wq.astype(jnp.float32) * h_scale
         out = lax.dot_general(
             Wq.astype(jnp.bfloat16), Hblk.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return out * h_scale
+        return out if h_scale.ndim == 1 else out * h_scale
     if h_scale is not None:
         raise ValueError(
             "h_scale is only meaningful with an integer (quantized) "
@@ -220,11 +226,16 @@ def _certify(Wq, H, top_s, block, h_scale, seen, k):
         # table columns directly (b*S columns — tiny next to the scan)
         Hs = jnp.take(H, jnp.clip(seen, 0, m - 1), axis=1)  # (r, b, S)
         if jnp.issubdtype(H.dtype, jnp.integer):
+            hs = jnp.asarray(h_scale)
+            wq_eff = (Wq.astype(jnp.float32) * hs
+                      if hs.ndim == 1 else Wq)
             sc_seen = jnp.einsum(
-                "br,rbs->bs", Wq.astype(jnp.bfloat16),
+                "br,rbs->bs", wq_eff.astype(jnp.bfloat16),
                 Hs.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            ) * h_scale
+            )
+            if hs.ndim == 0:
+                sc_seen = sc_seen * hs
         else:
             sc_seen = jnp.einsum(
                 "br,rbs->bs", Wq.astype(Hs.dtype), Hs,

@@ -71,15 +71,19 @@ class Recommender:
         # the ITEM table is the scanned operand: bf16 halves / int8
         # quarters its per-chip footprint (2x/4x the items per chip at
         # the 10M scale) and the exact path's HBM read traffic; scores
-        # accumulate f32 either way. int8 uses one symmetric per-table
-        # scale (true H = scale * Hq) folded into the f32 scores after
-        # the dot — order-preserving.
+        # accumulate f32 either way. int8 uses PER-DIMENSION symmetric
+        # scales (true H = diag(scale) @ Hq): NMF factor rows span
+        # orders of magnitude (topic popularity), so a single per-table
+        # scale crushes the quiet dimensions to ±1 int8 levels; the
+        # (r,) vector folds into the query side before the scoring dot
+        # — order-preserving per query, zero scan cost.
         self._h_scale = None
         if table_dtype == "int8":
             Hf = np.asarray(H, dtype=np.float32)
-            self._h_scale = float(max(np.abs(Hf).max() / 127.0, 1e-30))
+            sc = np.maximum(np.abs(Hf).max(axis=1) / 127.0, 1e-30)
+            self._h_scale = sc.astype(np.float32)
             H_dev = jnp.asarray(
-                np.clip(np.round(Hf / self._h_scale), -127, 127)
+                np.clip(np.round(Hf / sc[:, None]), -127, 127)
                 .astype(np.int8)
             )
         else:
@@ -431,7 +435,7 @@ class Recommender:
         cols = jnp.take(self.H, jnp.asarray(item_ids), axis=1)
         cols = np.asarray(cols, dtype=np.float32)
         if self._h_scale is not None:
-            cols = cols * self._h_scale
+            cols = cols * np.asarray(self._h_scale).reshape(-1, 1)
         return self.W[user_id] @ cols
 
     # -- persistence ------------------------------------------------------
@@ -444,7 +448,7 @@ class Recommender:
         # the reload re-quantizes from true values, not quantized ones)
         Hf = np.asarray(self._serve_table()).astype(np.float32)
         if self._h_scale is not None:
-            Hf = Hf * self._h_scale
+            Hf = Hf * np.asarray(self._h_scale).reshape(-1, 1)
         np.save(os.path.join(path, "H.npy"), Hf)
         meta = {"n_users": self.n_users, "n_items": self.n_items,
                 "rank": int(self.W.shape[1]),

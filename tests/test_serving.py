@@ -256,9 +256,12 @@ def test_int8_table_dtype(rng, tmp_path):
     q.save(str(tmp_path / "q"))
     q2 = Recommender.load(str(tmp_path / "q"))
     assert q2.table_dtype == "int8"
+    # per-dimension scales: true H = diag(scale) @ Hq
     np.testing.assert_allclose(
-        np.asarray(q2.H).astype(np.float32) * q2._h_scale,
-        np.asarray(q.H).astype(np.float32) * q._h_scale,
+        np.asarray(q2.H).astype(np.float32)
+        * np.asarray(q2._h_scale)[:, None],
+        np.asarray(q.H).astype(np.float32)
+        * np.asarray(q._h_scale)[:, None],
         rtol=1e-2, atol=1e-2,
     )
 
@@ -447,3 +450,37 @@ def test_reservoir_rejects_mesh_and_bad_method(rng):
                     method="reservoir")
     with pytest.raises(ValueError, match="approx|exact|reservoir"):
         Recommender(res.W, res.H, method="bogus")
+
+
+def test_int8_per_dim_scales_on_skewed_table(rng):
+    """NMF factor rows span orders of magnitude; per-dimension int8
+    scales must preserve ranking where a single per-table scale would
+    crush the quiet dimensions to +-1 levels."""
+    n, m, r = 12, 400, 6
+    W = rng.uniform(0.1, 1.0, (n, r)).astype(np.float32)
+    H = rng.uniform(0.1, 1.0, (r, m)).astype(np.float32)
+    row_mag = 10.0 ** np.arange(r - 1, -1, -1, dtype=np.float32)  # 1e5..1
+    # queries weight the QUIET dims so ranking hinges on them
+    W = W / row_mag[None, :]
+    H = H * row_mag[:, None]
+    ref = Recommender(W, H)
+    q = Recommender(W, H, table_dtype="int8")
+    assert np.asarray(q._h_scale).shape == (r,)
+    s_ref, i_ref = ref.recommend(np.arange(n), k=10, exclude_seen=False)
+    s_q, i_q = q.recommend(np.arange(n), k=10, exclude_seen=False)
+    overlap = np.mean([
+        len(set(i_ref[u].tolist()) & set(i_q[u].tolist())) / 10
+        for u in range(n)])
+    assert overlap >= 0.9, overlap
+    # a GLOBAL scale on this table zeroes the three quietest rows
+    g = np.abs(H).max() / 127.0
+    assert (np.round(H[-3:] / g) == 0).all()
+
+    # the reservoir path folds the vector scale into the query side
+    rq = Recommender(W, H, table_dtype="int8", method="reservoir",
+                     reservoir_slots=512)
+    s_r, i_r = rq.recommend(np.arange(n), k=10, exclude_seen=False)
+    overlap_r = np.mean([
+        len(set(i_ref[u].tolist()) & set(i_r[u].tolist())) / 10
+        for u in range(n)])
+    assert overlap_r >= 0.9, overlap_r
