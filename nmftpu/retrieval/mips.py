@@ -200,6 +200,20 @@ def topk_mips_certified(Wq, H, k, block=1048576, candidate_k=None,
     return s, i, certified
 
 
+def certify_topk(Wq, H, top_s, k, block=1048576, h_scale=None,
+                 seen=None):
+    """The certificate pass alone: given candidate top-k scores from
+    ANY scan (megablock approx, the reservoir kernel, ...), count per
+    row how many items strictly exceed the kth returned score (GEMM +
+    compare-reduce, no materialized scores) — count <= k-1 proves the
+    row IS the exact top-k up to ties at that score. `seen` items'
+    scores are discounted from the count exactly as in
+    `topk_mips_certified`. H must carry only REAL items (no padding
+    columns). Returns certified (b,) bool."""
+    return _certify(Wq, H, jnp.asarray(top_s), block, h_scale,
+                    None if seen is None else jnp.asarray(seen), k)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "k"))
 def _certify(Wq, H, top_s, block, h_scale, seen, k):
     b = Wq.shape[0]
@@ -224,28 +238,48 @@ def _certify(Wq, H, top_s, block, h_scale, seen, k):
     if seen is not None:
         # discount excluded items that score above theta: gather their
         # table columns directly (b*S columns — tiny next to the scan)
-        Hs = jnp.take(H, jnp.clip(seen, 0, m - 1), axis=1)  # (r, b, S)
-        if jnp.issubdtype(H.dtype, jnp.integer):
-            hs = jnp.asarray(h_scale)
-            wq_eff = (Wq.astype(jnp.float32) * hs
-                      if hs.ndim == 1 else Wq)
-            sc_seen = jnp.einsum(
-                "br,rbs->bs", wq_eff.astype(jnp.bfloat16),
-                Hs.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            if hs.ndim == 0:
-                sc_seen = sc_seen * hs
-        else:
-            sc_seen = jnp.einsum(
-                "br,rbs->bs", Wq.astype(Hs.dtype), Hs,
-                preferred_element_type=jnp.float32,
-            )
+        sc_seen = _gather_scores(Wq, H, jnp.clip(seen, 0, m - 1),
+                                 h_scale)
         count = count - jnp.sum(
             (sc_seen > theta[:, None]) & (seen >= 0), axis=1,
             dtype=jnp.int32,
         )
     return count <= k - 1
+
+
+def rescore_and_sort(Wq, H, ids, h_scale=None):
+    """Re-score candidate ids at the full-scan dtype rules and sort
+    descending. Used to align a faster scan's scores (e.g. the
+    reservoir kernel's all-bf16 dots) with `certify_topk`'s pass so the
+    kth-score threshold is comparable; also upgrades the returned
+    scores to the exact path's precision. ids: (b, S) -> (scores,
+    ids) both (b, S) sorted by score."""
+    ids = jnp.asarray(ids)
+    s = _gather_scores(Wq, jnp.asarray(H), ids, h_scale)
+    top_s, pos = lax.top_k(s, s.shape[1])
+    return top_s, jnp.take_along_axis(ids, pos, axis=1)
+
+
+def _gather_scores(Wq, H, ids, h_scale=None):
+    """Scores for specific (query, item) pairs via a column gather +
+    batched dot at the SAME dtype rules as `_score_dot` (so the result
+    is comparable with a full-scan pass): (b, r) x (r, m)[:, ids] ->
+    (b, S) f32 for (b, S) int ids."""
+    Hs = jnp.take(H, ids, axis=1)                      # (r, b, S)
+    if jnp.issubdtype(H.dtype, jnp.integer):
+        hs = jnp.asarray(h_scale)
+        wq_eff = (Wq.astype(jnp.float32) * hs
+                  if hs.ndim == 1 else Wq)
+        sc = jnp.einsum(
+            "br,rbs->bs", wq_eff.astype(jnp.bfloat16),
+            Hs.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return sc if hs.ndim == 1 else sc * hs
+    return jnp.einsum(
+        "br,rbs->bs", Wq.astype(Hs.dtype), Hs,
+        preferred_element_type=jnp.float32,
+    )
 
 
 @functools.partial(

@@ -261,7 +261,7 @@ class Recommender:
                 "recommend_certified is single-device; the sharded "
                 "path serves through recommend()"
             )
-        from nmftpu.retrieval.mips import topk_mips_certified
+        from nmftpu.retrieval.mips import certify_topk, topk_mips_certified
 
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
@@ -276,11 +276,38 @@ class Recommender:
                     "path's oversampling exclusion (k + S must be <= "
                     f"min(4096, block={self.block})); use recommend()"
                 )
-        s, i, cert = topk_mips_certified(
-            Wq, self._serve_table(), k, block=self.block,
-            candidate_k=candidate_k, h_scale=self._h_scale,
-            seen=None if seen is None else np.asarray(seen),
-        )
+        seen_arr = None if seen is None else np.asarray(seen)
+        if self.method == "reservoir":
+            # candidates from the fused reservoir scan (1.7x the
+            # megablock pass); the returned ids are re-scored at the
+            # certify pass's dtype rules (a tiny b*k column gather) so
+            # the kth-score threshold is comparable — the kernel's
+            # all-bf16 scores sit ~0.4% below the scan's and would
+            # fail correct rows otherwise; certificate from the shared
+            # compare-reduce pass over the unpadded table
+            import jax
+
+            from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+            from nmftpu.retrieval.mips import rescore_and_sort
+
+            _, i = reservoir_topk_mips(
+                Wq, self.H, k, slots=self.reservoir_slots,
+                seen=seen_arr, h_scale=self._h_scale,
+                m_items=self._m_items,
+                interpret=jax.default_backend() != "tpu",
+            )
+            s, i = rescore_and_sort(Wq, self._serve_table(), i,
+                                    h_scale=self._h_scale)
+            cert = certify_topk(
+                Wq, self._serve_table(), s, k, block=self.block,
+                h_scale=self._h_scale, seen=seen_arr,
+            )
+        else:
+            s, i, cert = topk_mips_certified(
+                Wq, self._serve_table(), k, block=self.block,
+                candidate_k=candidate_k, h_scale=self._h_scale,
+                seen=seen_arr,
+            )
         return np.asarray(s), np.asarray(i), np.asarray(cert)
 
     # -- cold users: fold-in against the frozen item table -----------------

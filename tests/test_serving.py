@@ -484,3 +484,33 @@ def test_int8_per_dim_scales_on_skewed_table(rng):
         len(set(i_ref[u].tolist()) & set(i_r[u].tolist())) / 10
         for u in range(n)])
     assert overlap_r >= 0.9, overlap_r
+
+
+def test_reservoir_certified(rng):
+    """Certified serving over reservoir candidates: with slots >= m the
+    reservoir is exact, so every row certifies; with a tiny reservoir
+    (slots=8 over m=300) forced misses must yield certified=False, never
+    a wrong row labeled exact."""
+    V, res = _fit(rng, m=300)
+    rec = Recommender(res.W, res.H, method="reservoir",
+                      reservoir_slots=512)
+    s, i, cert = rec.recommend_certified([0, 1, 2, 3], k=5,
+                                         exclude_seen=False)
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    # contract: certified => exact (a bf16-resolution near-tie may
+    # correctly leave a row uncertified, never falsely certified)
+    assert cert.sum() >= 3
+    for row, u in enumerate([0, 1, 2, 3]):
+        exact = set(np.argsort(-full[u])[:5].tolist())
+        if cert[row]:
+            assert set(i[row].tolist()) == exact
+
+    tiny = Recommender(res.W, res.H, method="reservoir",
+                       reservoir_slots=8)
+    s2, i2, cert2 = tiny.recommend_certified(np.arange(30), k=5,
+                                             exclude_seen=False)
+    cert2 = np.asarray(cert2)
+    for row in range(30):
+        exact = set(np.argsort(-full[row])[:5].tolist())
+        if set(np.asarray(i2)[row].tolist()) != exact:
+            assert not cert2[row], row  # a miss must not certify
