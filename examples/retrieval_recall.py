@@ -33,17 +33,23 @@ def main():
     print(f"recall@{args.k} = {rec:.4f} "
           f"(frobenius_error={res.frobenius_error:.2f})")
 
-    # production serving: megablock approx scan with oversampling
-    # seen-exclusion, plus the certified-exact mode (a second
-    # count-above-threshold pass proves rows exact up to kth-score ties)
+    # production serving. On a single TPU prefer method="reservoir" —
+    # the fused Pallas scan measures 1.7-1.8x the megablock approx q/s
+    # at better recall (PERF.md round 4b; runs in interpret mode off-
+    # TPU, so this example works anywhere). Exclusion of each user's
+    # training items is exact; recommend_certified additionally proves
+    # rows exact up to kth-score ties.
+    import jax
+
     from nmftpu.serving import Recommender
 
-    server = Recommender(res.W, res.H, train=train)
+    method = "reservoir" if jax.default_backend() == "tpu" else "approx"
+    server = Recommender(res.W, res.H, train=train, method=method)
     s, i = server.recommend([0, 1, 2], k=10)
     s2, i2, cert = server.recommend_certified([0, 1, 2], k=10,
                                               candidate_k=64)
-    print(f"serving: top-10 for 3 users, certified-exact rows: "
-          f"{int(cert.sum())}/3")
+    print(f"serving[{method}]: top-10 for 3 users, certified-exact "
+          f"rows: {int(cert.sum())}/3")
 
 
 if __name__ == "__main__":
