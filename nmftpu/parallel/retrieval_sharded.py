@@ -19,7 +19,8 @@ from nmftpu.retrieval.mips import _drop_seen, topk_mips_blocked
 
 def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
                       exclude_lists=None, seen=None, method="exact",
-                      candidate_k=None, h_scale=None):
+                      candidate_k=None, h_scale=None,
+                      reservoir_slots=4096, interpret=None):
     """Top-k over an items-sharded table H (r, m).
 
     Wq: (b, r) queries (replicated); H sharded P(None, 'items');
@@ -33,9 +34,16 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
     breaks — PERF.md round 4), the cross-shard merge keeps k+S, and one
     final broadcast-compare drops the seen set. Exact: at most S_u seen
     items can pollute a user's merged list.
-    method: "exact" or "approx" (hardware approx_max_k inside each
-    shard's blocked scan; both cross-block and cross-shard merges exact).
+    method: "exact", "approx" (hardware approx_max_k inside each shard's
+    blocked scan; both cross-block and cross-shard merges exact), or
+    "reservoir" (each shard runs the fused Pallas GEMM→top-2-per-slot
+    scan of kernels/mips_reservoir.py over its local table slice —
+    per-shard recall ≈ 1 − C(k,3)/reservoir_slots², and the cross-shard
+    merge stays exact; exclusion must use `seen`/none, the mask/lists
+    forms belong to the blocked scans).
     candidate_k: per-block candidate count for the approx path.
+    interpret: reservoir only — run the kernel in interpret mode (CPU
+    meshes); defaults to True off-TPU.
     Returns (scores (b, k), global item indices (b, k)), replicated.
     """
     has_mask = exclude_mask is not None
@@ -43,19 +51,42 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
     has_seen = seen is not None
     if has_seen and (has_mask or has_lists):
         raise ValueError("pass seen OR exclude_mask/exclude_lists, not both")
+    if method == "reservoir" and (has_mask or has_lists):
+        raise ValueError(
+            "method='reservoir' excludes via `seen` (or serve without "
+            "exclusion); exclude_mask/exclude_lists need the blocked "
+            "scans — use method='approx'"
+        )
     kk = k + (int(seen.shape[1]) if has_seen else 0)
     ck = (None if candidate_k is None
           else candidate_k + (kk - k))
+    if method == "reservoir" and kk > 2 * reservoir_slots:
+        raise ValueError(
+            f"k + seen width = {kk} exceeds the 2*reservoir_slots = "
+            f"{2 * reservoir_slots} per-shard candidates; raise "
+            "reservoir_slots or trim the seen lists"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     def local_topk(Wq, H_loc, *extra):
         m_loc = H_loc.shape[1]
         mask_loc = extra[0] if has_mask else None
         lists_loc = extra[-2:] if has_lists else None
-        s, idx = topk_mips_blocked(
-            Wq, H_loc, kk, block=min(block, m_loc), exclude_mask=mask_loc,
-            exclude_lists=lists_loc, method=method,
-            candidate_k=ck, h_scale=h_scale,
-        )
+        if method == "reservoir":
+            from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+
+            # seen ids are GLOBAL — exclusion happens after the merge
+            s, idx = reservoir_topk_mips(
+                Wq, H_loc, kk, slots=reservoir_slots,
+                h_scale=h_scale, interpret=interpret,
+            )
+        else:
+            s, idx = topk_mips_blocked(
+                Wq, H_loc, kk, block=min(block, m_loc),
+                exclude_mask=mask_loc, exclude_lists=lists_loc,
+                method=method, candidate_k=ck, h_scale=h_scale,
+            )
         shard = lax.axis_index(AXIS_ITEMS)
         gidx = idx + shard * m_loc
         # gather candidates from every item shard, then merge

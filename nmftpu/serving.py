@@ -50,11 +50,6 @@ class Recommender:
             raise ValueError(
                 f"method must be approx|exact|reservoir, got {method!r}"
             )
-        if method == "reservoir" and mesh is not None:
-            raise ValueError(
-                "reservoir serving is single-device; sharded meshes "
-                "serve through method='approx'"
-            )
         self.W = np.asarray(W)  # queries stay f32 (row-gathered, small)
         self.mesh = mesh
         if block is None:
@@ -94,7 +89,9 @@ class Recommender:
         self.reservoir_slots = int(reservoir_slots)
         self._m_items = int(H_dev.shape[1])
         self._H_unpadded = None  # lazy slice cache for fallback paths
-        if method == "reservoir":
+        if method == "reservoir" and mesh is None:
+            # sharded tables keep their mesh layout; each shard's scan
+            # pads its local slice inside the kernel wrapper instead
             pad = (-self._m_items) % self.reservoir_slots
             if pad:
                 H_dev = jnp.pad(H_dev, ((0, 0), (0, pad)))
@@ -126,10 +123,17 @@ class Recommender:
         if self.mesh is not None:
             from nmftpu.parallel import topk_mips_sharded
 
+            # scatter-lists exclusion needs the blocked scans — a
+            # reservoir server with wide seen lists falls back to the
+            # sharded approx path for that batch
+            method = self.method
+            if method == "reservoir" and lists is not None:
+                method = "approx"
             return topk_mips_sharded(
                 Wq, self.H, k, mesh=self.mesh, block=self.block,
-                exclude_lists=lists, seen=seen, method=self.method,
+                exclude_lists=lists, seen=seen, method=method,
                 candidate_k=candidate_k, h_scale=self._h_scale,
+                reservoir_slots=self.reservoir_slots,
             )
         if self.method == "reservoir":
             import jax

@@ -441,15 +441,46 @@ def test_reservoir_save_load_strips_padding(tmp_path, rng):
     np.testing.assert_array_equal(i1, i2)
 
 
-def test_reservoir_rejects_mesh_and_bad_method(rng):
+def test_reservoir_rejects_bad_method(rng):
     V, res = _fit(rng)
-    from nmftpu.parallel import make_grid_mesh
-
-    with pytest.raises(ValueError, match="single-device"):
-        Recommender(res.W, res.H, mesh=make_grid_mesh((2, 4)),
-                    method="reservoir")
     with pytest.raises(ValueError, match="approx|exact|reservoir"):
         Recommender(res.W, res.H, method="bogus")
+
+
+def test_reservoir_sharded_matches_single_device(rng):
+    """method='reservoir' on an items-sharded mesh: each shard runs the
+    fused scan over its local slice (slots >= m_loc here, so exact),
+    the cross-shard merge is exact, and seen exclusion rides the
+    oversampled drop after the merge."""
+    from nmftpu.parallel import make_grid_mesh
+
+    V, res = _fit(rng, m=64)
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    top2 = np.argsort(-full, axis=1)[:, :2]
+    seen_dense = np.zeros_like(V)
+    for u in range(V.shape[0]):
+        seen_dense[u, top2[u]] = 1.0
+    mesh = make_grid_mesh((2, 4))
+    rec_m = Recommender(res.W, res.H, train=from_dense(seen_dense),
+                        mesh=mesh, method="reservoir",
+                        reservoir_slots=128)
+    rec_1 = Recommender(res.W, res.H, train=from_dense(seen_dense),
+                        method="exact", block=16)
+    users = [0, 3, 9, 17]
+    s_m, i_m = rec_m.recommend(users, k=5)
+    s_1, i_1 = rec_1.recommend(users, k=5)
+    for row in range(len(users)):
+        assert set(i_m[row].tolist()) == set(i_1[row].tolist()), row
+        assert not (set(i_m[row].tolist())
+                    & set(top2[users[row]].tolist()))
+
+    # mask/lists exclusion forms are rejected on the sharded reservoir
+    from nmftpu.parallel import topk_mips_sharded
+
+    with pytest.raises(ValueError, match="reservoir"):
+        topk_mips_sharded(
+            res.W[:4], rec_m.H, 5, mesh=mesh, method="reservoir",
+            exclude_mask=np.zeros((4, 64), bool))
 
 
 def test_int8_per_dim_scales_on_skewed_table(rng):
