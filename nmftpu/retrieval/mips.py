@@ -247,15 +247,31 @@ def _certify(Wq, H, top_s, block, h_scale, seen, k):
     return count <= k - 1
 
 
-def rescore_and_sort(Wq, H, ids, h_scale=None):
+def rescore_and_sort(Wq, H, ids, h_scale=None, invalid=None, seen=None):
     """Re-score candidate ids at the full-scan dtype rules and sort
     descending. Used to align a faster scan's scores (e.g. the
     reservoir kernel's all-bf16 dots) with `certify_topk`'s pass so the
     kth-score threshold is comparable; also upgrades the returned
     scores to the exact path's precision. ids: (b, S) -> (scores,
-    ids) both (b, S) sorted by score."""
+    ids) both (b, S) sorted by score.
+
+    invalid: optional (b, S) bool — True where the id is a FILLER from
+    the upstream scan (e.g. a -inf slot's index 0); re-scoring such a
+    position at its true score would resurrect an item the scan never
+    selected (a tiny catalog with k > available candidates is the
+    failure case), so it stays -inf. seen: optional (b, S2) padded id
+    array — seen ids are re-masked to -inf (an upstream seen-drop
+    keeps the id with a -inf score; the gather would revive it)."""
     ids = jnp.asarray(ids)
-    s = _gather_scores(Wq, jnp.asarray(H), ids, h_scale)
+    H = jnp.asarray(H)
+    s = _gather_scores(Wq, H, jnp.clip(ids, 0, H.shape[1] - 1), h_scale)
+    if invalid is not None:
+        s = jnp.where(jnp.asarray(invalid), NEG_INF, s)
+    if seen is not None:
+        hit = jnp.any(
+            ids[:, :, None] == jnp.asarray(seen)[:, None, :], axis=-1
+        )
+        s = jnp.where(hit, NEG_INF, s)
     top_s, pos = lax.top_k(s, s.shape[1])
     return top_s, jnp.take_along_axis(ids, pos, axis=1)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 import numpy as np
 
@@ -29,6 +30,18 @@ _SERVE_BLOCK = 1 << 20
 # form when the batch's widest seen list would blow up the candidate
 # width.
 _MAX_OVERSAMPLE_SEEN = 4096
+# Compile/device OOM backoff: an f32 r=256 table at m=10M with the
+# default megablock raises RESOURCE_EXHAUSTED inside XLA (the boundary
+# is recorded in BENCH_retrieval_10m.json); serving halves the block
+# and retries instead of surfacing the raw compiler error.
+_MIN_SERVE_BLOCK = 1 << 14
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Resource exhausted",
+                "Out of memory", "out of memory",
+                "Attempting to allocate")
+
+
+def _is_oom(exc: BaseException) -> bool:
+    return any(m in str(exc) for m in _OOM_MARKERS)
 
 
 class Recommender:
@@ -111,8 +124,35 @@ class Recommender:
         if self._prepared is None:
             from nmftpu.foldin import prepare_table
 
-            self._prepared = prepare_table(self.H, scale=self._h_scale)
+            # the UNPADDED table: a reservoir Recommender pads self.H to
+            # a slots multiple, and fold-in width checks / statistics
+            # must see the true n_items (padding columns are zeros, but
+            # the (b, n_items) history CSR would fail the shape check)
+            self._prepared = prepare_table(self._serve_table(),
+                                           scale=self._h_scale)
         return self._prepared
+
+    def _scan_with_backoff(self, run):
+        """Execute `run()` (a full serving scan built against
+        self.block), halving the block and retrying on a device/compile
+        OOM — the f32 r=256 megablock at m=10M is the recorded boundary
+        (BENCH_retrieval_10m.json). `run` must re-derive everything
+        block-dependent (exclusion lists) on each call."""
+        while True:
+            try:
+                return run()
+            except Exception as e:  # noqa: BLE001 — filtered by _is_oom
+                if not _is_oom(e) or self.block <= _MIN_SERVE_BLOCK:
+                    raise
+                new_block = max(_MIN_SERVE_BLOCK, self.block // 2)
+                warnings.warn(
+                    f"serving scan exhausted device memory at "
+                    f"block={self.block}; retrying with "
+                    f"block={new_block} (a bfloat16/int8 table_dtype "
+                    f"shrinks the scan footprint 2-4x)",
+                    RuntimeWarning, stacklevel=3,
+                )
+                self.block = new_block
 
     def _topk(self, Wq, k, lists, candidate_k, seen=None):
         """Shared blocked/sharded top-k dispatch for all serving entry
@@ -140,6 +180,12 @@ class Recommender:
 
             from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
 
+            if candidate_k is not None and lists is None:
+                warnings.warn(
+                    "candidate_k has no effect on the reservoir scan — "
+                    "its recall is tuned via reservoir_slots (missed "
+                    "items ~ C(k,3)/slots^2)", UserWarning, stacklevel=3,
+                )
             if lists is None:
                 # fused GEMM + top-2-per-slot reservoir scan: the score
                 # tile never leaves VMEM (2.2x the megablock approx q/s
@@ -225,6 +271,18 @@ class Recommender:
                else self.block)
         if S == 0 or k + S > min(_MAX_OVERSAMPLE_SEEN, cap):
             return None
+        return self._seen_full(csr, user_ids, S)
+
+    def _seen_full(self, csr: SparseCSR, user_ids, S: int | None = None):
+        """UNCAPPED padded (b, S) seen array — the certify pass's seen
+        discount gathers b*S table columns regardless of width, so wide
+        seen lists that disqualify oversampling still certify exactly.
+        Returns None for an all-empty batch."""
+        if S is None:
+            counts = np.diff(csr.indptr)[user_ids]
+            S = int(counts.max()) if counts.size else 0
+        if S == 0:
+            return None
         seen = np.full((len(user_ids), S), -1, np.int32)
         for row, u in enumerate(np.asarray(user_ids)):
             lo, hi = csr.indptr[u], csr.indptr[u + 1]
@@ -241,78 +299,158 @@ class Recommender:
         the score."""
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
-        seen = lists = None
-        if exclude_seen and self._train_csr is not None:
-            seen = self._seen_padded(self._train_csr, user_ids, k)
-            if seen is None:
-                lists = self._exclusion(user_ids)
-        s, i = self._topk(Wq, k, lists, candidate_k, seen=seen)
+
+        def run():
+            seen = lists = None
+            if exclude_seen and self._train_csr is not None:
+                # method="exact" prefers the scatter-list form: top_k
+                # cost grows with the candidate width k+S, and the scan
+                # is already sort-bound — measured 2.3x faster than
+                # oversampling at m=10M (BENCH_retrieval_10m.json:
+                # exact+scatter 3,579 ms vs exact+oversample 8,195 ms).
+                # approx/reservoir keep oversampling (it preserves the
+                # GEMM->scan fusion the per-block scatter breaks).
+                if self.method != "exact":
+                    seen = self._seen_padded(self._train_csr, user_ids, k)
+                if seen is None:
+                    lists = self._exclusion(user_ids)
+            return self._topk(Wq, k, lists, candidate_k, seen=seen)
+
+        s, i = self._scan_with_backoff(run)
         return np.asarray(s), np.asarray(i)
 
     def recommend_certified(self, user_ids, k: int = 100,
                             exclude_seen: bool = True,
-                            candidate_k: int | None = None):
+                            candidate_k: int | None = None,
+                            fallback: str | None = None):
         """Like `recommend` but returns (scores, item_ids, certified):
         the approx megablock scan plus a count-above-threshold
         verification pass — certified[u] proves row u IS the exact
         top-k up to ties at the kth score (see
         retrieval.mips.topk_mips_certified; ~25x the sort-bound exact
-        scan at m=10M with ~95% rows certified). Uncertified rows can
-        be re-queried through method='exact'. Single-device only (the
-        sharded path serves via `recommend`)."""
+        scan at m=10M with ~95% rows certified).
+
+        fallback="exact": uncertified rows are re-scanned through the
+        exact path in ONE composed call, so every returned row is the
+        exact top-k (certified still reports which rows needed the
+        re-scan — `(~certified).mean()` is the fallback rate).
+
+        Users whose seen list is too wide for oversampling exclusion
+        degrade to the scatter-list scan + a wide-seen certify discount
+        instead of raising — the certificate stays exact. Single-device
+        only (the sharded path serves via `recommend`)."""
         if self.mesh is not None:
             raise ValueError(
                 "recommend_certified is single-device; the sharded "
                 "path serves through recommend()"
             )
-        from nmftpu.retrieval.mips import certify_topk, topk_mips_certified
+        if fallback not in (None, "exact"):
+            raise ValueError(
+                f"fallback must be None or 'exact', got {fallback!r}"
+            )
+        from nmftpu.retrieval.mips import (
+            certify_topk, topk_mips_blocked, topk_mips_certified,
+        )
 
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
-        seen = None
-        if exclude_seen and self._train_csr is not None:
-            seen = self._seen_padded(self._train_csr, user_ids, k)
-            if seen is None and int(
-                np.diff(self._train_csr.indptr)[user_ids].max()
-            ) > 0:
-                raise ValueError(
-                    "a user's seen list is too wide for the certified "
-                    "path's oversampling exclusion (k + S must be <= "
-                    f"min(4096, block={self.block})); use recommend()"
+
+        def run():
+            seen_os = seen_full = lists = None
+            if exclude_seen and self._train_csr is not None:
+                seen_os = self._seen_padded(self._train_csr, user_ids, k)
+                if seen_os is None:
+                    # wide-seen degrade: candidates from the
+                    # scatter-list scan; the certify discount gathers
+                    # the full (b, S) seen columns — exact either way
+                    seen_full = self._seen_full(self._train_csr,
+                                                user_ids)
+                    if seen_full is not None:
+                        lists = self._exclusion(user_ids)
+            if lists is not None:
+                s, i = topk_mips_blocked(
+                    Wq, self._serve_table(), k, block=self.block,
+                    exclude_lists=lists, method="approx",
+                    candidate_k=candidate_k, h_scale=self._h_scale,
                 )
-        seen_arr = None if seen is None else np.asarray(seen)
-        if self.method == "reservoir":
-            # candidates from the fused reservoir scan (1.7x the
-            # megablock pass); the returned ids are re-scored at the
-            # certify pass's dtype rules (a tiny b*k column gather) so
-            # the kth-score threshold is comparable — the kernel's
-            # all-bf16 scores sit ~0.4% below the scan's and would
-            # fail correct rows otherwise; certificate from the shared
-            # compare-reduce pass over the unpadded table
-            import jax
+                cert = certify_topk(
+                    Wq, self._serve_table(), s, k, block=self.block,
+                    h_scale=self._h_scale, seen=seen_full,
+                )
+            elif self.method == "reservoir":
+                # candidates from the fused reservoir scan (1.7x the
+                # megablock pass); the returned ids are re-scored at the
+                # certify pass's dtype rules (a tiny b*k column gather)
+                # so the kth-score threshold is comparable — the
+                # kernel's all-bf16 scores sit ~0.4% below the scan's
+                # and would fail correct rows otherwise. Filler/seen
+                # slots (score -inf from the scan) stay -inf through
+                # the re-score: at k > available candidates the gather
+                # would otherwise revive dropped ids as duplicates.
+                import jax
 
-            from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
-            from nmftpu.retrieval.mips import rescore_and_sort
+                from nmftpu.kernels.mips_reservoir import (
+                    reservoir_topk_mips,
+                )
+                from nmftpu.retrieval.mips import rescore_and_sort
 
-            _, i = reservoir_topk_mips(
-                Wq, self.H, k, slots=self.reservoir_slots,
-                seen=seen_arr, h_scale=self._h_scale,
-                m_items=self._m_items,
-                interpret=jax.default_backend() != "tpu",
-            )
-            s, i = rescore_and_sort(Wq, self._serve_table(), i,
-                                    h_scale=self._h_scale)
-            cert = certify_topk(
-                Wq, self._serve_table(), s, k, block=self.block,
-                h_scale=self._h_scale, seen=seen_arr,
-            )
-        else:
-            s, i, cert = topk_mips_certified(
+                if candidate_k is not None:
+                    warnings.warn(
+                        "candidate_k has no effect on the reservoir "
+                        "scan — tune reservoir_slots instead",
+                        UserWarning, stacklevel=4,
+                    )
+                s0, i = reservoir_topk_mips(
+                    Wq, self.H, k, slots=self.reservoir_slots,
+                    seen=seen_os, h_scale=self._h_scale,
+                    m_items=self._m_items,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                s, i = rescore_and_sort(
+                    Wq, self._serve_table(), i, h_scale=self._h_scale,
+                    invalid=np.asarray(s0) == -np.inf, seen=seen_os,
+                )
+                cert = certify_topk(
+                    Wq, self._serve_table(), s, k, block=self.block,
+                    h_scale=self._h_scale, seen=seen_os,
+                )
+            else:
+                s, i, cert = topk_mips_certified(
+                    Wq, self._serve_table(), k, block=self.block,
+                    candidate_k=candidate_k, h_scale=self._h_scale,
+                    seen=seen_os,
+                )
+            return s, i, cert
+
+        s, i, cert = self._scan_with_backoff(run)
+        s, i, cert = np.asarray(s), np.asarray(i), np.asarray(cert)
+        if fallback == "exact" and not cert.all():
+            rows = np.flatnonzero(~cert)
+            s2, i2 = self._exact_rows(user_ids[rows], k, exclude_seen)
+            s, i = s.copy(), i.copy()
+            s[rows], i[rows] = s2, i2
+        return s, i, cert
+
+    def _exact_rows(self, user_ids, k: int, exclude_seen: bool):
+        """Exact top-k for a row subset (the fallback="exact" re-scan):
+        sort-bound blocked scan with scatter-list exclusion — the
+        measured-faster exclusion form for the exact method."""
+        from nmftpu.retrieval.mips import topk_mips_blocked
+
+        Wq = self.W[np.asarray(user_ids)]
+
+        def run():
+            lists = (self._exclusion(user_ids)
+                     if exclude_seen and self._train_csr is not None
+                     else None)
+            return topk_mips_blocked(
                 Wq, self._serve_table(), k, block=self.block,
-                candidate_k=candidate_k, h_scale=self._h_scale,
-                seen=seen_arr,
+                exclude_lists=lists, method="exact",
+                h_scale=self._h_scale,
             )
-        return np.asarray(s), np.asarray(i), np.asarray(cert)
+
+        s, i = self._scan_with_backoff(run)
+        return np.asarray(s), np.asarray(i)
 
     # -- cold users: fold-in against the frozen item table -----------------
 
@@ -430,24 +568,30 @@ class Recommender:
               "lambda_w": 1e-6, "seed": 0}
         kw.update(fold_in_kwargs)
         Wq = self._fold_in_csr(csr, **kw)
-        seen = lists = None
-        if exclude_history:
-            all_rows = np.arange(csr.shape[0], dtype=np.int64)
-            seen = self._seen_padded(csr, all_rows, k)
-            if seen is None:
-                from nmftpu.parallel.mesh import AXIS_ITEMS
-                from nmftpu.retrieval.exclusion import (
-                    build_block_exclusion,
-                )
 
-                shards = (self.mesh.shape[AXIS_ITEMS]
-                          if self.mesh is not None else 1)
-                lists = build_block_exclusion(
-                    all_rows, csr, self.n_items, self.block,
-                    shards=shards,
-                )
-        s, i = self._topk(np.asarray(Wq, np.float32), k, lists,
-                          candidate_k, seen=seen)
+        def run():
+            seen = lists = None
+            if exclude_history:
+                all_rows = np.arange(csr.shape[0], dtype=np.int64)
+                # exact scans prefer scatter lists (see recommend())
+                if self.method != "exact":
+                    seen = self._seen_padded(csr, all_rows, k)
+                if seen is None:
+                    from nmftpu.parallel.mesh import AXIS_ITEMS
+                    from nmftpu.retrieval.exclusion import (
+                        build_block_exclusion,
+                    )
+
+                    shards = (self.mesh.shape[AXIS_ITEMS]
+                              if self.mesh is not None else 1)
+                    lists = build_block_exclusion(
+                        all_rows, csr, self.n_items, self.block,
+                        shards=shards,
+                    )
+            return self._topk(np.asarray(Wq, np.float32), k, lists,
+                              candidate_k, seen=seen)
+
+        s, i = self._scan_with_backoff(run)
         return np.asarray(s), np.asarray(i)
 
     def score(self, user_id: int, item_ids) -> np.ndarray:
