@@ -196,7 +196,7 @@ int32_t nmftpu_compute(NmftpuDescription* d) {
   PyObject* args = Py_BuildValue(
       "(iii s s s I iii s d"
       " dddddd dd"
-      " KKKK L KK KK)",
+      " KKKK L KK KK KK)",
       d->n_rows, d->n_cols, d->rank,
       d->algorithm ? d->algorithm : "mu",
       d->objective ? d->objective : "frobenius",
@@ -217,7 +217,9 @@ int32_t nmftpu_compute(NmftpuDescription* d) {
       (unsigned long long)(uintptr_t)d->initial_w,
       (unsigned long long)(uintptr_t)d->initial_h,
       (unsigned long long)(uintptr_t)d->out_w,
-      (unsigned long long)(uintptr_t)d->out_h);
+      (unsigned long long)(uintptr_t)d->out_h,
+      (unsigned long long)(uintptr_t)d->stats_callback,
+      (unsigned long long)(uintptr_t)d->stats_user_data);
   if (!args) {
     set_error_from_python();
     PyGILState_Release(gil);

@@ -34,6 +34,19 @@ enum {
   NMFTPU_ERROR_PYTHON = 4,
 };
 
+/* Per-iteration statistics callback (reference C17 / §3.2: the stats
+ * record {iteration, error, delta, elapsed ms} delivered to a user
+ * callback at every convergence check, combined with the interrupt
+ * poll). `error` is in the configured threshold metric; `delta` is its
+ * change since the previous check (0 at the first). Return 0 to
+ * continue, nonzero to CANCEL the run — cancellation takes effect at
+ * the next convergence check. The callback may be invoked from a
+ * runtime-internal thread; it must be thread-safe and must not call
+ * back into the nmftpu API. */
+typedef int32_t (*NmftpuStatsCallback)(void* user_data, int32_t run,
+                                       int32_t iteration, double error,
+                                       double delta, double elapsed_ms);
+
 typedef struct {
   /* problem */
   int32_t n_rows;
@@ -75,6 +88,10 @@ typedef struct {
   double rmsd;
   int32_t iterations;
   int32_t converged;
+  /* per-check stats callback + cancellation (may be NULL; see
+   * NmftpuStatsCallback above) */
+  NmftpuStatsCallback stats_callback;
+  void* stats_user_data;
 } NmftpuDescription;
 
 /* Prepend a directory to the embedded interpreter's sys.path (call before

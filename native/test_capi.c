@@ -7,6 +7,24 @@
 
 #include "nmftpu_capi.h"
 
+/* stats-callback state: counts records, cancels past iteration 30 */
+typedef struct {
+  int records;
+  double last_error;
+  double last_elapsed_ms;
+} CbState;
+
+static int32_t stats_cb(void* user_data, int32_t run, int32_t iter,
+                        double error, double delta, double elapsed_ms) {
+  CbState* st = (CbState*)user_data;
+  st->records++;
+  st->last_error = error;
+  st->last_elapsed_ms = elapsed_ms;
+  (void)run;
+  (void)delta;
+  return iter >= 30 ? 1 : 0; /* nonzero = cancel the run */
+}
+
 int main(int argc, char** argv) {
   if (argc > 1) nmftpu_set_module_path(argv[1]);
 
@@ -149,6 +167,40 @@ int main(int argc, char** argv) {
       return 13;
     for (int i = 0; i < n * r; ++i)
       if (Wb[i] < 0.0f) return 14;
+  }
+
+  /* per-check stats callback + cancellation (reference C17/§3.2):
+   * records must arrive and the nonzero return must stop the run well
+   * short of num_iterations */
+  {
+    NmftpuDescription dc = {0};
+    dc.n_rows = n;
+    dc.n_cols = m;
+    dc.rank = r;
+    dc.num_iterations = 400;
+    dc.check_interval = 10;
+    dc.seed = 7;
+    dc.dense_values = V;
+    CbState st = {0};
+    dc.stats_callback = stats_cb;
+    dc.stats_user_data = &st;
+    float* Wc = malloc(sizeof(float) * n * r);
+    float* Hc = malloc(sizeof(float) * r * m);
+    dc.out_w = Wc;
+    dc.out_h = Hc;
+    if (nmftpu_compute(&dc) != NMFTPU_SUCCESS) {
+      fprintf(stderr, "callback compute failed: %s\n",
+              nmftpu_last_error());
+      return 15;
+    }
+    printf("callback records=%d last_error=%.4f elapsed=%.1fms "
+           "iters=%d\n",
+           st.records, st.last_error, st.last_elapsed_ms,
+           dc.iterations);
+    if (st.records < 3) return 16;            /* records delivered */
+    if (!(st.last_elapsed_ms > 0.0)) return 17;
+    if (!(st.last_error > 0.0) || st.last_error > norm) return 18;
+    if (dc.iterations >= 400) return 19;      /* cancel took effect */
   }
 
   /* both-or-neither input validation */

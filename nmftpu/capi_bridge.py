@@ -69,6 +69,7 @@ def compute_from_buffers(
     alpha_confidence, beta,
     dense_ptr, indptr_ptr, indices_ptr, values_ptr, nnz,
     w0_ptr, h0_ptr, out_w_ptr, out_h_ptr,
+    stats_cb_ptr=0, stats_user_data=0,
 ):
     import nmftpu
     from nmftpu.sparse import SparseCSR
@@ -102,6 +103,36 @@ def compute_from_buffers(
     W0 = _view(w0_ptr, (n, rank), np.float32)
     H0 = _view(h0_ptr, (rank, m), np.float32)
 
+    # Per-check stats callback + cancellation (reference C17/§3.2): the
+    # C function pointer crosses as an integer; calling it returns
+    # nonzero to cancel. The stats record rides the engine's async
+    # debug.callback while cancellation latches a flag the ordered
+    # interrupt poll reads at the NEXT convergence check — so a cancel
+    # takes effect one check after the record that requested it.
+    callback = interrupt = None
+    if stats_cb_ptr:
+        import time
+
+        cb_type = ctypes.CFUNCTYPE(
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+        )
+        c_fn = cb_type(stats_cb_ptr)
+        user_data = ctypes.c_void_p(stats_user_data or None)
+        t0 = time.perf_counter()
+        cancelled = [False]
+
+        def callback(run_idx, iteration, error, delta):
+            rc = c_fn(user_data, int(run_idx), int(iteration),
+                      float(error), float(delta),
+                      (time.perf_counter() - t0) * 1e3)
+            if rc:
+                cancelled[0] = True
+
+        def interrupt():
+            return cancelled[0]
+
     res = nmftpu.nmf(
         data, rank,
         algorithm=algorithm, objective=objective, init=init_method,
@@ -110,6 +141,7 @@ def compute_from_buffers(
         check_interval=check_interval,
         W0=np.array(W0, copy=True) if W0 is not None else None,
         H0=np.array(H0, copy=True) if H0 is not None else None,
+        callback=callback, interrupt=interrupt,
         **knobs,
     )
 

@@ -434,13 +434,22 @@ class Recommender:
     def _exact_rows(self, user_ids, k: int, exclude_seen: bool):
         """Exact top-k for a row subset (the fallback="exact" re-scan):
         sort-bound blocked scan with scatter-list exclusion — the
-        measured-faster exclusion form for the exact method."""
+        measured-faster exclusion form for the exact method. The subset
+        is padded to a power-of-two batch (repeating row 0) so repeated
+        fallback calls compile one program per size bucket, not one per
+        uncertified count."""
         from nmftpu.retrieval.mips import topk_mips_blocked
 
-        Wq = self.W[np.asarray(user_ids)]
+        user_ids = np.asarray(user_ids)
+        nb = len(user_ids)
+        cap = 1 << max(3, (nb - 1).bit_length())
+        padded = np.concatenate(
+            [user_ids, np.full(cap - nb, user_ids[0] if nb else 0,
+                               user_ids.dtype)])
+        Wq = self.W[padded]
 
         def run():
-            lists = (self._exclusion(user_ids)
+            lists = (self._exclusion(padded)
                      if exclude_seen and self._train_csr is not None
                      else None)
             return topk_mips_blocked(
@@ -450,7 +459,7 @@ class Recommender:
             )
 
         s, i = self._scan_with_backoff(run)
-        return np.asarray(s), np.asarray(i)
+        return np.asarray(s)[:nb], np.asarray(i)[:nb]
 
     # -- cold users: fold-in against the frozen item table -----------------
 

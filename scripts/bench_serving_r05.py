@@ -1,0 +1,231 @@
+"""Round-5 serving headline re-measurement + the ALL-EXACT composition.
+
+VERDICT r4 #3: PERF claimed "re-running only uncertified rows through
+exact nets ~10x for all-exact serving" as an estimate; this script
+MEASURES the composition (reservoir candidates -> rescore -> certify ->
+exact re-scan of only the uncertified rows) at the headline shape
+(m=10.49M items, r=256, b=512, k=100, ~100 seen/user) and verifies the
+composed result equals the exact scan for every row.
+
+VERDICT r4 #6: the round-4 headline rows were min-of-5 with spreads up
+to 2.47 under tunnel contention; this script re-runs them min-of-10 on
+a quiet pass and records the spread next to every number.
+
+Writes BENCH_serving_r05.json. Run on the real TPU (axon default).
+
+Usage: python scripts/bench_serving_r05.py [--items 10485760] [--reps 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int, default=640 * 16384)  # 10.49M
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--rank", type=int, default=256)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--slots", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nmftpu_jax_cache")
+    from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+    from nmftpu.retrieval.mips import (
+        certify_topk,
+        rescore_and_sort,
+        topk_mips_blocked,
+        topk_mips_excluded,
+    )
+
+    m, b, r, k = args.items, args.batch, args.rank, args.k
+    dev = jax.devices()[0]
+    print(f"device={dev.device_kind} m={m/1e6:.2f}M b={b} r={r} k={k} "
+          f"reps={args.reps}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+    kw, kh = jax.random.split(key)
+    # chunked table builds (a one-shot (r, m) normal carries a ~10.7 GB
+    # bits buffer that wedges the 16 GB chip — see probe_reservoir.py)
+    nch = 10
+    cw = m // nch
+    gen_chunk = jax.jit(lambda kk: jax.random.normal(
+        kk, (r, cw), dtype=jnp.bfloat16))
+    Hb = jnp.concatenate(
+        [gen_chunk(jax.random.fold_in(kh, i)) for i in range(nch)],
+        axis=1)
+    Hb.block_until_ready()
+    scale = float(jax.jit(
+        lambda h: jnp.max(jnp.abs(h).astype(jnp.float32)))(Hb)) / 127.0
+    H8 = jax.jit(
+        lambda h: jnp.clip(jnp.round(h.astype(jnp.float32) / scale),
+                           -127, 127).astype(jnp.int8))(Hb)
+    H8.block_until_ready()
+    print(f"tables built (bf16 {2 * r * m / 1e9:.1f} GB + "
+          f"int8 {r * m / 1e9:.1f} GB)", flush=True)
+    Wq = jax.random.normal(kw, (b, r), jnp.float32)
+
+    # ~100 seen/user (the serving headline condition)
+    seen = np.sort(np.random.default_rng(3).integers(
+        0, m, size=(b, 100)).astype(np.int32), axis=1)
+    seen_dev = jnp.asarray(seen)
+    seen_sets = [set(seen[q].tolist()) for q in range(b)]
+
+    def bench(fn, reps=args.reps):
+        out = fn()
+        float(np.asarray(out[0])[0, 0])  # warm + sync
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            float(np.asarray(out[0])[0, 0])
+            ts.append(time.perf_counter() - t0)
+        ts = sorted(ts)
+        return out, ts[0], (ts[-1] - ts[0]) / ts[0]
+
+    rows = []
+
+    def record(path, table, t, spread, extra=None):
+        row = dict(path=path, table=table, ms=round(t * 1e3, 1),
+                   qps=round(b / t), spread=round(spread, 3),
+                   **(extra or {}))
+        rows.append(row)
+        print(row, flush=True)
+
+    for name, Ht, hs in (("bf16", Hb, None), ("int8", H8, scale)):
+        # exact post-exclusion reference (one shot, sort-bound) at THIS
+        # table's dtype rules — the oracle for recall and for the
+        # composed-exactness assertion
+        t0 = time.perf_counter()
+        es, ei = topk_mips_excluded(Wq, Ht, k, seen_dev, block=16384,
+                                    method="exact", h_scale=hs)
+        es, ei = np.asarray(es), np.asarray(ei)
+        t_exact = time.perf_counter() - t0
+        print(f"[{name}] exact excluded reference: {t_exact:.1f} s "
+              f"({b / t_exact:.0f} q/s)", flush=True)
+        exact_sets = [set(ei[q].tolist()) for q in range(b)]
+
+        def recall_of(idx):
+            idx = np.asarray(idx)
+            viol = sum(len(set(idx[q].tolist()) & seen_sets[q])
+                       for q in range(b))
+            rec = float(np.mean([
+                len(set(idx[q].tolist()) & exact_sets[q]) / k
+                for q in range(b)]))
+            return rec, viol
+
+        # headline 1: fused reservoir scan with exclusion
+        out, t, sp = bench(lambda: reservoir_topk_mips(
+            Wq, Ht, k, slots=args.slots, q_block=256, seen=seen_dev,
+            h_scale=hs))
+        rec, viol = recall_of(out[1])
+        record("reservoir_excl", name, t, sp,
+               dict(slots=args.slots, recall=round(rec, 5),
+                    seen_violations=viol))
+
+        # headline 2: exclusion-free reservoir
+        out, t, sp = bench(lambda: reservoir_topk_mips(
+            Wq, Ht, k, slots=args.slots, q_block=256, h_scale=hs))
+        record("reservoir_free", name, t, sp, dict(slots=args.slots))
+
+        # headline 3: megablock approx + oversampling exclusion
+        out, t, sp = bench(lambda: topk_mips_excluded(
+            Wq, Ht, k, seen_dev, block=1048576, method="approx",
+            candidate_k=100, h_scale=hs))
+        rec, viol = recall_of(out[1])
+        record("megablock_approx_excl", name, t, sp,
+               dict(recall=round(rec, 5), seen_violations=viol))
+
+        # certified pass (mirrors Recommender.recommend_certified,
+        # method="reservoir"): reservoir candidates -> rescore at the
+        # certify dtype rules -> count-above-threshold certificate
+        def certified_pass():
+            s0, i0 = reservoir_topk_mips(
+                Wq, Ht, k, slots=args.slots, q_block=256,
+                seen=seen_dev, h_scale=hs)
+            s1, i1 = rescore_and_sort(
+                Wq, Ht, i0, h_scale=hs,
+                invalid=s0 == -jnp.inf, seen=seen_dev)
+            cert = certify_topk(Wq, Ht, s1, k, block=1048576,
+                                h_scale=hs, seen=seen_dev)
+            return s1, i1, cert
+
+        (s1, i1, cert), t_cert, sp_cert = bench(certified_pass)
+        crate = float(np.asarray(cert).mean())
+        record("reservoir_certified", name, t_cert, sp_cert,
+               dict(slots=args.slots, certified_frac=round(crate, 4)))
+
+        # THE ALL-EXACT COMPOSITION (fallback="exact"): exact re-scan of
+        # only the uncertified rows, padded to a fixed capacity so the
+        # subset program compiles once; composed result must equal the
+        # exact reference for EVERY row.
+        # fixed re-scan capacity (compile-once). Exact-scan cost is
+        # ~linear in rows (sort-bound), so the capacity should sit just
+        # above the expected uncertified count: at the measured 98.2%
+        # certification, 512 rows -> ~9 uncertified; cap=16 re-scans
+        # 3.1% of the batch. (A cap-overflow would re-scan only the
+        # first 16 — the assertion below would catch any inexact row.)
+        cap = 16
+        def composed():
+            s1, i1, cert = certified_pass()
+            cert_h = np.asarray(cert)
+            bad = np.flatnonzero(~cert_h)
+            if len(bad) > cap:
+                bad = bad[:cap]  # (never hit at measured cert rates)
+            pad_rows = np.concatenate(
+                [bad, np.zeros(cap - len(bad), np.int64)])
+            s2, i2 = topk_mips_excluded(
+                Wq[jnp.asarray(pad_rows)], Ht, k,
+                seen_dev[jnp.asarray(pad_rows)], block=16384,
+                method="exact", h_scale=hs)
+            s_out = np.array(np.asarray(s1))
+            i_out = np.array(np.asarray(i1))
+            s_out[bad] = np.asarray(s2)[:len(bad)]
+            i_out[bad] = np.asarray(i2)[:len(bad)]
+            return s_out, i_out, len(bad)
+
+        (s_c, i_c, n_bad), t_comp, sp_comp = bench(composed)
+        # exactness: every row's id set matches the exact reference (up
+        # to ties at equal score — compare the sorted score vectors)
+        mismatch = 0
+        for q in range(b):
+            if set(i_c[q].tolist()) != exact_sets[q]:
+                if not np.allclose(np.sort(s_c[q]), np.sort(es[q]),
+                                   rtol=1e-5, atol=1e-5):
+                    mismatch += 1
+        record("all_exact_composed", name, t_comp, sp_comp,
+               dict(slots=args.slots, uncertified_rows=int(n_bad),
+                    rescan_capacity=cap, rows_not_exact=mismatch,
+                    speedup_vs_exact_scan=round(t_exact / t_comp, 1)))
+        assert mismatch == 0, f"composition not exact: {mismatch} rows"
+
+    out_path = os.path.join(REPO, "BENCH_serving_r05.json")
+    with open(out_path, "w") as fh:
+        json.dump(dict(
+            device=dev.device_kind, m=m, b=b, r=r, k=k,
+            seen_per_user=100,
+            timing=f"min of {args.reps} "
+                   "(spread=(max-min)/min), post-compile",
+            note="all_exact_composed = reservoir certified pass + exact "
+                 "re-scan of uncertified rows only (the "
+                 "recommend_certified(fallback='exact') composition); "
+                 "rows_not_exact counts rows whose id set AND sorted "
+                 "scores differ from the one-shot exact reference",
+            rows=rows), fh, indent=1)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
