@@ -29,6 +29,11 @@ def build_dense_update(config: NmfConfig):
     order = config.update_order
     alg = config.algorithm
     obj = config.objective
+    if config.mu_style == "jacobi" and alg is Algorithm.MU:
+        # simultaneous half-steps from the incoming factors (config
+        # validation restricts this to the dense MU Frobenius/KL
+        # builders below); linalg._apply_order handles the coupling
+        order = "jacobi"
 
     if (config.v_storage == "int8" and alg is not Algorithm.MU
             and obj is Objective.FROBENIUS):

@@ -143,6 +143,14 @@ class NmfConfig:
     # sklearn oracle's loop) or "HW" (classic Lee–Seung presentation).
     update_order: str = "WH"
 
+    # MU half-step coupling: "gauss-seidel" (the reference's/sklearn's
+    # form — the second half-step sees the first's fresh factor) or
+    # "jacobi" (both half-steps from the incoming factors: identical
+    # fixed points, different trajectory; the enabler for
+    # single-V-read fused numerator kernels). Dense MU/Frobenius+KL
+    # engines only; default stays gauss-seidel.
+    mu_style: str = "gauss-seidel"
+
     # Generalized beta divergence exponent (objective=BETA only; sklearn
     # beta_loss float). Canonical form after __post_init__: beta=2 ->
     # FROBENIUS, beta=1 -> KL (the specialized fast paths), anything
@@ -243,6 +251,20 @@ class NmfConfig:
             raise ValueError(
                 f"update_order must be 'WH' or 'HW', got {self.update_order!r}"
             )
+        if self.mu_style not in ("gauss-seidel", "jacobi"):
+            raise ValueError(
+                f"mu_style must be 'gauss-seidel' or 'jacobi', "
+                f"got {self.mu_style!r}"
+            )
+        if self.mu_style == "jacobi" and self.algorithm not in (
+            Algorithm.MU,
+        ):
+            raise ValueError(
+                "mu_style='jacobi' applies to the MU algorithm only "
+                f"(got algorithm={self.algorithm.value!r}); the ALS "
+                "family's half-steps are exact solves where "
+                "Gauss-Seidel coupling is the algorithm"
+            )
         if self.v_storage not in ("float32", "bfloat16", "int8"):
             raise ValueError(
                 f"v_storage must be float32|bfloat16|int8, "
@@ -291,6 +313,25 @@ class NmfConfig:
                 f"KL objective is only supported for MU/NSNMF, "
                 f"got {self.algorithm}"
             )
+        if self.mu_style == "jacobi":
+            # post-canonicalization (beta=2/1 already folded to
+            # FROBENIUS/KL): jacobi coupling is wired through the dense
+            # Frobenius/KL update builders only
+            if self.objective not in (Objective.FROBENIUS, Objective.KL):
+                raise ValueError(
+                    "mu_style='jacobi' supports the Frobenius and KL "
+                    f"objectives only; got {self.objective}"
+                )
+            if self.use_pallas:
+                raise ValueError(
+                    "mu_style='jacobi' is not wired through the Pallas "
+                    "kernels; use the XLA path (use_pallas=False)"
+                )
+            if self.alpha_confidence > 0.0 or self.mask == "observed":
+                raise ValueError(
+                    "mu_style='jacobi' does not support confidence "
+                    "weighting or masked completion"
+                )
         if self.objective is Objective.BETA:
             if self.algorithm is not Algorithm.MU:
                 raise ValueError(

@@ -419,13 +419,27 @@ def mu_update_kl_densified(
         w_sum = jnp.maximum(jnp.sum(W, axis=0), eps)[:, None]
         return H * (numer / w_sum)
 
-    if order == "WH":
-        W = upd_w(W, H)
-        H = upd_h(W, H)
-    else:
-        H = upd_h(W, H)
-        W = upd_w(W, H)
-    return W, H
+    if order == "jacobi":
+        # simultaneous half-steps with the KL scale correction
+        # (linalg.dense.mu_update_kl documents the derivation); the
+        # sum over V folds the int8 scale in exactly
+        import jax as _jax
+
+        numer_w = _kl_numer_w_blocked(Vd, W, H, eps, block_rows, scale)
+        numer_h = _kl_numer_h_blocked(Vd, W, H, eps, block_rows, scale)
+        h_sum = jnp.maximum(jnp.sum(H, axis=1), eps)
+        w_sum = jnp.maximum(jnp.sum(W, axis=0), eps)
+        sum_v = jnp.sum(Vd, dtype=jnp.float32)
+        if scale is not None:
+            sum_v = sum_v * scale
+        s = sum_v / jnp.maximum(jnp.dot(w_sum, h_sum), eps)
+        inv_a = _jax.lax.rsqrt(jnp.maximum(s, eps))
+        return (W * (numer_w / h_sum[None, :]) * inv_a,
+                H * (numer_h / w_sum[:, None]) * inv_a)
+
+    from nmftpu.linalg.dense import _apply_order
+
+    return _apply_order(upd_w, upd_h, W, H, order)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "order", "block_rows"))

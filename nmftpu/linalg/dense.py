@@ -47,19 +47,64 @@ def mu_update_h_frobenius(V, W, H, eps):
     return H * (numer / denom)
 
 
+def _apply_order(upd_w, upd_h, W, H, order):
+    """Sequence the two MU half-steps: "WH" is Gauss–Seidel with W
+    first (the second half-step sees the first's fresh factor — the
+    reference's and sklearn's form); "HW" the classic Lee–Seung
+    presentation. The "jacobi" coupling does NOT route here — each
+    dense update variant implements its scale-corrected simultaneous
+    branch explicitly (see _jacobi_fro_apply)."""
+    if order == "WH":
+        W = upd_w(W, H)
+        H = upd_h(W, H)
+    else:
+        H = upd_h(W, H)
+        W = upd_w(W, H)
+    return W, H
+
+
+def _jacobi_fro_apply(W, H, numer_w, numer_h, G_w, G_h, eps):
+    """Scale-corrected simultaneous (Jacobi) Frobenius MU step.
+
+    The RAW simultaneous step W ⊙ rw, H ⊙ rh two-cycles on any
+    scale-mismatched iterate: each half-step alone fully corrects the
+    global scale of WH, so applying both jointly SQUARES the
+    correction (measured: a 244↔69 period-2 orbit from the stock
+    random init). The fix is closed-form: the optimal global scale
+    s = argmin_a ‖V − a·WH‖² = ⟨V, WH⟩/‖WH‖² is already available
+    from the update's own pieces — ⟨V, WH⟩ = ⟨numer_w, W⟩ and
+    ‖WH‖² = ⟨WᵀW, HHᵀ⟩ — and dividing BOTH ratios by √s yields a step
+    invariant to iterate scale (O(nr + r²) extra, nothing reads V
+    again). Fixed points are untouched: at any stationary pair
+    ⟨V − WH, WH⟩ = 0, so s = 1 and the correction is the identity.
+    Measured on the stock init: tracks the Gauss–Seidel error
+    trajectory to <2% per iteration (tests/test_jacobi.py)."""
+    s_num = jnp.sum(numer_w * W)
+    s_den = jnp.maximum(jnp.sum(G_w * G_h), eps)
+    inv_a = jax.lax.rsqrt(jnp.maximum(s_num / s_den, eps))
+    W_new = W * (numer_w / (W @ G_h + eps)) * inv_a
+    H_new = H * (numer_h / (G_w @ H + eps)) * inv_a
+    return W_new, H_new
+
+
 def mu_update_frobenius(V, W, H, eps=1e-9, order="WH"):
     """One full MU iteration under the Frobenius objective.
 
     order="WH" updates W against the current H first (the sklearn oracle's
-    loop order); "HW" is the classic Lee–Seung presentation.
+    loop order); "HW" is the classic Lee–Seung presentation; "jacobi"
+    updates both simultaneously from the incoming factors with the
+    closed-form scale correction (see _jacobi_fro_apply) — same fixed
+    points, one shared V read for both numerators.
     """
-    if order == "WH":
-        W = mu_update_w_frobenius(V, W, H, eps)
-        H = mu_update_h_frobenius(V, W, H, eps)
-    else:
-        H = mu_update_h_frobenius(V, W, H, eps)
-        W = mu_update_w_frobenius(V, W, H, eps)
-    return W, H
+    if order == "jacobi":
+        return _jacobi_fro_apply(
+            W, H, V @ H.T, W.T @ V, W.T @ W, H @ H.T, eps,
+        )
+    return _apply_order(
+        lambda W, H: mu_update_w_frobenius(V, W, H, eps),
+        lambda W, H: mu_update_h_frobenius(V, W, H, eps),
+        W, H, order,
+    )
 
 
 def mu_update_w_kl(V, W, H, eps):
@@ -83,14 +128,32 @@ def mu_update_h_kl(V, W, H, eps):
 
 
 def mu_update_kl(V, W, H, eps=1e-9, order="WH"):
-    """One full MU iteration under the KL (generalized I-divergence) objective."""
-    if order == "WH":
-        W = mu_update_w_kl(V, W, H, eps)
-        H = mu_update_h_kl(V, W, H, eps)
-    else:
-        H = mu_update_h_kl(V, W, H, eps)
-        W = mu_update_w_kl(V, W, H, eps)
-    return W, H
+    """One full MU iteration under the KL (generalized I-divergence)
+    objective. order="jacobi" computes both half-steps from ONE shared
+    WH/ratio pass (Gauss–Seidel needs two) with the KL scale
+    correction: argmin_a KL(V ‖ a·WH) has the closed form
+    a = ΣV / ΣWH, where ΣWH = ⟨colsum W, rowsum H⟩ — O(nr + mr); both
+    ratios divide by √a (the raw simultaneous step squares the scale
+    correction exactly as in the Frobenius case). a = 1 at any KL
+    stationary point (ΣWH = ΣV there), so fixed points are
+    untouched."""
+    if order == "jacobi":
+        WH = W @ H
+        ratio = V / (WH + eps)
+        numer_w = ratio @ H.T
+        numer_h = W.T @ ratio
+        h_sum = jnp.maximum(jnp.sum(H, axis=1), eps)
+        w_sum = jnp.maximum(jnp.sum(W, axis=0), eps)
+        s = jnp.sum(V) / jnp.maximum(jnp.dot(w_sum, h_sum), eps)
+        inv_a = jax.lax.rsqrt(jnp.maximum(s, eps))
+        W_new = W * (numer_w / h_sum[None, :]) * inv_a
+        H_new = H * (numer_h / w_sum[:, None]) * inv_a
+        return W_new, H_new
+    return _apply_order(
+        lambda W, H: mu_update_w_kl(V, W, H, eps),
+        lambda W, H: mu_update_h_kl(V, W, H, eps),
+        W, H, order,
+    )
 
 
 def beta_gamma(beta: float) -> float:
@@ -253,13 +316,12 @@ def mu_update_frobenius_bf16v(Vb, W, H, eps=1e-9, order="WH"):
         numer = big_dot(W, Vb, ((0,), (0,)))       # W^T V (r, m)
         return H * (numer / ((W.T @ W) @ H + eps))
 
-    if order == "WH":
-        W = upd_w(W, H)
-        H = upd_h(W, H)
-    else:
-        H = upd_h(W, H)
-        W = upd_w(W, H)
-    return W, H
+    if order == "jacobi":
+        return _jacobi_fro_apply(
+            W, H, big_dot(Vb, H, ((1,), (1,))),
+            big_dot(W, Vb, ((0,), (0,))), W.T @ W, H @ H.T, eps,
+        )
+    return _apply_order(upd_w, upd_h, W, H, order)
 
 
 def quantize_sym(X, clip=127.0):
@@ -339,13 +401,12 @@ def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH"):
         numer = _rhs_wtv_int8(Vq, scale_v, W)
         return H * (numer / ((W.T @ W) @ H + eps))
 
-    if order == "WH":
-        W = upd_w(W, H)
-        H = upd_h(W, H)
-    else:
-        H = upd_h(W, H)
-        W = upd_w(W, H)
-    return W, H
+    if order == "jacobi":
+        return _jacobi_fro_apply(
+            W, H, _rhs_vht_int8(Vq, scale_v, H),
+            _rhs_wtv_int8(Vq, scale_v, W), W.T @ W, H @ H.T, eps,
+        )
+    return _apply_order(upd_w, upd_h, W, H, order)
 
 
 def als_family_update_int8x8(

@@ -437,6 +437,11 @@ def prepare_sharded(
     at 10M+ nonzeros — happens here, not per run."""
     from nmftpu.config import Algorithm
 
+    if config.mu_style == "jacobi":
+        raise ValueError(
+            "mu_style='jacobi' is wired through the dense engine only; "
+            "sharded engines run gauss-seidel half-steps"
+        )
     if mesh is None:
         mesh = make_grid_mesh(mesh_shape)
     shardings = factor_shardings(mesh)

@@ -1710,6 +1710,11 @@ def prepare_sparse(
     """Build the device layout for sparse V once, returning a reusable
     :class:`SparsePlan`. Strategy resolution and layouts match
     :func:`compute_sparse` (which is now a prepare+run one-shot)."""
+    if config.mu_style == "jacobi":
+        raise ValueError(
+            "mu_style='jacobi' is wired through the dense engine only; "
+            "sparse engines run gauss-seidel half-steps"
+        )
     dtype = resolve_dtype(config.dtype)
     if isinstance(V, DeviceCOO):
         if V.values.dtype != dtype:
