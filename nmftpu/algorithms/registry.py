@@ -200,7 +200,7 @@ def build_dense_update(config: NmfConfig):
                     )
 
         elif (obj is Objective.FROBENIUS and config.v_storage == "int8"
-              and not config.use_pallas):
+              and (not config.use_pallas or order == "jacobi")):
             # int8 x int8 MXU path (the library's fastest dense update —
             # beats the XLA f32 anchor 1.67x on v5e, PERF.md round 2):
             # V held once as int8 + scale, factor operands re-quantized
@@ -214,9 +214,14 @@ def build_dense_update(config: NmfConfig):
                 def make_aux(V):
                     return Q.quantize_v(V)
 
+                # use_pallas + jacobi opts into the fused
+                # dual-numerator kernel (kernels/dual_numer.py)
+                fused = config.use_pallas and order == "jacobi"
+
                 def update(V, aux, W, H):
                     return D.mu_update_frobenius_int8x8(
-                        aux[0], aux[1], W, H, eps=eps, order=order
+                        aux[0], aux[1], W, H, eps=eps, order=order,
+                        use_fused=fused,
                     )
             else:
                 # CPU/GPU backends lack a reliable int8 MXU analog:

@@ -322,10 +322,16 @@ class NmfConfig:
                     "mu_style='jacobi' supports the Frobenius and KL "
                     f"objectives only; got {self.objective}"
                 )
-            if self.use_pallas:
+            if self.use_pallas and not (
+                self.objective is Objective.FROBENIUS
+                and self.v_storage == "int8"
+            ):
                 raise ValueError(
-                    "mu_style='jacobi' is not wired through the Pallas "
-                    "kernels; use the XLA path (use_pallas=False)"
+                    "mu_style='jacobi' + use_pallas selects the fused "
+                    "dual-numerator kernel, which exists only for the "
+                    "int8-stored Frobenius path (v_storage='int8'); "
+                    "other combinations run the XLA path "
+                    "(use_pallas=False)"
                 )
             if self.alpha_confidence > 0.0 or self.mask == "observed":
                 raise ValueError(

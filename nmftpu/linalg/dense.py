@@ -380,7 +380,8 @@ def _ls_terms_h_int8(Vq, scale_v, W):
     return gram, rhs
 
 
-def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH"):
+def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH",
+                               use_fused=False):
     """MU (Frobenius) with the O(nmr) contractions as int8 x int8 -> int32
     on the MXU's double-rate int8 path: V is stored int8 once; the factor
     operand of each big GEMM is re-quantized per half-step (cheap VPU) and
@@ -402,9 +403,30 @@ def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH"):
         return H * (numer / ((W.T @ W) @ H + eps))
 
     if order == "jacobi":
+        numer_w = numer_h = None
+        n, m = Vq.shape
+        r = W.shape[1]
+        bn = bm = 1024  # the measured-fastest schedule (PERF round 5)
+        # OPT-IN fused dual-numerator kernel (kernels/dual_numer.py):
+        # one V read for both numerators, 405 TOP/s standalone — but
+        # the END-TO-END jacobi step measures SLOWER than the XLA
+        # numerators (the opaque kernel boundary forfeits XLA's
+        # epilogue fusion and overlap; receipts in PERF round 5), so
+        # the default stays XLA and the kernel requires use_pallas
+        vmem_bytes = (2 * bn * bm + r * n + 4 * r * m + 4 * bn * r
+                      + r * bm)
+        if (use_fused and jax.default_backend() == "tpu"
+                and m % bm == 0 and n % bn == 0 and r % 128 == 0
+                and vmem_bytes <= 100_000_000):
+            from nmftpu.kernels.dual_numer import dual_numerators_int8
+
+            numer_w, numer_h = dual_numerators_int8(
+                Vq, scale_v, W, H, bn=bn, bm=bm)
+        else:
+            numer_w = _rhs_vht_int8(Vq, scale_v, H)
+            numer_h = _rhs_wtv_int8(Vq, scale_v, W)
         return _jacobi_fro_apply(
-            W, H, _rhs_vht_int8(Vq, scale_v, H),
-            _rhs_wtv_int8(Vq, scale_v, W), W.T @ W, H @ H.T, eps,
+            W, H, numer_w, numer_h, W.T @ W, H @ H.T, eps,
         )
     return _apply_order(upd_w, upd_h, W, H, order)
 

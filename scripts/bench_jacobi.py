@@ -60,6 +60,12 @@ def main():
             Vx, scale, W, H, order="WH"), Vq),
         ("int8_jacobi", lambda Vx, W, H: D.mu_update_frobenius_int8x8(
             Vx, scale, W, H, order="jacobi"), Vq),
+        # jacobi with the fused dual-numerator kernel opted in
+        # (default off: end-to-end it measures slower than the XLA
+        # numerators despite 405 TOP/s standalone — PERF round 5)
+        ("int8_jacobi_fused", lambda Vx, W, H:
+            D.mu_update_frobenius_int8x8(
+                Vx, scale, W, H, order="jacobi", use_fused=True), Vq),
     ):
         rate, spread = _timed_rate(
             run_k_factory(update, operand), flops, 100, 500)
