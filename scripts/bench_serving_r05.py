@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--slots", type=int, default=4096)
+    ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     import jax
@@ -211,7 +212,7 @@ def main():
                     speedup_vs_exact_scan=round(t_exact / t_comp, 1)))
         assert mismatch == 0, f"composition not exact: {mismatch} rows"
 
-    out_path = os.path.join(REPO, "BENCH_serving_r05.json")
+    out_path = args.out or os.path.join(REPO, "BENCH_serving_r05.json")
     with open(out_path, "w") as fh:
         json.dump(dict(
             device=dev.device_kind, m=m, b=b, r=r, k=k,
