@@ -14,7 +14,12 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from nmftpu.parallel.mesh import AXIS_ITEMS, AXIS_USERS
-from nmftpu.retrieval.mips import _drop_seen, topk_mips_blocked
+from nmftpu.retrieval.mips import (
+    _count_above,
+    _drop_seen,
+    _gather_scores,
+    topk_mips_blocked,
+)
 
 
 def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
@@ -120,3 +125,51 @@ def topk_mips_sharded(Wq, H, k, mesh, block=4096, exclude_mask=None,
         check_vma=False,
     )
     return f(*args)
+
+
+def certify_topk_sharded(Wq, H, top_s, k, mesh, block=4096,
+                         h_scale=None, seen=None):
+    """The exactness-certificate pass over an items-sharded table.
+
+    Same contract as `retrieval.mips.certify_topk` (count items
+    scoring strictly above the kth returned score; count <= k-1 proves
+    the row IS the exact top-k up to ties), mesh-native: every items
+    shard counts its local slice with the shared blocked
+    compare-reduce (`_count_above`) and the counts psum over the items
+    axis. The seen discount partitions naturally — each GLOBAL seen id
+    lands in exactly one shard's local range, so per-shard discounts
+    psum to the global one. H must carry only REAL items per shard (no
+    padding columns). Returns certified (b,) bool, replicated.
+    """
+    import jax
+
+    top_s = jnp.asarray(top_s)
+    theta = top_s[:, k - 1]
+    has_seen = seen is not None
+
+    def local(Wq, H_loc, theta, *extra):
+        m_loc = H_loc.shape[1]
+        cnt = _count_above(Wq, H_loc, theta, min(block, m_loc),
+                           h_scale)
+        if has_seen:
+            sn = extra[0]
+            shard = lax.axis_index(AXIS_ITEMS)
+            loc = sn - shard * m_loc
+            valid = (sn >= 0) & (loc >= 0) & (loc < m_loc)
+            sc = _gather_scores(
+                Wq, H_loc, jnp.clip(loc, 0, m_loc - 1), h_scale)
+            cnt = cnt - jnp.sum(
+                (sc > theta[:, None]) & valid, axis=1,
+                dtype=jnp.int32)
+        return lax.psum(cnt, AXIS_ITEMS)
+
+    in_specs = [P(), P(None, AXIS_ITEMS), P()]
+    args = [Wq, H, theta]
+    if has_seen:
+        in_specs.append(P())
+        args.append(jnp.asarray(seen))
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(),
+        check_vma=False,
+    )
+    return f(*args) <= k - 1

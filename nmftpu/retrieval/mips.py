@@ -214,11 +214,13 @@ def certify_topk(Wq, H, top_s, k, block=1048576, h_scale=None,
                     None if seen is None else jnp.asarray(seen), k)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "k"))
-def _certify(Wq, H, top_s, block, h_scale, seen, k):
+def _count_above(Wq, H, theta, block, h_scale):
+    """Per-row count of items scoring strictly above theta (b,) — the
+    certificate's blocked GEMM + compare-reduce; no materialized
+    scores. Also the per-shard body of the SHARDED certificate
+    (parallel.retrieval_sharded.certify_topk_sharded)."""
     b = Wq.shape[0]
     m = H.shape[1]
-    theta = top_s[:, k - 1]                       # (b,) kth-best score
     nblocks = (m + block - 1) // block
     pad = nblocks * block - m
     Hp = H if pad == 0 else jnp.pad(H, ((0, 0), (0, pad)))
@@ -233,8 +235,14 @@ def _certify(Wq, H, top_s, block, h_scale, seen, k):
             (sc > theta[:, None]) & valid, axis=1, dtype=jnp.int32
         )
 
-    count = lax.fori_loop(0, nblocks, body,
-                          jnp.zeros((b,), jnp.int32))
+    return lax.fori_loop(0, nblocks, body, jnp.zeros((b,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "k"))
+def _certify(Wq, H, top_s, block, h_scale, seen, k):
+    m = H.shape[1]
+    theta = top_s[:, k - 1]                       # (b,) kth-best score
+    count = _count_above(Wq, H, theta, block, h_scale)
     if seen is not None:
         # discount excluded items that score above theta: gather their
         # table columns directly (b*S columns — tiny next to the scan)

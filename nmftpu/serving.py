@@ -337,13 +337,13 @@ class Recommender:
 
         Users whose seen list is too wide for oversampling exclusion
         degrade to the scatter-list scan + a wide-seen certify discount
-        instead of raising — the certificate stays exact. Single-device
-        only (the sharded path serves via `recommend`)."""
+        instead of raising — the certificate stays exact. On a mesh the
+        candidates come from the sharded scan and the certificate from
+        `parallel.retrieval_sharded.certify_topk_sharded` (per-shard
+        compare-reduce counts psum'd over the items axis)."""
         if self.mesh is not None:
-            raise ValueError(
-                "recommend_certified is single-device; the sharded "
-                "path serves through recommend()"
-            )
+            return self._recommend_certified_sharded(
+                user_ids, k, exclude_seen, candidate_k, fallback)
         if fallback not in (None, "exact"):
             raise ValueError(
                 f"fallback must be None or 'exact', got {fallback!r}"
@@ -431,6 +431,57 @@ class Recommender:
             s[rows], i[rows] = s2, i2
         return s, i, cert
 
+    def _recommend_certified_sharded(self, user_ids, k, exclude_seen,
+                                     candidate_k, fallback):
+        """Mesh twin of recommend_certified: sharded candidate scan +
+        the psum'd per-shard certificate. The reservoir merge keeps the
+        kernel's bf16 scores, so its candidates are re-scored at the
+        certify dtype rules first (a b*k column gather — GSPMD reshards
+        it; tiny next to the scan)."""
+        if fallback not in (None, "exact"):
+            raise ValueError(
+                f"fallback must be None or 'exact', got {fallback!r}"
+            )
+        from nmftpu.parallel.retrieval_sharded import (
+            certify_topk_sharded,
+        )
+        from nmftpu.retrieval.mips import rescore_and_sort
+
+        user_ids = np.atleast_1d(np.asarray(user_ids))
+        Wq = self.W[user_ids]
+
+        def run():
+            seen_os = seen_full = lists = None
+            if exclude_seen and self._train_csr is not None:
+                seen_os = self._seen_padded(self._train_csr, user_ids,
+                                            k)
+                if seen_os is None:
+                    seen_full = self._seen_full(self._train_csr,
+                                                user_ids)
+                    if seen_full is not None:
+                        lists = self._exclusion(user_ids)
+            s, i = self._topk(Wq, k, lists, candidate_k, seen=seen_os)
+            if self.method == "reservoir" and lists is None:
+                s, i = rescore_and_sort(
+                    Wq, self.H, i, h_scale=self._h_scale,
+                    invalid=np.asarray(s) == -np.inf, seen=seen_os,
+                )
+            cert = certify_topk_sharded(
+                Wq, self.H, s, k, mesh=self.mesh, block=self.block,
+                h_scale=self._h_scale,
+                seen=seen_os if seen_os is not None else seen_full,
+            )
+            return s, i, cert
+
+        s, i, cert = self._scan_with_backoff(run)
+        s, i, cert = np.asarray(s), np.asarray(i), np.asarray(cert)
+        if fallback == "exact" and not cert.all():
+            rows = np.flatnonzero(~cert)
+            s2, i2 = self._exact_rows(user_ids[rows], k, exclude_seen)
+            s, i = s.copy(), i.copy()
+            s[rows], i[rows] = s2, i2
+        return s, i, cert
+
     def _exact_rows(self, user_ids, k: int, exclude_seen: bool):
         """Exact top-k for a row subset (the fallback="exact" re-scan):
         sort-bound blocked scan with scatter-list exclusion — the
@@ -452,6 +503,14 @@ class Recommender:
             lists = (self._exclusion(padded)
                      if exclude_seen and self._train_csr is not None
                      else None)
+            if self.mesh is not None:
+                from nmftpu.parallel import topk_mips_sharded
+
+                return topk_mips_sharded(
+                    Wq, self.H, k, mesh=self.mesh, block=self.block,
+                    exclude_lists=lists, method="exact",
+                    h_scale=self._h_scale,
+                )
             return topk_mips_blocked(
                 Wq, self._serve_table(), k, block=self.block,
                 exclude_lists=lists, method="exact",

@@ -384,10 +384,16 @@ def test_recommend_certified(rng):
 
     from nmftpu.parallel import make_grid_mesh
 
+    # round 5: the sharded path certifies too (per-shard compare-reduce
+    # counts psum'd over the items axis) and must agree with the
+    # single-device certificate on the same data
     rec_m = Recommender(res.W, res.H, train=train,
                         mesh=make_grid_mesh((2, 4)), block=75)
-    with pytest.raises(ValueError, match="single-device"):
-        rec_m.recommend_certified([0], k=5)
+    s_m, i_m, cert_m = rec_m.recommend_certified([0, 4, 8], k=9,
+                                                 candidate_k=64)
+    assert cert_m.all()
+    for row in range(3):
+        assert set(i_m[row].tolist()) == set(i_ex[row].tolist())
 
 
 # -- reservoir serving (fused Pallas kernel; interpret mode on CPU) --------
@@ -698,3 +704,34 @@ def test_reservoir_certified_tiny_catalog(rng):
     assert fin.sum() == 10  # exactly the unseen catalog
     assert len(set(ids.tolist())) == len(ids)  # no duplicates
     assert not (set(ids.tolist()) & set(seen_ids.tolist()))
+
+
+def test_sharded_certified_reservoir_and_fallback(rng):
+    """Mesh recommend_certified: reservoir candidates re-scored +
+    psum'd per-shard certificate; tiny reservoir slots force misses ->
+    uncertified rows; fallback='exact' re-scans them through the
+    sharded exact path so every row matches brute force."""
+    from nmftpu.parallel import make_grid_mesh
+
+    V, res = _fit(rng, n=30, m=320, r=4)
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    seen_dense = np.zeros_like(V)
+    top2 = np.argsort(-full, axis=1)[:, :2]
+    for u in range(30):
+        seen_dense[u, top2[u]] = 1.0
+    mesh = make_grid_mesh((2, 4))
+    rec = Recommender(res.W, res.H, train=from_dense(seen_dense),
+                      mesh=mesh, method="reservoir", reservoir_slots=8,
+                      block=40)
+    s, i, cert = rec.recommend_certified(np.arange(20), k=5,
+                                         fallback="exact")
+    masked = full.copy()
+    for u in range(30):
+        masked[u, top2[u]] = -np.inf
+    for row in range(20):
+        exact = set(np.argsort(-masked[row])[:5].tolist())
+        assert set(i[row].tolist()) == exact, row
+        assert not (set(i[row].tolist()) & set(top2[row].tolist()))
+    # sanity: the tiny reservoir really did miss somewhere (the
+    # certificate caught it and the fallback repaired it)
+    assert not cert.all()
