@@ -136,6 +136,9 @@ class NmfDescription:
     initial_w: Any = None
     initial_h: Any = None
     callback: Any = None
+    # reference C17/§3.2: the user-interrupt flag polled at every
+    # convergence check — a zero-arg callable; truthy return cancels
+    interrupt: Any = None
 
 
 def compute(desc: NmfDescription):
@@ -165,9 +168,9 @@ def compute(desc: NmfDescription):
     if isinstance(V, host_sparse.SparseMatrix):
         return sparse_ops.compute_sparse(
             V, config, W0=desc.initial_w, H0=desc.initial_h,
-            callback=desc.callback,
+            callback=desc.callback, interrupt=desc.interrupt,
         )
     return driver.compute(
         V, config, W0=desc.initial_w, H0=desc.initial_h,
-        callback=desc.callback,
+        callback=desc.callback, interrupt=desc.interrupt,
     )

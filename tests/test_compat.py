@@ -56,3 +56,25 @@ def test_invalid_device_index():
         nmfgpu.choose_device(10**6) == nmfgpu.ResultType.ERROR_INVALID_ARGUMENT
     )
     nmfgpu.finalize()
+
+
+def test_compat_interrupt(rng):
+    """Reference C17: the interrupt flag polled at every convergence
+    check cancels the run (via the compat description surface)."""
+    from nmftpu import compat
+
+    compat.initialize()
+    V = rng.uniform(0.1, 1.0, (24, 18)).astype("float32")
+    calls = []
+
+    def interrupt():
+        calls.append(1)
+        return len(calls) >= 2  # cancel at the second check
+
+    desc = compat.NmfDescription(
+        input_matrix=V, rank=3, num_iterations=400, check_interval=10,
+        interrupt=interrupt,
+    )
+    res = compat.compute(desc)
+    assert res.num_iterations < 400
+    assert len(calls) >= 2
