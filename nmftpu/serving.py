@@ -136,8 +136,13 @@ class Recommender:
         """Execute `run()` (a full serving scan built against
         self.block), halving the block and retrying on a device/compile
         OOM — the f32 r=256 megablock at m=10M is the recorded boundary
-        (BENCH_retrieval_10m.json). `run` must re-derive everything
-        block-dependent (exclusion lists) on each call."""
+        (BENCH_retrieval_10m.json; the probe script
+        scripts/probe_oom_backoff.py validates the real error text).
+        `run` must re-derive everything block-dependent (exclusion
+        lists) on each call, and MUST return host (numpy) arrays: JAX
+        dispatch is async, so a device-side OOM only surfaces at
+        materialization — a run() returning device futures would raise
+        outside this guard."""
         while True:
             try:
                 return run()
@@ -314,10 +319,10 @@ class Recommender:
                     seen = self._seen_padded(self._train_csr, user_ids, k)
                 if seen is None:
                     lists = self._exclusion(user_ids)
-            return self._topk(Wq, k, lists, candidate_k, seen=seen)
+            s, i = self._topk(Wq, k, lists, candidate_k, seen=seen)
+            return np.asarray(s), np.asarray(i)  # materialize in-guard
 
-        s, i = self._scan_with_backoff(run)
-        return np.asarray(s), np.asarray(i)
+        return self._scan_with_backoff(run)
 
     def recommend_certified(self, user_ids, k: int = 100,
                             exclude_seen: bool = True,
@@ -420,10 +425,10 @@ class Recommender:
                     candidate_k=candidate_k, h_scale=self._h_scale,
                     seen=seen_os,
                 )
-            return s, i, cert
+            # materialize in-guard (async dispatch defers device OOMs)
+            return np.asarray(s), np.asarray(i), np.asarray(cert)
 
         s, i, cert = self._scan_with_backoff(run)
-        s, i, cert = np.asarray(s), np.asarray(i), np.asarray(cert)
         if fallback == "exact" and not cert.all():
             rows = np.flatnonzero(~cert)
             s2, i2 = self._exact_rows(user_ids[rows], k, exclude_seen)
@@ -471,10 +476,10 @@ class Recommender:
                 h_scale=self._h_scale,
                 seen=seen_os if seen_os is not None else seen_full,
             )
-            return s, i, cert
+            # materialize in-guard (async dispatch defers device OOMs)
+            return np.asarray(s), np.asarray(i), np.asarray(cert)
 
         s, i, cert = self._scan_with_backoff(run)
-        s, i, cert = np.asarray(s), np.asarray(i), np.asarray(cert)
         if fallback == "exact" and not cert.all():
             rows = np.flatnonzero(~cert)
             s2, i2 = self._exact_rows(user_ids[rows], k, exclude_seen)
@@ -506,19 +511,21 @@ class Recommender:
             if self.mesh is not None:
                 from nmftpu.parallel import topk_mips_sharded
 
-                return topk_mips_sharded(
+                s, i = topk_mips_sharded(
                     Wq, self.H, k, mesh=self.mesh, block=self.block,
                     exclude_lists=lists, method="exact",
                     h_scale=self._h_scale,
                 )
-            return topk_mips_blocked(
+                return np.asarray(s), np.asarray(i)
+            s, i = topk_mips_blocked(
                 Wq, self._serve_table(), k, block=self.block,
                 exclude_lists=lists, method="exact",
                 h_scale=self._h_scale,
             )
+            return np.asarray(s), np.asarray(i)  # materialize in-guard
 
         s, i = self._scan_with_backoff(run)
-        return np.asarray(s)[:nb], np.asarray(i)[:nb]
+        return s[:nb], i[:nb]
 
     # -- cold users: fold-in against the frozen item table -----------------
 
@@ -656,11 +663,11 @@ class Recommender:
                         all_rows, csr, self.n_items, self.block,
                         shards=shards,
                     )
-            return self._topk(np.asarray(Wq, np.float32), k, lists,
+            s, i = self._topk(np.asarray(Wq, np.float32), k, lists,
                               candidate_k, seen=seen)
+            return np.asarray(s), np.asarray(i)  # materialize in-guard
 
-        s, i = self._scan_with_backoff(run)
-        return np.asarray(s), np.asarray(i)
+        return self._scan_with_backoff(run)
 
     def score(self, user_id: int, item_ids) -> np.ndarray:
         """Predicted affinities for specific (user, items) pairs. Gathers
