@@ -22,6 +22,14 @@
 
 #include <stdint.h>
 
+/* ABI generation of NmftpuDescription. Version 2 appended
+ * stats_callback/stats_user_data; a client compiled against an older
+ * header MUST be rebuilt (the library reads the new trailing fields,
+ * and a smaller caller-allocated struct would feed it garbage — there
+ * is no runtime size negotiation in this flat ABI). Zero-initialize
+ * the whole struct ({0}) so absent features stay off. */
+#define NMFTPU_ABI_VERSION 2
+
 #ifdef __cplusplus
 extern "C" {
 #endif
@@ -38,11 +46,12 @@ enum {
  * record {iteration, error, delta, elapsed ms} delivered to a user
  * callback at every convergence check, combined with the interrupt
  * poll). `error` is in the configured threshold metric; `delta` is its
- * change since the previous check (0 at the first). Return 0 to
- * continue, nonzero to CANCEL the run — cancellation takes effect at
- * the next convergence check. The callback may be invoked from a
- * runtime-internal thread; it must be thread-safe and must not call
- * back into the nmftpu API. */
+ * absolute change since the previous check — the FIRST record's delta
+ * is the drop from the initial (iteration-0) error, matching the
+ * engine's convergence test. Return 0 to continue, nonzero to CANCEL
+ * the run — cancellation takes effect at the next convergence check.
+ * The callback may be invoked from a runtime-internal thread; it must
+ * be thread-safe and must not call back into the nmftpu API. */
 typedef int32_t (*NmftpuStatsCallback)(void* user_data, int32_t run,
                                        int32_t iteration, double error,
                                        double delta, double elapsed_ms);

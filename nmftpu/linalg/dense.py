@@ -415,12 +415,12 @@ def mu_update_frobenius_int8x8(Vq, scale_v, W, H, eps=1e-9, order="WH",
         # the default stays XLA and the kernel requires use_pallas
         vmem_bytes = (2 * bn * bm + r * n + 4 * r * m + 4 * bn * r
                       + r * bm)
-        if (use_fused and jax.default_backend() == "tpu"
+        from nmftpu.kernels import dual_numer as DN
+
+        if (use_fused and DN.available()
                 and m % bm == 0 and n % bn == 0 and r % 128 == 0
                 and vmem_bytes <= 100_000_000):
-            from nmftpu.kernels.dual_numer import dual_numerators_int8
-
-            numer_w, numer_h = dual_numerators_int8(
+            numer_w, numer_h = DN.dual_numerators_int8(
                 Vq, scale_v, W, H, bn=bn, bm=bm)
         else:
             numer_w = _rhs_vht_int8(Vq, scale_v, H)

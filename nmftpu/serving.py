@@ -150,11 +150,21 @@ class Recommender:
                 if not _is_oom(e) or self.block <= _MIN_SERVE_BLOCK:
                     raise
                 new_block = max(_MIN_SERVE_BLOCK, self.block // 2)
+                hint = ("a bfloat16/int8 table_dtype shrinks the scan "
+                        "footprint 2-4x")
+                if self.method == "reservoir":
+                    # the fused kernel itself is block-independent — if
+                    # the failure persists across retries the relevant
+                    # knobs are reservoir_slots / table_dtype (block
+                    # only drives the certify/fallback scans)
+                    hint = ("for method='reservoir', reservoir_slots "
+                            "and table_dtype are the kernel-side knobs "
+                            "— block only affects the certify/fallback "
+                            "scans")
                 warnings.warn(
                     f"serving scan exhausted device memory at "
                     f"block={self.block}; retrying with "
-                    f"block={new_block} (a bfloat16/int8 table_dtype "
-                    f"shrinks the scan footprint 2-4x)",
+                    f"block={new_block} ({hint})",
                     RuntimeWarning, stacklevel=3,
                 )
                 self.block = new_block
@@ -165,6 +175,17 @@ class Recommender:
         (`seen`, a padded (b, S) id array) — it preserves the
         GEMM->scan fusion the per-block scatter breaks; `lists` is the
         sharded / wide-seen fallback."""
+        if (self.method == "reservoir" and candidate_k is not None
+                and lists is None):
+            # applies to the mesh path too (topk_mips_sharded's
+            # reservoir branch drops candidate_k just the same); the
+            # lists fallback runs the blocked approx scan, where
+            # candidate_k IS honored
+            warnings.warn(
+                "candidate_k has no effect on the reservoir scan — "
+                "its recall is tuned via reservoir_slots (missed "
+                "items ~ C(k,3)/slots^2)", UserWarning, stacklevel=3,
+            )
         if self.mesh is not None:
             from nmftpu.parallel import topk_mips_sharded
 
@@ -185,12 +206,6 @@ class Recommender:
 
             from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
 
-            if candidate_k is not None and lists is None:
-                warnings.warn(
-                    "candidate_k has no effect on the reservoir scan — "
-                    "its recall is tuned via reservoir_slots (missed "
-                    "items ~ C(k,3)/slots^2)", UserWarning, stacklevel=3,
-                )
             if lists is None:
                 # fused GEMM + top-2-per-slot reservoir scan: the score
                 # tile never leaves VMEM (2.2x the megablock approx q/s
@@ -346,85 +361,20 @@ class Recommender:
         candidates come from the sharded scan and the certificate from
         `parallel.retrieval_sharded.certify_topk_sharded` (per-shard
         compare-reduce counts psum'd over the items axis)."""
-        if self.mesh is not None:
-            return self._recommend_certified_sharded(
-                user_ids, k, exclude_seen, candidate_k, fallback)
         if fallback not in (None, "exact"):
             raise ValueError(
                 f"fallback must be None or 'exact', got {fallback!r}"
             )
-        from nmftpu.retrieval.mips import (
-            certify_topk, topk_mips_blocked, topk_mips_certified,
-        )
-
         user_ids = np.atleast_1d(np.asarray(user_ids))
         Wq = self.W[user_ids]
+        scan = (self._certified_scan_sharded if self.mesh is not None
+                else self._certified_scan)
 
         def run():
-            seen_os = seen_full = lists = None
-            if exclude_seen and self._train_csr is not None:
-                seen_os = self._seen_padded(self._train_csr, user_ids, k)
-                if seen_os is None:
-                    # wide-seen degrade: candidates from the
-                    # scatter-list scan; the certify discount gathers
-                    # the full (b, S) seen columns — exact either way
-                    seen_full = self._seen_full(self._train_csr,
-                                                user_ids)
-                    if seen_full is not None:
-                        lists = self._exclusion(user_ids)
-            if lists is not None:
-                s, i = topk_mips_blocked(
-                    Wq, self._serve_table(), k, block=self.block,
-                    exclude_lists=lists, method="approx",
-                    candidate_k=candidate_k, h_scale=self._h_scale,
-                )
-                cert = certify_topk(
-                    Wq, self._serve_table(), s, k, block=self.block,
-                    h_scale=self._h_scale, seen=seen_full,
-                )
-            elif self.method == "reservoir":
-                # candidates from the fused reservoir scan (1.7x the
-                # megablock pass); the returned ids are re-scored at the
-                # certify pass's dtype rules (a tiny b*k column gather)
-                # so the kth-score threshold is comparable — the
-                # kernel's all-bf16 scores sit ~0.4% below the scan's
-                # and would fail correct rows otherwise. Filler/seen
-                # slots (score -inf from the scan) stay -inf through
-                # the re-score: at k > available candidates the gather
-                # would otherwise revive dropped ids as duplicates.
-                import jax
-
-                from nmftpu.kernels.mips_reservoir import (
-                    reservoir_topk_mips,
-                )
-                from nmftpu.retrieval.mips import rescore_and_sort
-
-                if candidate_k is not None:
-                    warnings.warn(
-                        "candidate_k has no effect on the reservoir "
-                        "scan — tune reservoir_slots instead",
-                        UserWarning, stacklevel=4,
-                    )
-                s0, i = reservoir_topk_mips(
-                    Wq, self.H, k, slots=self.reservoir_slots,
-                    seen=seen_os, h_scale=self._h_scale,
-                    m_items=self._m_items,
-                    interpret=jax.default_backend() != "tpu",
-                )
-                s, i = rescore_and_sort(
-                    Wq, self._serve_table(), i, h_scale=self._h_scale,
-                    invalid=np.asarray(s0) == -np.inf, seen=seen_os,
-                )
-                cert = certify_topk(
-                    Wq, self._serve_table(), s, k, block=self.block,
-                    h_scale=self._h_scale, seen=seen_os,
-                )
-            else:
-                s, i, cert = topk_mips_certified(
-                    Wq, self._serve_table(), k, block=self.block,
-                    candidate_k=candidate_k, h_scale=self._h_scale,
-                    seen=seen_os,
-                )
+            seen_os, seen_full, lists = self._certified_exclusion(
+                user_ids, k, exclude_seen)
+            s, i, cert = scan(Wq, k, candidate_k, seen_os, seen_full,
+                              lists)
             # materialize in-guard (async dispatch defers device OOMs)
             return np.asarray(s), np.asarray(i), np.asarray(cert)
 
@@ -436,55 +386,108 @@ class Recommender:
             s[rows], i[rows] = s2, i2
         return s, i, cert
 
-    def _recommend_certified_sharded(self, user_ids, k, exclude_seen,
-                                     candidate_k, fallback):
-        """Mesh twin of recommend_certified: sharded candidate scan +
-        the psum'd per-shard certificate. The reservoir merge keeps the
-        kernel's bf16 scores, so its candidates are re-scored at the
-        certify dtype rules first (a b*k column gather — GSPMD reshards
-        it; tiny next to the scan)."""
-        if fallback not in (None, "exact"):
-            raise ValueError(
-                f"fallback must be None or 'exact', got {fallback!r}"
+    def _certified_exclusion(self, user_ids, k: int,
+                             exclude_seen: bool):
+        """(seen_os, seen_full, lists) for a certified scan: the capped
+        oversample array when the batch fits it, else the UNCAPPED
+        certify-discount array plus scatter lists for the candidate
+        scan (the wide-seen degrade — exact either way)."""
+        seen_os = seen_full = lists = None
+        if exclude_seen and self._train_csr is not None:
+            seen_os = self._seen_padded(self._train_csr, user_ids, k)
+            if seen_os is None:
+                seen_full = self._seen_full(self._train_csr, user_ids)
+                if seen_full is not None:
+                    lists = self._exclusion(user_ids)
+        return seen_os, seen_full, lists
+
+    def _certified_scan(self, Wq, k, candidate_k, seen_os, seen_full,
+                        lists):
+        """Single-device certified candidates + certificate."""
+        from nmftpu.retrieval.mips import (
+            certify_topk, topk_mips_blocked, topk_mips_certified,
+        )
+
+        if lists is not None:
+            # wide-seen degrade: candidates from the scatter-list scan;
+            # the certify discount gathers the full (b, S) seen columns
+            s, i = topk_mips_blocked(
+                Wq, self._serve_table(), k, block=self.block,
+                exclude_lists=lists, method="approx",
+                candidate_k=candidate_k, h_scale=self._h_scale,
             )
+            cert = certify_topk(
+                Wq, self._serve_table(), s, k, block=self.block,
+                h_scale=self._h_scale, seen=seen_full,
+            )
+            return s, i, cert
+        if self.method == "reservoir":
+            # candidates from the fused reservoir scan (1.7x the
+            # megablock pass); the returned ids are re-scored at the
+            # certify pass's dtype rules (a tiny b*k column gather)
+            # so the kth-score threshold is comparable — the kernel's
+            # all-bf16 scores sit ~0.4% below the scan's and would
+            # fail correct rows otherwise. Filler/seen slots (score
+            # -inf from the scan) stay -inf through the re-score: at
+            # k > available candidates the gather would otherwise
+            # revive dropped ids as duplicates.
+            import jax
+
+            from nmftpu.kernels.mips_reservoir import (
+                reservoir_topk_mips,
+            )
+            from nmftpu.retrieval.mips import rescore_and_sort
+
+            if candidate_k is not None:
+                warnings.warn(
+                    "candidate_k has no effect on the reservoir "
+                    "scan — tune reservoir_slots instead",
+                    UserWarning, stacklevel=5,
+                )
+            s0, i = reservoir_topk_mips(
+                Wq, self.H, k, slots=self.reservoir_slots,
+                seen=seen_os, h_scale=self._h_scale,
+                m_items=self._m_items,
+                interpret=jax.default_backend() != "tpu",
+            )
+            s, i = rescore_and_sort(
+                Wq, self._serve_table(), i, h_scale=self._h_scale,
+                invalid=np.asarray(s0) == -np.inf, seen=seen_os,
+            )
+            cert = certify_topk(
+                Wq, self._serve_table(), s, k, block=self.block,
+                h_scale=self._h_scale, seen=seen_os,
+            )
+            return s, i, cert
+        return topk_mips_certified(
+            Wq, self._serve_table(), k, block=self.block,
+            candidate_k=candidate_k, h_scale=self._h_scale,
+            seen=seen_os,
+        )
+
+    def _certified_scan_sharded(self, Wq, k, candidate_k, seen_os,
+                                seen_full, lists):
+        """Mesh certified candidates + the psum'd per-shard
+        certificate. The reservoir merge keeps the kernel's bf16
+        scores, so its candidates are re-scored at the certify dtype
+        rules first (a b*k column gather — GSPMD reshards it; tiny
+        next to the scan)."""
         from nmftpu.parallel.retrieval_sharded import (
             certify_topk_sharded,
         )
         from nmftpu.retrieval.mips import rescore_and_sort
 
-        user_ids = np.atleast_1d(np.asarray(user_ids))
-        Wq = self.W[user_ids]
-
-        def run():
-            seen_os = seen_full = lists = None
-            if exclude_seen and self._train_csr is not None:
-                seen_os = self._seen_padded(self._train_csr, user_ids,
-                                            k)
-                if seen_os is None:
-                    seen_full = self._seen_full(self._train_csr,
-                                                user_ids)
-                    if seen_full is not None:
-                        lists = self._exclusion(user_ids)
-            s, i = self._topk(Wq, k, lists, candidate_k, seen=seen_os)
-            if self.method == "reservoir" and lists is None:
-                s, i = rescore_and_sort(
-                    Wq, self.H, i, h_scale=self._h_scale,
-                    invalid=np.asarray(s) == -np.inf, seen=seen_os,
-                )
-            cert = certify_topk_sharded(
-                Wq, self.H, s, k, mesh=self.mesh, block=self.block,
-                h_scale=self._h_scale,
-                seen=seen_os if seen_os is not None else seen_full,
+        s, i = self._topk(Wq, k, lists, candidate_k, seen=seen_os)
+        if self.method == "reservoir" and lists is None:
+            s, i = rescore_and_sort(
+                Wq, self.H, i, h_scale=self._h_scale,
+                invalid=np.asarray(s) == -np.inf, seen=seen_os,
             )
-            # materialize in-guard (async dispatch defers device OOMs)
-            return np.asarray(s), np.asarray(i), np.asarray(cert)
-
-        s, i, cert = self._scan_with_backoff(run)
-        if fallback == "exact" and not cert.all():
-            rows = np.flatnonzero(~cert)
-            s2, i2 = self._exact_rows(user_ids[rows], k, exclude_seen)
-            s, i = s.copy(), i.copy()
-            s[rows], i[rows] = s2, i2
+        cert = certify_topk_sharded(
+            Wq, self.H, s, k, mesh=self.mesh, block=self.block,
+            h_scale=self._h_scale,
+            seen=seen_os if seen_os is not None else seen_full,
+        )
         return s, i, cert
 
     def _exact_rows(self, user_ids, k: int, exclude_seen: bool):

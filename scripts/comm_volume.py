@@ -99,9 +99,18 @@ def extract_collectives(hlo: str, p: int):
             continue
         result_text = m.group(1)
         op = m.group(2)
+        is_start = m.group(3) is not None
         payload = _shape_bytes(result_text)
         if payload == 0:
             continue
+        if is_start and "," in result_text:
+            # async `-start` forms return a (operand-alias, result)
+            # tuple: summing every token would double-count; the true
+            # payload is the LARGEST member (== result; for all-gather
+            # the gathered output strictly exceeds the alias)
+            tokens = re.findall(r"\b[a-z]+\d*\[[\d,]*\]", result_text)
+            payload = max((_shape_bytes(t) for t in tokens),
+                          default=payload)
         g = _group_size(line, p)
         out.append({"op": op, "bytes": payload, "group": g})
     return out

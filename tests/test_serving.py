@@ -735,3 +735,15 @@ def test_sharded_certified_reservoir_and_fallback(rng):
     # sanity: the tiny reservoir really did miss somewhere (the
     # certificate caught it and the fallback repaired it)
     assert not cert.all()
+
+
+def test_reservoir_candidate_k_warns_on_mesh(rng):
+    """The candidate_k no-op warning must fire on the MESH reservoir
+    path too (review r5: the sharded scan drops it just the same)."""
+    from nmftpu.parallel import make_grid_mesh
+
+    V, res = _fit(rng, m=64)
+    rec = Recommender(res.W, res.H, mesh=make_grid_mesh((2, 4)),
+                      method="reservoir", reservoir_slots=64)
+    with pytest.warns(UserWarning, match="reservoir_slots"):
+        rec.recommend([0], k=5, exclude_seen=False, candidate_k=16)
