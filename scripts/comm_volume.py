@@ -165,12 +165,15 @@ def lower_update_hlo(engine: str, p: int, n, m, nnz, r, chunk=65536):
 
 def model_ring_bytes(pm, r, p) -> float:
     """Closed-form wire bytes/device/iteration for the ring MU update:
-    the (r, pm/p) H block rotates p-1 times for the W half-step and the
+    the (r, pm/p) H block rotates p-1 times for the W half-step, the
     (r, pm/p) numerator accumulator rotates p-1 times (ring-reduce) for
-    the H half-step, f32."""
+    the H half-step, ONE home-return rotation of the block, and the two
+    r x r Gram all-reduces, f32."""
     if p <= 1:
         return 0.0
-    return 2 * (p - 1) * r * (pm // p) * 4
+    blk = r * (pm // p) * 4
+    grams = 2 * (2 * r * r * 4 * (p - 1) / p)
+    return (2 * (p - 1) + 1) * blk + grams
 
 
 def model_grid_bytes(pn, pm, r, pu, pi) -> float:
@@ -213,10 +216,14 @@ def main():
             if engine == "scatter":
                 model = model_grid_bytes(pn, pm, r, pu, pi)
             else:
-                # ring permutes sit inside the rotation fori_loop: each
-                # instruction EXECUTES p-1 (or p) times per iteration —
-                # the static count is a per-loop-body count. The
-                # executed-wire estimate scales permute traffic by p-1.
+                # ring permutes sit inside rotation fori_loops: the two
+                # rotation-stream instructions execute p-1 times per
+                # iteration, the home-return one once — the static
+                # count is per loop body. Scaling EVERY permute by p-1
+                # gives an UPPER bound on executed wire (the closed-
+                # form model is the exact design statement; at p=8 the
+                # bound is ~1.35x the model because the home-return
+                # permute executes once, not 7 times).
                 perm = sum(c["bytes"] for c in colls
                            if c["op"] == "collective-permute")
                 rest = wire - perm
@@ -236,8 +243,11 @@ def main():
                 "wire_bytes_per_device": round(wire),
                 "wire_note": ("grid: static = executed (collectives "
                               "outside loops)" if engine == "scatter"
-                              else "ring: permute wire scaled by the "
-                                   "rotation-loop trip count p-1"),
+                              else "ring: UPPER bound — every permute "
+                                   "scaled by the rotation trip count "
+                                   "p-1 (the home-return permute "
+                                   "executes once; the model column "
+                                   "is the exact design statement)"),
                 "model_wire_bytes_per_device": round(model),
                 "faun_lower_bound_bytes_per_proc": round(lb),
             }
