@@ -156,6 +156,29 @@ def main():
     assert np.isfinite(res_beta.kl_error)
     print(f"BETA {res_beta.kl_error:.6f}", flush=True)
 
+    # round 5: SERVING over the 2-process mesh — sharded top-k + the
+    # psum'd per-shard exactness certificate (each process holds only
+    # its addressable item shards; _put_global places the table)
+    from nmftpu.parallel import factor_shardings, topk_mips_sharded
+    from nmftpu.parallel.driver import _put_global
+    from nmftpu.parallel.retrieval_sharded import certify_topk_sharded
+
+    W_user, H_user = _gather_user_factors(res, n)
+    H_dev = _put_global(H_user.astype(np.float32),
+                        factor_shardings(mesh)["H"])
+    Wq = W_user[:4].astype(np.float32)
+    s, i = topk_mips_sharded(Wq, H_dev, 5, mesh=mesh, block=12)
+    cert = certify_topk_sharded(Wq, H_dev, s, 5, mesh=mesh, block=12)
+    i_h = np.asarray(i)
+    # oracle on host factors
+    full = Wq @ H_user
+    for row in range(4):
+        assert set(i_h[row].tolist()) == set(
+            np.argsort(-full[row])[:5].tolist()), row
+    assert np.asarray(cert).all()  # exact scan always certifies
+    print(f"SERVE {int(np.asarray(cert).sum())} "
+          f"{np.sort(i_h, axis=1).tolist()}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -54,7 +54,7 @@ def test_two_process_sharded_compute():
     ]
     assert len(results) == 2
     assert results[0] == results[1], "processes disagree on the error"
-    for tag in ("ROWSHARD", "IALS", "MASKED", "BETA"):
+    for tag in ("ROWSHARD", "IALS", "MASKED", "BETA", "SERVE"):
         vals = [
             line.split()[1:]
             for rc, out, _ in outs
