@@ -187,9 +187,12 @@ def main():
                 bad = bad[:cap]  # (never hit at measured cert rates)
             pad_rows = np.concatenate(
                 [bad, np.zeros(cap - len(bad), np.int64)])
+            # megablock exact for the small subset — ~1.9x the 16k
+            # form at b=16 (sort totals match; per-block merge overhead
+            # drops 64x); matches Recommender._exact_rows' default
             s2, i2 = topk_mips_excluded(
                 Wq[jnp.asarray(pad_rows)], Ht, k,
-                seen_dev[jnp.asarray(pad_rows)], block=16384,
+                seen_dev[jnp.asarray(pad_rows)], block=1048576,
                 method="exact", h_scale=hs)
             s_out = np.array(np.asarray(s1))
             i_out = np.array(np.asarray(i1))
