@@ -40,3 +40,21 @@ def make_lowrank(rng, n, m, r, noise=0.01, dtype=np.float32):
 @pytest.fixture
 def lowrank():
     return make_lowrank
+
+
+# Single-process full-suite mitigation (experimental, opt-in):
+# ~500+ distinct XLA CPU programs in one process reproducibly crash the
+# compiler near the end of the suite (SIGSEGV/SIGABRT in
+# backend_compile_and_load — see scripts/run_tests.py, THE sharded
+# gate). NMFTPU_CLEAR_CACHES_EVERY=N drops the jit caches every N tests
+# to test whether bounding live compiled programs avoids the cliff.
+_CLEAR_EVERY = int(os.environ.get("NMFTPU_CLEAR_CACHES_EVERY", "0"))
+_test_counter = [0]
+
+
+@pytest.fixture(autouse=_CLEAR_EVERY > 0)
+def _periodic_cache_clear():
+    yield
+    _test_counter[0] += 1
+    if _CLEAR_EVERY and _test_counter[0] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
