@@ -42,13 +42,17 @@ def lowrank():
     return make_lowrank
 
 
-# Single-process full-suite mitigation (experimental, opt-in):
-# ~500+ distinct XLA CPU programs in one process reproducibly crash the
+# Single-process full-suite mitigation (ON by default): ~500+ distinct
+# XLA CPU programs accumulated in one process reproducibly crash the
 # compiler near the end of the suite (SIGSEGV/SIGABRT in
-# backend_compile_and_load — see scripts/run_tests.py, THE sharded
-# gate). NMFTPU_CLEAR_CACHES_EVERY=N drops the jit caches every N tests
-# to test whether bounding live compiled programs avoids the cliff.
-_CLEAR_EVERY = int(os.environ.get("NMFTPU_CLEAR_CACHES_EVERY", "0"))
+# backend_compile_and_load; each test innocent in isolation — judged
+# round 4). Dropping the jit caches every N tests bounds the live
+# compiled-program set and the full suite completes in one process
+# (measured: 549 tests in 622 s at N=40, FASTER than the 3-shard
+# runner — shared fixtures recompile less than three interpreters
+# cost). scripts/run_tests.py remains the belt-and-braces sharded
+# gate. Set NMFTPU_CLEAR_CACHES_EVERY=0 to disable.
+_CLEAR_EVERY = int(os.environ.get("NMFTPU_CLEAR_CACHES_EVERY", "40"))
 _test_counter = [0]
 
 
