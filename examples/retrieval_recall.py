@@ -47,8 +47,8 @@ def main():
     server = Recommender(res.W, res.H, train=train, method=method)
     s, i = server.recommend([0, 1, 2], k=10)
     # fallback="exact": uncertified rows are re-scanned exact in the
-    # same call, so EVERY row is the exact top-k (measured 2,104 q/s =
-    # 29.3x the exact scan at m=10.49M/r256 — BENCH_serving_r05.json);
+    # same call, so EVERY row is the exact top-k (measured 2,605 q/s =
+    # 36x the exact scan at m=10.49M/r256 — BENCH_serving_r05.json);
     # `cert` still reports the pass-1 rate.
     s2, i2, cert = server.recommend_certified([0, 1, 2], k=10,
                                               fallback="exact")

@@ -44,12 +44,14 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/nmftpu_jax_cache")
     from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+    from nmftpu.retrieval.exclusion import build_block_exclusion
     from nmftpu.retrieval.mips import (
         certify_topk,
         rescore_and_sort,
         topk_mips_blocked,
         topk_mips_excluded,
     )
+    from nmftpu.sparse import SparseCSR
 
     m, b, r, k = args.items, args.batch, args.rank, args.k
     dev = jax.devices()[0]
@@ -83,6 +85,13 @@ def main():
         0, m, size=(b, 100)).astype(np.int32), axis=1)
     seen_dev = jnp.asarray(seen)
     seen_sets = [set(seen[q].tolist()) for q in range(b)]
+    # CSR of the seen lists — the scatter-list exclusion form the
+    # library's _exact_rows uses for the fallback re-scan
+    seen_csr = SparseCSR(
+        np.arange(0, (b + 1) * seen.shape[1], seen.shape[1],
+                  dtype=np.int64),
+        seen.reshape(-1).astype(np.int64),
+        np.ones(b * seen.shape[1], np.float32), (b, m))
 
     def bench(fn, reps=args.reps):
         out = fn()
@@ -187,13 +196,14 @@ def main():
                 bad = bad[:cap]  # (never hit at measured cert rates)
             pad_rows = np.concatenate(
                 [bad, np.zeros(cap - len(bad), np.int64)])
-            # megablock exact for the small subset — ~1.9x the 16k
-            # form at b=16 (sort totals match; per-block merge overhead
-            # drops 64x); matches Recommender._exact_rows' default
-            s2, i2 = topk_mips_excluded(
-                Wq[jnp.asarray(pad_rows)], Ht, k,
-                seen_dev[jnp.asarray(pad_rows)], block=1048576,
-                method="exact", h_scale=hs)
+            # the EXACT form Recommender._exact_rows runs: megablock
+            # blocked scan + scatter-list exclusion (measured faster
+            # than oversampling for the sort-bound exact method)
+            lists = build_block_exclusion(
+                pad_rows, seen_csr, m, 1048576)
+            s2, i2 = topk_mips_blocked(
+                Wq[jnp.asarray(pad_rows)], Ht, k, block=1048576,
+                exclude_lists=lists, method="exact", h_scale=hs)
             s_out = np.array(np.asarray(s1))
             i_out = np.array(np.asarray(i1))
             s_out[bad] = np.asarray(s2)[:len(bad)]

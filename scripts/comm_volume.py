@@ -164,16 +164,19 @@ def lower_update_hlo(engine: str, p: int, n, m, nnz, r, chunk=65536):
 
 
 def model_ring_bytes(pm, r, p) -> float:
-    """Closed-form wire bytes/device/iteration for the ring MU update:
-    the (r, pm/p) H block rotates p-1 times for the W half-step, the
-    (r, pm/p) numerator accumulator rotates p-1 times (ring-reduce) for
-    the H half-step, ONE home-return rotation of the block, and the two
-    r x r Gram all-reduces, f32."""
+    """Closed-form wire bytes/device/iteration for the ring MU update,
+    derived from the actual loop trip counts in parallel/ring.py:
+    rotate_w's in-loop ppermute runs fori_loop(0, p) -> p executions
+    (p-1 rotations + the home return through the same instruction);
+    reduce_h's runs fori_loop(1, p) -> p-1, plus one separate
+    home-delivery permute when p > 2. Total block permutes: 2p for
+    p > 2, 2p-1 at p = 2; plus the two r x r Gram all-reduces, f32."""
     if p <= 1:
         return 0.0
     blk = r * (pm // p) * 4
     grams = 2 * (2 * r * r * 4 * (p - 1) / p)
-    return (2 * (p - 1) + 1) * blk + grams
+    n_perm = 2 * p if p > 2 else 2 * p - 1
+    return n_perm * blk + grams
 
 
 def model_grid_bytes(pn, pm, r, pu, pi) -> float:
@@ -216,18 +219,14 @@ def main():
             if engine == "scatter":
                 model = model_grid_bytes(pn, pm, r, pu, pi)
             else:
-                # ring permutes sit inside rotation fori_loops: the two
-                # rotation-stream instructions execute p-1 times per
-                # iteration, the home-return one once — the static
-                # count is per loop body. Scaling EVERY permute by p-1
-                # gives an UPPER bound on executed wire (the closed-
-                # form model is the exact design statement; at p=8 the
-                # bound is ~1.35x the model because the home-return
-                # permute executes once, not 7 times).
-                perm = sum(c["bytes"] for c in colls
-                           if c["op"] == "collective-permute")
-                rest = wire - perm
-                wire = rest + perm * (p - 1)
+                # ring permutes sit inside rotation fori_loops, so the
+                # static extraction counts each instruction ONCE (a
+                # per-loop-body count — trip counts are not visible in
+                # the HLO text line). The extraction therefore
+                # validates the instruction set + payload shapes; the
+                # EXECUTED wire is the model column, derived from the
+                # trip counts read directly from parallel/ring.py
+                # (see model_ring_bytes).
                 model = model_ring_bytes(pm, r, p)
             lb = faun_lower_bound_bytes(n0 * p, m0, r, p)
             by_op = {}
@@ -243,11 +242,11 @@ def main():
                 "wire_bytes_per_device": round(wire),
                 "wire_note": ("grid: static = executed (collectives "
                               "outside loops)" if engine == "scatter"
-                              else "ring: UPPER bound — every permute "
-                                   "scaled by the rotation trip count "
-                                   "p-1 (the home-return permute "
-                                   "executes once; the model column "
-                                   "is the exact design statement)"),
+                              else "ring: static per-loop-body count "
+                                   "(validates instruction set + "
+                                   "payload shapes); executed wire = "
+                                   "the model column, from the trip "
+                                   "counts in parallel/ring.py"),
                 "model_wire_bytes_per_device": round(model),
                 "faun_lower_bound_bytes_per_proc": round(lb),
             }

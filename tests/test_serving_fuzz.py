@@ -33,14 +33,6 @@ def _train_csr(rng, n, m, max_seen):
                      np.ones(len(indices), np.float32), (n, m))
 
 
-class _TrainWrap:
-    def __init__(self, csr):
-        self._csr = csr
-
-    def to_csr(self):
-        return self._csr
-
-
 CASES = [
     # (seed, n, m, r, method, dtype, max_seen, k, slots)
     (0, 12, 97, 5, "exact", "float32", 0, 7, 64),
@@ -63,10 +55,10 @@ def test_serving_fuzz_case(seed, n, m, r, method, dtype, max_seen, k,
     rng = np.random.default_rng(seed)
     W, H = _mk(rng, n, m, r)
     csr = _train_csr(rng, n, m, max_seen) if max_seen else None
+    # SparseCSR satisfies the train protocol directly (.to_csr)
     rec = Recommender(
-        W, H, train=_TrainWrap(csr) if csr is not None else None,
-        method=method, table_dtype=dtype, reservoir_slots=slots,
-        block=max(16, m // 4),
+        W, H, train=csr, method=method, table_dtype=dtype,
+        reservoir_slots=slots, block=max(16, m // 4),
     )
     users = rng.choice(n, min(6, n), replace=False)
     s, i = rec.recommend(users, k=k, exclude_seen=csr is not None)
@@ -77,8 +69,11 @@ def test_serving_fuzz_case(seed, n, m, r, method, dtype, max_seen, k,
         for u in range(n):
             masked[u, csr.indices[csr.indptr[u]:csr.indptr[u + 1]]] \
                 = -np.inf
-    exact_full = (rec.table_dtype == "float32"
-                  and method in ("exact", "reservoir"))
+    # the exact-set oracle applies to f32 exact scans always, and to
+    # the reservoir only when every item owns a slot (slots >= m makes
+    # the scan exhaustive); reservoir_slots is unused by method="exact"
+    exact_full = rec.table_dtype == "float32" and (
+        method == "exact" or (method == "reservoir" and slots >= m))
     for row, u in enumerate(users):
         got = i[row][np.isfinite(s[row])]
         # no seen item ever surfaces, no duplicates, ids in range
@@ -90,8 +85,9 @@ def test_serving_fuzz_case(seed, n, m, r, method, dtype, max_seen, k,
         assert ((got >= 0) & (got < m)).all()
         avail = int(np.isfinite(masked[u]).sum())
         assert len(got) == min(k, avail), (len(got), k, avail)
-        if exact_full and slots >= m:
-            # f32 exact/whole-catalog-reservoir: exact top-k up to ties
+        if exact_full:
+            # f32 exact / whole-catalog reservoir: exact top-k up to
+            # ties
             want = set(np.argsort(-masked[u])[:len(got)].tolist())
             assert set(got.tolist()) == want, (row, u)
 
