@@ -107,3 +107,67 @@ def test_serving_fuzz_case(seed, n, m, r, method, dtype, max_seen, k,
             su = set(csr.indices[csr.indptr[u]:csr.indptr[u + 1]]
                      .tolist())
             assert not (su & set(got.tolist()))
+
+
+MESH_CASES = [
+    # (seed, n, m, r, method, dtype, max_seen, k, slots)
+    (20, 16, 96, 4, "exact", "float32", 10, 7, 64),
+    (21, 16, 96, 4, "approx", "float32", 10, 7, 64),
+    (22, 16, 128, 5, "reservoir", "float32", 6, 9, 64),
+    (23, 16, 128, 5, "reservoir", "int8", 6, 9, 64),
+]
+
+
+@pytest.mark.parametrize(
+    "seed,n,m,r,method,dtype,max_seen,k,slots", MESH_CASES)
+def test_serving_fuzz_mesh_case(seed, n, m, r, method, dtype, max_seen,
+                                k, slots):
+    """Mesh twin of the fuzz matrix: the sharded scan + certificate
+    must match the single-device Recommender on the same data (m
+    divisible by the items axis)."""
+    from nmftpu.parallel import make_grid_mesh
+
+    rng = np.random.default_rng(seed)
+    W, H = _mk(rng, n, m, r)
+    csr = _train_csr(rng, n, m, max_seen) if max_seen else None
+    mesh = make_grid_mesh((2, 4))
+    rec_m = Recommender(W, H, train=csr, mesh=mesh, method=method,
+                        table_dtype=dtype, reservoir_slots=slots,
+                        block=m // 8)
+    rec_1 = Recommender(W, H, train=csr, method="exact",
+                        table_dtype=dtype, block=m // 4)
+    users = rng.choice(n, 5, replace=False)
+    s_m, i_m = rec_m.recommend(users, k=k, exclude_seen=csr is not None)
+    s_1, i_1 = rec_1.recommend(users, k=k, exclude_seen=csr is not None)
+    for row, u in enumerate(users):
+        got_m = set(i_m[row][np.isfinite(s_m[row])].tolist())
+        got_1 = set(i_1[row][np.isfinite(s_1[row])].tolist())
+        if method in ("exact", "reservoir") and slots >= m // 4:
+            # reservoir per-shard slots >= local m -> exhaustive scan;
+            # int8 near-ties may swap at equal quantized score, so
+            # compare through the true scores
+            full = W @ H
+            np.testing.assert_allclose(
+                np.sort([full[u, j] for j in got_m]),
+                np.sort([full[u, j] for j in got_1]),
+                rtol=2e-2, atol=1e-3)
+        if csr is not None:
+            su = set(csr.indices[csr.indptr[u]:csr.indptr[u + 1]]
+                     .tolist())
+            assert not (su & got_m)
+
+    # mesh certified + all-exact fallback agrees with brute force
+    s_c, i_c, cert = rec_m.recommend_certified(
+        users, k=k, exclude_seen=csr is not None, fallback="exact")
+    full = W @ H
+    masked = full.copy()
+    if csr is not None:
+        for u in range(n):
+            masked[u, csr.indices[csr.indptr[u]:csr.indptr[u + 1]]] \
+                = -np.inf
+    for row, u in enumerate(users):
+        got = i_c[row][np.isfinite(s_c[row])]
+        want = np.argsort(-masked[u])[:len(got)]
+        np.testing.assert_allclose(
+            np.sort(full[u, got]), np.sort(full[u, want]),
+            rtol=2e-2, atol=1e-3)
