@@ -22,7 +22,10 @@ from nmftpu.parallel.driver import (
     compute_sharded,
     prepare_sharded,
 )
-from nmftpu.parallel.retrieval_sharded import topk_mips_sharded
+from nmftpu.parallel.retrieval_sharded import (
+    certify_topk_sharded,
+    topk_mips_sharded,
+)
 from nmftpu.parallel import ring
 
 __all__ = [
@@ -36,5 +39,6 @@ __all__ = [
     "make_grid_mesh",
     "partition_sparse",
     "ring",
+    "certify_topk_sharded",
     "topk_mips_sharded",
 ]
