@@ -468,3 +468,40 @@ def test_reservoir_int8_requires_scale(rng):
     with pytest.raises(ValueError, match="quantization scale"):
         reservoir_topk_mips(Wq, H8, 3, slots=64, q_block=2,
                             interpret=True)
+
+
+def test_count_above_fused_parity(rng):
+    """kernels/count_above.py (interpret off-TPU) must match the XLA
+    _count_above bit-for-bit on bf16 and int8 tables (the serving
+    dtypes — identical bf16-operand/f32-accumulate rules)."""
+    import jax.numpy as jnp
+
+    from nmftpu.kernels.count_above import count_above_fused
+    from nmftpu.linalg.dense import quantize_sym
+    from nmftpu.retrieval.mips import _count_above
+
+    n, m, r = 24, 1000, 64
+    Wq = jnp.asarray(rng.uniform(-1, 1, (n, r)).astype(np.float32))
+    Hf = rng.uniform(-1, 1, (r, m)).astype(np.float32)
+    Hb = jnp.asarray(Hf, jnp.bfloat16)
+    theta = jnp.asarray(rng.uniform(-2, 2, n).astype(np.float32))
+
+    # matched tile/block sizes => identical f32 accumulation order
+    ref = _count_above(Wq, Hb, theta, 512, None)
+    got = count_above_fused(Wq, Hb, theta, tile=512, q_block=8,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    sc, Hq = quantize_sym(jnp.asarray(Hf))
+    ref8 = _count_above(Wq, Hq, theta, 512, sc)
+    got8 = count_above_fused(Wq, Hq, theta, h_scale=sc, tile=512,
+                             q_block=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
+
+    # per-dim vector scale (pre-multiplies the queries — different
+    # rounding than the scalar's theta fold, so its own XLA reference)
+    scv = jnp.full((r,), float(sc), jnp.float32)
+    refv = _count_above(Wq, Hq, theta, 512, scv)
+    gotv = count_above_fused(Wq, Hq, theta, h_scale=scv, tile=512,
+                             q_block=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gotv), np.asarray(refv))
