@@ -171,3 +171,65 @@ def test_serving_fuzz_mesh_case(seed, n, m, r, method, dtype, max_seen,
         np.testing.assert_allclose(
             np.sort(full[u, got]), np.sort(full[u, want]),
             rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("dtype,method,slots", [
+    ("float32", "approx", 64),
+    ("bfloat16", "exact", 64),
+    ("int8", "reservoir", 128),   # padded table (m % slots != 0)
+])
+def test_foldin_fuzz(dtype, method, slots):
+    """Fold-in across table dtypes/methods vs the direct regularized
+    NNLS oracle on the true f32 table: weighted + unweighted histories,
+    batch == per-user parity, history exclusion end-to-end."""
+    rng = np.random.default_rng(11)
+    n, m, r = 10, 90, 5
+    W, H = _mk(rng, n, m, r)
+    rec = Recommender(W, H, method=method, table_dtype=dtype,
+                      reservoir_slots=slots, block=32)
+    hists = [
+        np.array([3, 17, 55]),
+        (np.array([2, 60, 80, 88]), np.array([2.0, 1.0, 4.5, 3.0],
+                                             np.float32)),
+        np.array([7]),
+    ]
+    Wb = rec.fold_in_batch(hists, lambda_w=1e-3)
+    assert Wb.shape == (3, r) and (Wb >= 0).all()
+    # oracle: the ALS fold-in solves against the FULL row (zeros are
+    # data, sklearn transform semantics): A = H H^T + lambda I,
+    # rhs = H v_full = H[:, ids] @ vals, then clamp
+    for u, h in enumerate(hists):
+        ids, vals = h if isinstance(h, tuple) else (h, None)
+        v = np.ones(len(ids), np.float32) if vals is None else vals
+        A = H @ H.T + 1e-3 * np.eye(r)
+        w_star = np.maximum(np.linalg.solve(A, H[:, ids] @ v), 0.0)
+        tol = 0.35 if dtype == "int8" else 0.05
+        denom = max(float(np.linalg.norm(w_star)), 1e-6)
+        assert np.linalg.norm(Wb[u] - w_star) / denom < tol, (u, dtype)
+        w1 = rec.fold_in(ids, vals, lambda_w=1e-3)
+        np.testing.assert_allclose(Wb[u], w1, rtol=1e-5, atol=1e-6)
+    s, i = rec.recommend_from_history_batch(hists, k=6,
+                                            lambda_w=1e-3)
+    for u, h in enumerate(hists):
+        ids = h[0] if isinstance(h, tuple) else h
+        got = i[u][np.isfinite(s[u])]
+        assert not (set(np.atleast_1d(ids).tolist()) & set(got.tolist()))
+
+
+def test_mesh_save_load_roundtrip(tmp_path):
+    """save() on a mesh Recommender persists the unpadded f32 table;
+    load(mesh=...) re-shards and serves identically."""
+    from nmftpu.parallel import make_grid_mesh
+
+    rng = np.random.default_rng(12)
+    W, H = _mk(rng, 12, 96, 4)
+    mesh = make_grid_mesh((2, 4))
+    rec = Recommender(W, H, train=_train_csr(rng, 12, 96, 8),
+                      mesh=mesh, method="reservoir", reservoir_slots=16,
+                      block=12)
+    rec.save(str(tmp_path / "m"))
+    rec2 = Recommender.load(str(tmp_path / "m"), mesh=mesh)
+    assert rec2.method == "reservoir" and rec2.n_items == 96
+    s1, i1 = rec.recommend([0, 5], k=5)
+    s2, i2 = rec2.recommend([0, 5], k=5)
+    np.testing.assert_array_equal(i1, i2)
