@@ -381,10 +381,89 @@ class Recommender:
         s, i, cert = self._scan_with_backoff(run)
         if fallback == "exact" and not cert.all():
             rows = np.flatnonzero(~cert)
-            s2, i2 = self._exact_rows(user_ids[rows], k, exclude_seen)
             s, i = s.copy(), i.copy()
-            s[rows], i[rows] = s2, i2
+            # escalated reservoir pass on just the uncertified rows
+            # (4x slots: table-read-bound, ~1/16 the miss rate) —
+            # whatever certifies there is proven exact and skips the
+            # sort-bound exact scan. GATED on the subset exceeding one
+            # exact-scan bucket: tie-boundary rows (an item within an
+            # ulp of the kth score) never certify at ANY slot count,
+            # so a small subset pays the same one-bucket exact scan
+            # either way and escalation would only add its own cost
+            # (measured: 387 vs 196 ms at 9 uncertified/512 —
+            # BENCH_serving_r05.json all_exact_escalated row)
+            if len(rows) > 16:
+                rows = self._escalate_rows(s, i, rows, user_ids, k,
+                                           exclude_seen)
+            if len(rows):
+                s2, i2 = self._exact_rows(user_ids[rows], k,
+                                          exclude_seen)
+                s[rows], i[rows] = s2, i2
         return s, i, cert
+
+    def _escalate_rows(self, s, i, rows, user_ids, k, exclude_seen):
+        """One escalated certified pass over a row subset: re-scan with
+        4x reservoir_slots (+ rescore + certificate), splice certified
+        rows into (s, i) IN PLACE, and return the still-uncertified
+        residue. Applies only where the escalated scan reuses the
+        resident table zero-copy (single device, reservoir method, the
+        padded width divisible by the escalated slot count — a per-call
+        pad would copy the multi-GB table); returns `rows` unchanged
+        otherwise."""
+        # 4x: ~1/16 the per-row miss rate (C(k,3)/slots^2), while the
+        # (r, 4*slots) int8 tile still fits the kernel's scoped-VMEM
+        # budget at r=256 (8x would not)
+        esc = self.reservoir_slots * 4
+        if (self.mesh is not None or self.method != "reservoir"
+                or self.H.shape[1] % esc != 0):
+            return rows
+        import jax
+
+        from nmftpu.kernels.mips_reservoir import reservoir_topk_mips
+        from nmftpu.retrieval.mips import certify_topk, rescore_and_sort
+
+        sub_users = user_ids[rows]
+        Wq = self.W[sub_users]
+        seen_os = None
+        if exclude_seen and self._train_csr is not None:
+            seen_os = self._seen_padded(self._train_csr, sub_users, k)
+            if seen_os is None and int(np.diff(
+                    self._train_csr.indptr)[sub_users].max(initial=0)):
+                return rows  # wide-seen residue: exact scan handles it
+        if seen_os is not None and k + seen_os.shape[1] > 2 * esc:
+            return rows
+
+        def run():
+            s0, i0 = reservoir_topk_mips(
+                Wq, self.H, k, slots=esc, seen=seen_os,
+                h_scale=self._h_scale, m_items=self._m_items,
+                interpret=jax.default_backend() != "tpu",
+            )
+            s1, i1 = rescore_and_sort(
+                Wq, self._serve_table(), i0, h_scale=self._h_scale,
+                invalid=np.asarray(s0) == -np.inf, seen=seen_os,
+            )
+            cert = certify_topk(
+                Wq, self._serve_table(), s1, k, block=self.block,
+                h_scale=self._h_scale, seen=seen_os,
+            )
+            return np.asarray(s1), np.asarray(i1), np.asarray(cert)
+
+        try:
+            s1, i1, cert1 = run()
+        except Exception as e:  # noqa: BLE001 — optimization only;
+            # the exact scan is the safety net (e.g. an 8x-slots tile
+            # can exceed the kernel's scoped-VMEM budget at high rank)
+            warnings.warn(
+                f"escalated certified pass failed "
+                f"({type(e).__name__}); falling back to the exact "
+                f"scan for {len(rows)} rows", RuntimeWarning,
+                stacklevel=3,
+            )
+            return rows
+        ok = np.flatnonzero(cert1)
+        s[rows[ok]], i[rows[ok]] = s1[ok], i1[ok]
+        return rows[np.flatnonzero(~cert1)]
 
     def _certified_exclusion(self, user_ids, k: int,
                              exclude_seen: bool):

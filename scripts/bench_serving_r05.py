@@ -225,6 +225,67 @@ def main():
                     speedup_vs_exact_scan=round(t_exact / t_comp, 1)))
         assert mismatch == 0, f"composition not exact: {mismatch} rows"
 
+        # ESCALATED composition (the library's fallback since round 5):
+        # uncertified rows first re-scan through a 4x-slots reservoir
+        # pass (table-read-bound) + certificate; only the residue
+        # (expected ~0 at 1/16 the miss rate) pays the exact scan
+        esc = args.slots * 4
+        def composed_esc():
+            s1, i1, cert = certified_pass()
+            cert_h = np.asarray(cert)
+            bad = np.flatnonzero(~cert_h)
+            s_out = np.array(np.asarray(s1))
+            i_out = np.array(np.asarray(i1))
+            n_resid = 0
+            if len(bad):
+                padb = np.concatenate(
+                    [bad, np.zeros(cap - len(bad), np.int64)])[:cap]
+                Wq_s = Wq[jnp.asarray(padb)]
+                seen_s = seen_dev[jnp.asarray(padb)]
+                e0, ei = reservoir_topk_mips(
+                    Wq_s, Ht, k, slots=esc, q_block=cap,
+                    seen=seen_s, h_scale=hs)
+                es, ei = rescore_and_sort(
+                    Wq_s, Ht, ei, h_scale=hs,
+                    invalid=np.asarray(e0) == -jnp.inf, seen=seen_s)
+                ec = np.asarray(certify_topk(
+                    Wq_s, Ht, es, k, block=1048576, h_scale=hs,
+                    seen=seen_s))[:len(bad)]
+                ok = np.flatnonzero(ec)
+                s_out[bad[ok]] = np.asarray(es)[:len(bad)][ec]
+                i_out[bad[ok]] = np.asarray(ei)[:len(bad)][ec]
+                resid = bad[np.flatnonzero(~ec)]
+                n_resid = len(resid)
+                if n_resid:
+                    padr = np.concatenate(
+                        [resid, np.zeros(16 - n_resid, np.int64)])[:16]
+                    lists = build_block_exclusion(
+                        padr, seen_csr, m, 1048576)
+                    rs, ri = topk_mips_blocked(
+                        Wq[jnp.asarray(padr)], Ht, k, block=1048576,
+                        exclude_lists=lists, method="exact",
+                        h_scale=hs)
+                    s_out[resid] = np.asarray(rs)[:n_resid]
+                    i_out[resid] = np.asarray(ri)[:n_resid]
+            return s_out, i_out, (len(bad), n_resid)
+
+        (s_e, i_e, (n_bad_e, n_res_e)), t_esc, sp_esc = bench(
+            composed_esc)
+        # exactness check against the one-shot reference
+        mismatch_e = 0
+        for q in range(b):
+            if set(i_e[q].tolist()) != exact_sets[q]:
+                if not np.allclose(np.sort(s_e[q]), np.sort(es[q]),
+                                   rtol=1e-5, atol=1e-5):
+                    mismatch_e += 1
+        record("all_exact_escalated", name, t_esc, sp_esc,
+               dict(slots=args.slots, esc_slots=esc,
+                    uncertified_rows=int(n_bad_e),
+                    residue_rows=int(n_res_e),
+                    rows_not_exact=mismatch_e,
+                    speedup_vs_exact_scan=round(t_exact / t_esc, 1)))
+        assert mismatch_e == 0, f"escalated not exact: {mismatch_e}"
+
     out_path = args.out or os.path.join(REPO, "BENCH_serving_r05.json")
     with open(out_path, "w") as fh:
         json.dump(dict(

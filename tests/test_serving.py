@@ -747,3 +747,35 @@ def test_reservoir_candidate_k_warns_on_mesh(rng):
                       method="reservoir", reservoir_slots=64)
     with pytest.warns(UserWarning, match="reservoir_slots"):
         rec.recommend([0], k=5, exclude_seen=False, candidate_k=16)
+
+
+def test_certified_fallback_escalation(rng):
+    """fallback='exact' escalates uncertified rows through an 8x-slots
+    reservoir pass first (table-read-bound) — most rows certify there
+    and skip the sort-bound exact scan; the result is exact either
+    way. m=320 is an 8*slots multiple so the escalation reuses the
+    padded table zero-copy."""
+    V, res = _fit(rng, m=320)
+    full = np.asarray(res.W) @ np.asarray(res.H)
+    tiny = Recommender(res.W, res.H, method="reservoir",
+                       reservoir_slots=8)
+    calls = []
+    orig = tiny._exact_rows
+
+    def spy(users, k, ex):
+        calls.append(len(users))
+        return orig(users, k, ex)
+
+    tiny._exact_rows = spy
+    s, i, cert = tiny.recommend_certified(
+        np.arange(40), k=8, exclude_seen=False, fallback="exact")
+    n_unc = int((~cert).sum())
+    # escalation is gated on > one exact-scan bucket (16 rows): tiny
+    # slots over 40 users must clear it for this test to bite
+    assert n_unc > 16, n_unc
+    residue = calls[0] if calls else 0
+    # the escalated pass must resolve most of the uncertified rows
+    assert residue <= max(1, n_unc // 3), (residue, n_unc)
+    for row in range(40):
+        assert set(i[row].tolist()) == set(
+            np.argsort(-full[row])[:8].tolist()), row
