@@ -116,6 +116,13 @@ def _reservoir_scan(Wq, Hp, m_items, slots, q_block, interpret=False):
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
+        # the per-step working set (4 carry blocks + the score tile at
+        # (q_block, slots) + the double-buffered table tile) exceeds
+        # the 16 MB default scoped-vmem budget for q_block=512 batches
+        # beyond ~512 queries; v5e has 128 MB physical VMEM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(Wq.astype(jnp.bfloat16), Hp)
     return (jnp.concatenate([s1, s2], axis=1),
             jnp.concatenate([i1, i2], axis=1))

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--slots", type=int, default=4096)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--cap", type=int, default=16,
+                    help="exact re-scan bucket (rows)")
     args = ap.parse_args()
 
     import jax
@@ -187,7 +189,7 @@ def main():
         # certification, 512 rows -> ~9 uncertified; cap=16 re-scans
         # 3.1% of the batch. (A cap-overflow would re-scan only the
         # first 16 — the assertion below would catch any inexact row.)
-        cap = 16
+        cap = args.cap
         def composed():
             s1, i1, cert = certified_pass()
             cert_h = np.asarray(cert)
@@ -257,8 +259,10 @@ def main():
                 resid = bad[np.flatnonzero(~ec)]
                 n_resid = len(resid)
                 if n_resid:
+                    rcap = max(16, 1 << (n_resid - 1).bit_length())
                     padr = np.concatenate(
-                        [resid, np.zeros(16 - n_resid, np.int64)])[:16]
+                        [resid, np.zeros(rcap - n_resid,
+                                         np.int64)])[:rcap]
                     lists = build_block_exclusion(
                         padr, seen_csr, m, 1048576)
                     rs, ri = topk_mips_blocked(
