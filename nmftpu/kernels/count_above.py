@@ -14,11 +14,15 @@ write.
 Grid (q_blocks, tiles), tile minor: each step scores one (r, T) table
 tile on the MXU and accumulates sum(score > theta) into the (BQ, 1)
 count block (revisited consecutively over tiles). Table padding
-columns (gid >= m_items) never count. Same dtype rules as
+columns (gid >= m_items) never count. bf16/int8 tables ONLY (f32
+tables would score bf16-rounded queries against the oracle's f32×f32
+dot — rejected rather than silently diverging). Dtype rules match
 `retrieval.mips._score_dot`'s int8/bf16 path: bf16 operands, f32
 accumulation; per-dimension int8 scales fold into the query side
-before the kernel (order-preserving), a scalar scale folds into theta
-(divide — positive scales preserve the comparison).
+before the kernel (order-preserving and bit-identical to the oracle's
+fold); a SCALAR scale folds into theta (s > theta/hs — the oracle
+multiplies the score instead, so counts are ulp-equivalent, not
+bit-identical, exactly at rounding boundaries of hs*s == theta).
 
 Reference anchor: SURVEY.md §5.7 (the retrieval layer the reference
 lacks); the oracle is `retrieval.mips._count_above`, parity-tested in
@@ -91,17 +95,23 @@ def _count_scan(Wq, Hp, theta, m_items, tile, q_block, interpret=False):
 def count_above_fused(Wq, H, theta, h_scale=None, tile=4096,
                       q_block=None, m_items=None, interpret=False):
     """Per-row count of items scoring strictly above theta, one fused
-    pass. Wq (b, r) f32; H (r, m) f32/bf16/int8 (int8 carries
+    pass. Wq (b, r) f32; H (r, m) bf16/int8 (int8 carries
     `h_scale` exactly as retrieval.mips._score_dot — a (r,) vector
     folds into the queries, a scalar divides theta); theta (b,) f32.
     m_items marks a pre-padded table's true width. Returns (b,) int32.
     Rows whose theta is -inf count every real item (matching the XLA
-    pass)."""
+    pass). bf16/int8 tables only (see module docstring)."""
     Wq = jnp.asarray(Wq)
     H = jnp.asarray(H)
     theta = jnp.asarray(theta, jnp.float32)
     b, r = Wq.shape
     m = H.shape[1] if m_items is None else m_items
+    if H.dtype == jnp.float32:
+        raise ValueError(
+            "count_above_fused supports bfloat16/int8 tables only — "
+            "an f32 table's oracle keeps f32 queries, which this "
+            "kernel's bf16 cast cannot reproduce"
+        )
     if h_scale is not None:
         hs = jnp.asarray(h_scale)
         if not jnp.issubdtype(H.dtype, jnp.integer):

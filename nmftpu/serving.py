@@ -426,12 +426,15 @@ class Recommender:
         Wq = self.W[sub_users]
         seen_os = None
         if exclude_seen and self._train_csr is not None:
-            seen_os = self._seen_padded(self._train_csr, sub_users, k)
-            if seen_os is None and int(np.diff(
-                    self._train_csr.indptr)[sub_users].max(initial=0)):
-                return rows  # wide-seen residue: exact scan handles it
-        if seen_os is not None and k + seen_os.shape[1] > 2 * esc:
-            return rows
+            # build against the ESCALATED oversampling cap (2*esc) —
+            # _seen_padded's cap is the base 2*slots, which would skip
+            # seen widths the 4x pass can handle
+            seen_full = self._seen_full(self._train_csr, sub_users)
+            if seen_full is not None:
+                if k + seen_full.shape[1] > min(_MAX_OVERSAMPLE_SEEN,
+                                                2 * esc):
+                    return rows  # truly wide: exact scan handles it
+                seen_os = seen_full
 
         def run():
             s0, i0 = reservoir_topk_mips(

@@ -239,23 +239,26 @@ def main():
             s_out = np.array(np.asarray(s1))
             i_out = np.array(np.asarray(i1))
             n_resid = 0
+            if len(bad) > cap:
+                bad = bad[:cap]  # mirror composed(): the exactness
+                # assertion below catches any row left unrepaired
             if len(bad):
                 padb = np.concatenate(
                     [bad, np.zeros(cap - len(bad), np.int64)])[:cap]
                 Wq_s = Wq[jnp.asarray(padb)]
                 seen_s = seen_dev[jnp.asarray(padb)]
-                e0, ei = reservoir_topk_mips(
+                e0, ei0 = reservoir_topk_mips(
                     Wq_s, Ht, k, slots=esc, q_block=cap,
                     seen=seen_s, h_scale=hs)
-                es, ei = rescore_and_sort(
-                    Wq_s, Ht, ei, h_scale=hs,
+                es_r, ei_r = rescore_and_sort(
+                    Wq_s, Ht, ei0, h_scale=hs,
                     invalid=np.asarray(e0) == -jnp.inf, seen=seen_s)
                 ec = np.asarray(certify_topk(
-                    Wq_s, Ht, es, k, block=1048576, h_scale=hs,
+                    Wq_s, Ht, es_r, k, block=1048576, h_scale=hs,
                     seen=seen_s))[:len(bad)]
                 ok = np.flatnonzero(ec)
-                s_out[bad[ok]] = np.asarray(es)[:len(bad)][ec]
-                i_out[bad[ok]] = np.asarray(ei)[:len(bad)][ec]
+                s_out[bad[ok]] = np.asarray(es_r)[:len(bad)][ec]
+                i_out[bad[ok]] = np.asarray(ei_r)[:len(bad)][ec]
                 resid = bad[np.flatnonzero(~ec)]
                 n_resid = len(resid)
                 if n_resid:

@@ -750,10 +750,10 @@ def test_reservoir_candidate_k_warns_on_mesh(rng):
 
 
 def test_certified_fallback_escalation(rng):
-    """fallback='exact' escalates uncertified rows through an 8x-slots
+    """fallback='exact' escalates uncertified rows through a 4x-slots
     reservoir pass first (table-read-bound) — most rows certify there
     and skip the sort-bound exact scan; the result is exact either
-    way. m=320 is an 8*slots multiple so the escalation reuses the
+    way. m=320 is a 4*slots multiple so the escalation reuses the
     padded table zero-copy."""
     V, res = _fit(rng, m=320)
     full = np.asarray(res.W) @ np.asarray(res.H)
