@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--cap", type=int, default=16,
                     help="exact re-scan bucket (rows)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="table/query/seen PRNG seed")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +62,7 @@ def main():
     print(f"device={dev.device_kind} m={m/1e6:.2f}M b={b} r={r} k={k} "
           f"reps={args.reps}", flush=True)
 
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
     kw, kh = jax.random.split(key)
     # chunked table builds (a one-shot (r, m) normal carries a ~10.7 GB
     # bits buffer that wedges the 16 GB chip — see probe_reservoir.py)
@@ -83,7 +85,7 @@ def main():
     Wq = jax.random.normal(kw, (b, r), jnp.float32)
 
     # ~100 seen/user (the serving headline condition)
-    seen = np.sort(np.random.default_rng(3).integers(
+    seen = np.sort(np.random.default_rng(3 + args.seed).integers(
         0, m, size=(b, 100)).astype(np.int32), axis=1)
     seen_dev = jnp.asarray(seen)
     seen_sets = [set(seen[q].tolist()) for q in range(b)]
