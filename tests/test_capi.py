@@ -49,3 +49,11 @@ def test_c_host_drives_engine(tmp_path):
         f"rc={r.returncode}\nstdout={r.stdout}\nstderr={r.stderr[-2000:]}"
     )
     assert "C ABI OK" in r.stdout
+    # the per-check stats callback fired and its nonzero return
+    # cancelled the run early (reference C17/§3.2, round 5)
+    assert "callback records=" in r.stdout
+    import re
+
+    m = re.search(r"callback records=(\d+).*iters=(\d+)", r.stdout)
+    assert m and int(m.group(1)) >= 3 and int(m.group(2)) < 400, \
+        r.stdout
